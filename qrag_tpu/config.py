@@ -1,0 +1,210 @@
+"""Typed configuration tree.
+
+The reference used untyped ``Dict[str, Any]`` configs with scattered
+``.get(key, default)`` calls (``controller.py:16-22,40``,
+``classical.py:55-77``, ``quantum.py:32-34``) plus env vars, argparse and
+AWS SSM as config channels (SURVEY.md §5 "Config / flag system").  This
+module centralizes the same keys and defaults into one dataclass tree
+with env-var and dict overrides.
+
+Defaults preserved from the reference:
+  - controller: complexity_threshold=8, the 10 ad keywords
+    (``controller.py:25-40``)
+  - classical: method="cross-encoder", batch_size=32,
+    max_sequence_length=512, max_retries=3, timeout=30, enable_cache=True
+    (``classical.py:55-77``)
+  - quantum: method="state_fidelity", n_qubits=4 (``quantum.py:32-34``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+# The 10 ad-detection keywords of the reference controller
+# (``src/reranker/controller.py:25-36``).  Substring matching against
+# query words is part of the observable routing semantics (SURVEY.md
+# Appendix A.7) and must be preserved.
+DEFAULT_QUANTUM_KEYWORDS: Tuple[str, ...] = (
+    "advertisement",
+    "ad",
+    "sponsor",
+    "commercial",
+    "promotion",
+    "product",
+    "brand",
+    "discount",
+    "offer",
+    "deal",
+)
+
+
+@dataclass
+class ControllerConfig:
+    """Quantum-vs-classical routing (``controller.py:42-67``)."""
+
+    complexity_threshold: int = 8
+    quantum_keywords: Tuple[str, ...] = DEFAULT_QUANTUM_KEYWORDS
+
+
+@dataclass
+class ClassicalConfig:
+    """Classical reranker (``classical.py:55-77``).
+
+    ``method`` selects the scorer:
+      - "cosine": cosine similarity between embeddings (default here —
+        runs entirely on TPU; the reference's torch CrossEncoder is not
+        a TPU-native scorer)
+      - "cross-encoder": the JAX cross-encoder model
+        (``qrag_tpu/models/cross_encoder.py``)
+    """
+
+    method: str = "cosine"
+    model_name: str = "qrag-cross-encoder-tiny"
+    batch_size: int = 32
+    max_sequence_length: int = 512
+    max_retries: int = 3
+    timeout: float = 30.0
+    model_cache_dir: str = "cross_encoder"
+    enable_cache: bool = True
+    # Neutral score returned on scorer failure (``classical.py:218-229``).
+    neutral_score: float = 0.5
+
+
+@dataclass
+class QuantumConfig:
+    """Quantum fidelity reranker (``quantum.py:32-34``)."""
+
+    method: str = "state_fidelity"
+    n_qubits: int = 4
+    # Use the O(n_qubits) analytic product-form fidelity (exact — both
+    # circuits share the same CX-ladder entangler, which cancels in
+    # <psi_q|psi_d>).  Set False to force the full 2^n statevector path.
+    use_analytic_fidelity: bool = True
+
+
+@dataclass
+class IndexConfig:
+    """HBM-resident flat index."""
+
+    metric: str = "l2"  # "l2" or "ip"; reference builds IndexFlatL2
+    dtype: str = "float32"  # storage dtype of the device matrix
+    normalize: bool = True  # normalize vectors at ingestion (north star)
+    # Pad corpus rows to a multiple of this (TPU lane/time alignment).
+    row_pad_multiple: int = 128
+    # Use the Pallas fused scan+top-k kernel when possible.
+    use_pallas: bool = True
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh for sharded retrieval / training."""
+
+    # Axis names: data (query batch), model (corpus rows / model shards).
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = use all devices on that axis.
+    data_parallel: int = 1
+    model_parallel: int = -1
+
+
+@dataclass
+class ServingConfig:
+    """HTTP API + MCP server (reference: ``app.py:95-96``, ``server.py:54-71``)."""
+
+    host: str = "0.0.0.0"
+    port: int = 8000
+    mcp_port: int = 6969
+    default_top_k: int = 5
+    # Request padding buckets (XLA static shapes; SURVEY.md §7 hard part 5).
+    doc_buckets: Tuple[int, ...] = (8, 32, 128, 512)
+
+
+@dataclass
+class EmbeddingConfig:
+    """Embedding provider (reference: ``fetch_embeddings.py:33-37,67-104``)."""
+
+    provider: str = "mock"  # "mock" | "openai" | "hash"
+    model: str = "text-embedding-3-small"
+    dim: int = 1536
+    max_tokens_per_chunk: int = 8000  # ~4 chars/token => 32k chars
+    ssm_api_key_param: str = "/openai/api_key"
+
+
+@dataclass
+class QragConfig:
+    """Root config."""
+
+    controller: ControllerConfig = field(default_factory=ControllerConfig)
+    classical: ClassicalConfig = field(default_factory=ClassicalConfig)
+    quantum: QuantumConfig = field(default_factory=QuantumConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict[str, Any]]) -> "QragConfig":
+        """Build from a (possibly nested, possibly partial) dict."""
+        cfg = cls()
+        if not d:
+            return cfg
+        return _merge_dataclass(cfg, d)
+
+    def with_env_overrides(self, environ: Optional[Dict[str, str]] = None) -> "QragConfig":
+        """Apply ``QRAG_<SECTION>_<FIELD>`` env overrides.
+
+        e.g. ``QRAG_SERVING_PORT=9000``, ``QRAG_QUANTUM_N_QUBITS=10``.
+        """
+        env = os.environ if environ is None else environ
+        cfg = self
+        for section_field in dataclasses.fields(cfg):
+            section = getattr(cfg, section_field.name)
+            if not dataclasses.is_dataclass(section):
+                continue
+            updates: Dict[str, Any] = {}
+            for f in dataclasses.fields(section):
+                key = f"QRAG_{section_field.name.upper()}_{f.name.upper()}"
+                if key in env:
+                    updates[f.name] = _coerce(env[key], getattr(section, f.name))
+            if updates:
+                cfg = dataclasses.replace(
+                    cfg, **{section_field.name: dataclasses.replace(section, **updates)}
+                )
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _coerce(raw: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, (tuple, list)):
+        parts = [p.strip() for p in raw.split(",") if p.strip()]
+        if current and isinstance(current[0], int):
+            return tuple(int(p) for p in parts)
+        return tuple(parts)
+    return raw
+
+
+def _merge_dataclass(obj: Any, overrides: Dict[str, Any]) -> Any:
+    updates: Dict[str, Any] = {}
+    for f in dataclasses.fields(obj):
+        if f.name not in overrides:
+            continue
+        val = overrides[f.name]
+        cur = getattr(obj, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            updates[f.name] = _merge_dataclass(cur, val)
+        elif isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+            updates[f.name] = tuple(val)
+        else:
+            updates[f.name] = val
+    return dataclasses.replace(obj, **updates)

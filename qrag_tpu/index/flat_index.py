@@ -1,0 +1,275 @@
+"""HBM-resident exact flat index.
+
+The TPU-native replacement for the reference's on-disk FAISS
+``IndexFlatL2`` (``store_in_faiss.py:102-109``): the corpus lives as a
+padded float32 matrix in device HBM, searched by a single jit-compiled
+matmul+top-k scan (XLA or the Pallas fused kernel).  The host keeps the
+master copy for append/save; the device buffer is grown geometrically so
+appends within capacity never recompile the search graph.
+
+Also speaks the reference's artifact formats both ways:
+  * ``load_faiss`` / ``save_faiss`` — FAISS flat files + metadata pickle
+    (loads the bundled Piers Morgan corpus).
+  * ``save_native`` / ``load_native`` — manifest.json + .npy shard, the
+    checkpoint format of this framework (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qrag_tpu.index import faiss_io
+from qrag_tpu.ops.topk import flat_scan_topk
+
+MANIFEST_NAME = "manifest.json"
+VECTORS_NAME = "vectors.npy"
+METADATA_NAME = "metadata.json"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class SearchResult:
+    """Results of a top-k search over the index."""
+
+    scores: np.ndarray  # (B, k) — L2: ascending distances; IP: descending
+    indices: np.ndarray  # (B, k) int32, -1 for padded/invalid slots
+    metadata: List[List[Optional[str]]]  # per query, per hit
+
+    def top(self, query: int = 0) -> List[Tuple[int, float, Optional[str]]]:
+        return [
+            (int(i), float(s), m)
+            for i, s, m in zip(
+                self.indices[query], self.scores[query], self.metadata[query]
+            )
+            if i >= 0
+        ]
+
+
+class DeviceFlatIndex:
+    """Exact flat index with the corpus resident in device HBM."""
+
+    def __init__(
+        self,
+        d: int,
+        metric: str = "l2",
+        normalize: bool = False,
+        row_pad_multiple: int = 128,
+        use_pallas: bool = False,
+        device=None,
+    ):
+        if metric not in ("l2", "ip"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.d = int(d)
+        self.metric = metric
+        self.normalize = normalize
+        self.row_pad_multiple = max(8, int(row_pad_multiple))
+        self.use_pallas = use_pallas
+        self.device = device
+        self._host_vectors = np.zeros((0, d), dtype=np.float32)
+        self.metadata: List[str] = []
+        self._dev_matrix: Optional[jax.Array] = None
+        self._dev_sqnorms: Optional[jax.Array] = None
+        self._dev_valid: Optional[jax.Array] = None
+        self._capacity = 0
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # construction / ingestion
+    # ------------------------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return self._host_vectors.shape[0]
+
+    def add(
+        self, vectors: np.ndarray, metadata: Optional[Sequence[str]] = None
+    ) -> int:
+        """Append vectors (validating d, unlike the reference —
+        SURVEY.md Appendix A.6).  Returns new ntotal."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.d:
+            raise ValueError(
+                f"expected (*, {self.d}) vectors, got {vectors.shape}"
+            )
+        if self.normalize:
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = np.where(norms > 0, vectors / np.where(norms > 0, norms, 1), vectors)
+        self._host_vectors = np.concatenate([self._host_vectors, vectors], axis=0)
+        if metadata is not None:
+            if len(metadata) != vectors.shape[0]:
+                raise ValueError(
+                    f"metadata length {len(metadata)} != vectors {vectors.shape[0]}"
+                )
+            self.metadata.extend(str(m) for m in metadata)
+        else:
+            self.metadata.extend([""] * vectors.shape[0])
+        self._dirty = True
+        return self.ntotal
+
+    @classmethod
+    def from_numpy(
+        cls,
+        vectors: np.ndarray,
+        metric: str = "l2",
+        metadata: Optional[Sequence[str]] = None,
+        normalize: bool = False,
+        **kwargs,
+    ) -> "DeviceFlatIndex":
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        idx = cls(d=vectors.shape[1], metric=metric, normalize=normalize, **kwargs)
+        idx.add(vectors, metadata)
+        return idx
+
+    @classmethod
+    def load_faiss(cls, path: str, **kwargs) -> "DeviceFlatIndex":
+        """Load a FAISS flat index file + metadata sidecar."""
+        data = faiss_io.read_flat_index(path)
+        meta = faiss_io.read_metadata(path)
+        if meta and len(meta) != data.ntotal:
+            # The reference tolerates count mismatches between vectors
+            # and metadata (SURVEY.md Appendix A.4); pad/truncate here.
+            meta = (meta + [""] * data.ntotal)[: data.ntotal]
+        return cls.from_numpy(
+            data.vectors, metric=data.metric, metadata=meta or None, **kwargs
+        )
+
+    # ------------------------------------------------------------------
+    # device residency
+    # ------------------------------------------------------------------
+
+    def _ensure_device(self) -> None:
+        if not self._dirty and self._dev_matrix is not None:
+            return
+        n = self.ntotal
+        needed = max(self.row_pad_multiple, _round_up(n, self.row_pad_multiple))
+        if needed > self._capacity:
+            # geometric growth so repeated adds amortize recompiles
+            cap = max(needed, self._capacity * 2 if self._capacity else needed)
+            self._capacity = _round_up(cap, self.row_pad_multiple)
+        padded = np.zeros((self._capacity, self.d), dtype=np.float32)
+        padded[:n] = self._host_vectors
+        valid = np.zeros((self._capacity,), dtype=bool)
+        valid[:n] = True
+        put = (
+            (lambda x: jax.device_put(x, self.device))
+            if self.device is not None
+            else jax.device_put
+        )
+        self._dev_matrix = put(padded)
+        self._dev_sqnorms = put(np.sum(padded * padded, axis=1))
+        self._dev_valid = put(valid)
+        self._dirty = False
+
+    @property
+    def device_matrix(self) -> jax.Array:
+        self._ensure_device()
+        return self._dev_matrix
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+
+    def search_device(
+        self, queries: jnp.ndarray, k: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-level search: (B, d) queries → (scores, indices) on
+        device, padded rows masked out.  Stays inside jit if called
+        under one."""
+        self._ensure_device()
+        return flat_scan_topk(
+            queries,
+            self._dev_matrix,
+            k,
+            metric=self.metric,
+            corpus_sqnorms=self._dev_sqnorms,
+            valid_rows=self._dev_valid,
+            use_pallas=self.use_pallas,
+        )
+
+    def search(self, queries: np.ndarray, k: int = 10) -> SearchResult:
+        """Host-level search with metadata resolution."""
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if queries.shape[1] != self.d:
+            raise ValueError(
+                f"expected (*, {self.d}) queries, got {queries.shape}"
+            )
+        k_eff = min(k, max(self.ntotal, 1))
+        scores, indices = self.search_device(jnp.asarray(queries), k_eff)
+        scores = np.asarray(scores)
+        indices = np.asarray(indices, dtype=np.int32)
+        # mark hits beyond ntotal (possible when ntotal == 0) invalid
+        invalid = (indices < 0) | (indices >= self.ntotal)
+        indices = np.where(invalid, -1, indices)
+        meta = [
+            [None if i < 0 else (self.metadata[i] or None) for i in row]
+            for row in indices
+        ]
+        return SearchResult(scores=scores, indices=indices, metadata=meta)
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def save_faiss(self, path: str) -> None:
+        faiss_io.write_flat_index(path, self._host_vectors, metric=self.metric)
+        if any(self.metadata):
+            faiss_io.append_metadata(path, [])  # ensure file exists semantics
+            # overwrite (not append): the index file was fully rewritten
+            meta_path = faiss_io.metadata_path_for(path)
+            import pickle
+
+            with open(meta_path, "wb") as f:
+                pickle.dump(list(self.metadata), f)
+
+    def save_native(self, directory: str) -> None:
+        """Manifest + raw vectors: the framework's own checkpoint format."""
+        os.makedirs(directory, exist_ok=True)
+        np.save(os.path.join(directory, VECTORS_NAME), self._host_vectors)
+        with open(os.path.join(directory, METADATA_NAME), "w") as f:
+            json.dump(self.metadata, f)
+        manifest = {
+            "format": "qrag_tpu.flat_index",
+            "version": 1,
+            "d": self.d,
+            "ntotal": self.ntotal,
+            "metric": self.metric,
+            "dtype": "float32",
+            "normalized": self.normalize,
+            "row_pad_multiple": self.row_pad_multiple,
+        }
+        with open(os.path.join(directory, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load_native(cls, directory: str, **kwargs) -> "DeviceFlatIndex":
+        with open(os.path.join(directory, MANIFEST_NAME)) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != "qrag_tpu.flat_index":
+            raise ValueError(f"{directory}: not a qrag_tpu flat index")
+        vectors = np.load(os.path.join(directory, VECTORS_NAME))
+        meta_path = os.path.join(directory, METADATA_NAME)
+        metadata: Optional[List[str]] = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+        kwargs.setdefault("row_pad_multiple", manifest.get("row_pad_multiple", 128))
+        idx = cls.from_numpy(
+            vectors,
+            metric=manifest["metric"],
+            metadata=metadata,
+            **kwargs,
+        )
+        idx.normalize = bool(manifest.get("normalized", False))
+        return idx

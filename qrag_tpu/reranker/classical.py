@@ -1,0 +1,183 @@
+"""Classical reranker.
+
+TPU-native counterpart of the reference's CrossEncoder reranker
+(``src/reranker/classical.py:45-320``).  The reference scored
+(query, doc) pairs with a torch CrossEncoder on CPU/CUDA; here the
+scorer is pluggable and runs under jit:
+
+* "cosine" (default): embed query+docs (pluggable embedder) and score
+  by cosine similarity — one MXU matmul over the candidate batch.
+* "cross-encoder": the JAX cross-encoder model
+  (``qrag_tpu/models/cross_encoder.py``), batched forward pass.
+
+Behavioral contract preserved from the reference:
+  * input validation failure → original order, neutral 0.5 scores
+    (``classical.py:248-252``)
+  * scorer failure after retries → original order, neutral scores
+    (``classical.py:218-229``); retries with 0.5·(attempt+1) backoff
+    (``classical.py:193-216``)
+  * text sanitation: whitespace collapse + truncation at
+    ``max_sequence_length * 4`` chars (``classical.py:155-167``)
+  * per-(query, doc) score cache — keyed by a stable blake2 content
+    hash rather than the salted builtin ``hash`` (SURVEY.md A.5)
+  * stable descending sort + top_k (``classical.py:301-308``)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from qrag_tpu.config import ClassicalConfig
+from qrag_tpu.documents import Document, validate_documents
+from qrag_tpu.ops.topk import cosine_scores
+from qrag_tpu.pipeline.embeddings import Embedder, HashEmbedder
+
+logger = logging.getLogger(__name__)
+
+
+def sanitize_text(text: str, max_sequence_length: int = 512) -> str:
+    """Whitespace collapse + ~4-chars-per-token truncation
+    (``classical.py:155-167``)."""
+    if not isinstance(text, str):
+        text = str(text)
+    text = re.sub(r"\s+", " ", text).strip()
+    limit = max_sequence_length * 4
+    if len(text) > limit:
+        text = text[:limit]
+    return text
+
+
+def _stable_key(query: str, doc_content: str) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    h.update(query.encode("utf-8"))
+    h.update(b"\x00")
+    h.update(doc_content.encode("utf-8"))
+    return h.hexdigest()
+
+
+class ClassicalReranker:
+    """Pluggable-scorer classical reranker with the reference's
+    resilience contract."""
+
+    def __init__(
+        self,
+        config: Optional[ClassicalConfig] = None,
+        embedder: Optional[Embedder] = None,
+        scorer: Optional[Callable[[str, List[str]], np.ndarray]] = None,
+    ):
+        self.config = config or ClassicalConfig()
+        self.embedder = embedder or HashEmbedder(dim=256)
+        self._scorer_override = scorer
+        self.score_cache: Dict[str, float] = {}
+        self._cross_encoder = None  # lazily built JAX model
+
+    # ------------------------------------------------------------------
+
+    def _score_cosine(self, query: str, contents: List[str]) -> np.ndarray:
+        embeds = self.embedder([query] + contents)
+        q, docs = embeds[:1], embeds[1:]
+        scores = cosine_scores(jnp.asarray(q), jnp.asarray(docs))
+        return np.asarray(scores)[0]
+
+    def _score_cross_encoder(self, query: str, contents: List[str]) -> np.ndarray:
+        if self._cross_encoder is None:
+            from qrag_tpu.models.cross_encoder import CrossEncoderScorer
+
+            self._cross_encoder = CrossEncoderScorer.from_config(self.config)
+        return self._cross_encoder.score(query, contents)
+
+    def _score_batch(self, query: str, contents: List[str]) -> np.ndarray:
+        if self._scorer_override is not None:
+            return np.asarray(self._scorer_override(query, contents))
+        if self.config.method == "cross-encoder":
+            return self._score_cross_encoder(query, contents)
+        return self._score_cosine(query, contents)
+
+    def _predict_with_retries(self, query: str, contents: List[str]) -> np.ndarray:
+        """Retry with linear backoff (``classical.py:193-216``)."""
+        last_err: Optional[Exception] = None
+        for attempt in range(self.config.max_retries):
+            try:
+                t0 = time.time()
+                scores = self._score_batch(query, contents)
+                logger.debug(
+                    "scorer completed in %.3fs for %d pairs",
+                    time.time() - t0,
+                    len(contents),
+                )
+                return scores
+            except Exception as e:  # noqa: BLE001 - resilience contract
+                last_err = e
+                logger.warning("prediction attempt %d failed: %s", attempt + 1, e)
+                if attempt < self.config.max_retries - 1:
+                    time.sleep(0.5 * (attempt + 1))
+        raise RuntimeError("all retry attempts failed") from last_err
+
+    def _neutral(self, documents: List[Document]) -> List[Tuple[Document, float]]:
+        """Original order, neutral scores (``classical.py:218-229``)."""
+        return [(doc, self.config.neutral_score) for doc in documents]
+
+    # ------------------------------------------------------------------
+
+    def rerank(
+        self,
+        query: str,
+        documents: List[Document],
+        top_k: Optional[int] = None,
+    ) -> List[Tuple[Document, float]]:
+        start = time.time()
+        if not validate_documents(query, documents):
+            logger.error("input validation failed - returning neutral scores")
+            return self._neutral(documents)
+
+        query_s = sanitize_text(query, self.config.max_sequence_length)
+        try:
+            scored: List[Tuple[Document, float]] = []
+            uncached_docs: List[Document] = []
+            uncached_contents: List[str] = []
+            for doc in documents:
+                content_s = sanitize_text(doc.content, self.config.max_sequence_length)
+                key = _stable_key(query_s, content_s)
+                if self.config.enable_cache and key in self.score_cache:
+                    scored.append((doc, self.score_cache[key]))
+                else:
+                    uncached_docs.append(doc)
+                    uncached_contents.append(content_s)
+
+            if uncached_contents:
+                all_scores: List[float] = []
+                bs = self.config.batch_size
+                for i in range(0, len(uncached_contents), bs):
+                    batch = uncached_contents[i : i + bs]
+                    all_scores.extend(
+                        float(s)
+                        for s in self._predict_with_retries(query_s, batch)
+                    )
+                for doc, content_s, score in zip(
+                    uncached_docs, uncached_contents, all_scores
+                ):
+                    if self.config.enable_cache:
+                        self.score_cache[_stable_key(query_s, content_s)] = score
+                    scored.append((doc, score))
+        except Exception as e:  # noqa: BLE001 - resilience contract
+            logger.error("scoring failed: %s", e)
+            return self._neutral(documents)
+
+        # stable descending sort (ties keep original order), then top_k
+        reranked = sorted(scored, key=lambda x: x[1], reverse=True)
+        if top_k is not None and top_k > 0:
+            reranked = reranked[:top_k]
+
+        logger.info(
+            "reranking completed in %.3fs for %d documents",
+            time.time() - start,
+            len(documents),
+        )
+        return reranked

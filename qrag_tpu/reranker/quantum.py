@@ -1,0 +1,112 @@
+"""Quantum fidelity reranker.
+
+Implements — actually runnable on TPU — the semantics the reference's
+``QuantumReranker`` (``src/reranker/quantum.py:22-185``) specified but
+could not execute (its qiskit import fails under the pinned version, so
+it always fell back to classical; SURVEY.md §0 gap 2).
+
+The reference scored each document with two sequential Qiskit Aer
+statevector simulations plus a fidelity; here all candidates are scored
+in ONE jit-compiled batched op (``qrag_tpu.ops.statevector``):
+
+  * analytic product-form fidelity (default): O(n_qubits) real math per
+    candidate — the CX-ladder entangler cancels inside the overlap.
+  * full 2^n statevector path (config ``use_analytic_fidelity=False``)
+    for arbitrary circuit extensions; both agree to 1e-6 with the
+    Qiskit-convention oracle in tests.
+
+The graceful-degradation contract is preserved: any scoring failure
+falls back to the classical reranker (``quantum.py:59-61``), which in
+turn degrades to neutral scores.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from qrag_tpu.config import QuantumConfig
+from qrag_tpu.documents import Document, validate_documents
+from qrag_tpu.ops.statevector import batched_fidelity
+from qrag_tpu.pipeline.embeddings import Embedder, MockEmbedder
+from qrag_tpu.reranker.classical import ClassicalReranker
+
+logger = logging.getLogger(__name__)
+
+
+class QuantumReranker:
+    """Statevector-fidelity reranker, batched on TPU."""
+
+    def __init__(
+        self,
+        config: Optional[QuantumConfig] = None,
+        embedder: Optional[Embedder] = None,
+        classical_fallback: Optional[ClassicalReranker] = None,
+    ):
+        self.config = config or QuantumConfig()
+        self.n_qubits = self.config.n_qubits
+        # reference default embedder: deterministic mock of dim
+        # n_qubits*2 (``quantum.py:184``)
+        self.embedder = embedder or MockEmbedder(dim=self.n_qubits * 2)
+        # single shared fallback (the reference constructed a second
+        # CrossEncoder here — SURVEY.md Appendix A.2 drops that)
+        self.classical_fallback = classical_fallback or ClassicalReranker()
+
+    # ------------------------------------------------------------------
+
+    def score_documents(
+        self, query: str, documents: List[Document]
+    ) -> np.ndarray:
+        """Fidelity scores |<psi_q|psi_d>|^2 for all documents, one
+        batched device call (vs. the reference's per-doc loop,
+        ``quantum.py:98-104``)."""
+        embeds = self.embedder([query] + [doc.content for doc in documents])
+        q_vec, doc_vecs = embeds[0], embeds[1:]
+        scores = batched_fidelity(
+            jnp.asarray(q_vec),
+            jnp.asarray(doc_vecs),
+            n_qubits=self.n_qubits,
+            analytic=self.config.use_analytic_fidelity,
+        )
+        return np.asarray(scores, dtype=np.float32)
+
+    def rerank(
+        self,
+        query: str,
+        documents: List[Document],
+        top_k: Optional[int] = None,
+    ) -> List[Tuple[Document, float]]:
+        if not documents:
+            return []
+        if not validate_documents(query, documents):
+            return self.classical_fallback.rerank(query, documents, top_k)
+        if self.config.method != "state_fidelity":
+            # the reference's non-state_fidelity branch returns flat 0.5
+            # scores (``quantum.py:134-136``)
+            scored = [(doc, 0.5) for doc in documents]
+        else:
+            try:
+                t0 = time.time()
+                scores = self.score_documents(query, documents)
+                logger.debug(
+                    "fidelity scoring of %d docs in %.4fs",
+                    len(documents),
+                    time.time() - t0,
+                )
+                scored = [
+                    (doc, float(s)) for doc, s in zip(documents, scores)
+                ]
+            except Exception as e:  # noqa: BLE001 - fallback contract
+                logger.warning(
+                    "quantum scoring failed (%s); falling back to classical", e
+                )
+                return self.classical_fallback.rerank(query, documents, top_k)
+
+        reranked = sorted(scored, key=lambda x: x[1], reverse=True)
+        if top_k is not None:
+            reranked = reranked[:top_k]
+        return reranked
