@@ -90,12 +90,17 @@ class IndexConfig:
     """HBM-resident flat index."""
 
     metric: str = "l2"  # "l2" or "ip"; reference builds IndexFlatL2
-    dtype: str = "float32"  # storage dtype of the device matrix
+    dtype: str = "float32"  # device-matrix dtype: "float32" | "bfloat16"
     normalize: bool = True  # normalize vectors at ingestion (north star)
     # Pad corpus rows to a multiple of this (TPU lane/time alignment).
     row_pad_multiple: int = 128
     # Use the Pallas fused scan+top-k kernel when possible.
-    use_pallas: bool = True
+    use_pallas: bool = False
+    # Top-k selection: "exact" (lax.top_k), "approx" (hardware
+    # partial-reduce + oversample), "verified" (approx + exactness
+    # certificate + exact re-run of failing rows; exact values at
+    # ~approx speed).
+    topk_mode: str = "verified"
 
 
 @dataclass

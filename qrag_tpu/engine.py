@@ -1,0 +1,276 @@
+"""QragEngine — the end-to-end retrieval + rerank pipeline.
+
+The reference kept retrieval and reranking disconnected: the MCP tools
+only *built* a FAISS index, the rerank API took documents in the
+request body, and nothing ever called ``index.search`` (SURVEY.md §0
+gap 1).  The engine makes retrieval the centerpiece: one object owning
+the HBM-resident index, the embedder, and both rerankers, with a
+**fused retrieval→rerank** path compiled as a single jit graph
+(BASELINE configs[3]): scan → top-C candidates → gather → batched
+fidelity → top-k, no host roundtrip between stages.
+
+Startup mirrors the reference's eager-load pattern (``app.py:53`` loads
+the CrossEncoder at import): ``warmup()`` pre-compiles the scan and
+rerank graphs so first queries don't pay compile latency
+(SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qrag_tpu.config import QragConfig
+from qrag_tpu.documents import Document
+from qrag_tpu.index.flat_index import DeviceFlatIndex, SearchResult
+from qrag_tpu.ops.statevector import fidelity_analytic, fidelity_statevector
+from qrag_tpu.ops.topk import flat_scan_topk
+from qrag_tpu.pipeline.embeddings import Embedder, get_embedder
+from qrag_tpu.reranker.controller import RerankerController
+from qrag_tpu.utils.compilation_cache import enable_compilation_cache
+from qrag_tpu.utils.metrics import GLOBAL_METRICS, Metrics
+
+logger = logging.getLogger(__name__)
+
+enable_compilation_cache()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "candidates", "n_qubits", "metric", "analytic", "topk_mode"
+    ),
+)
+def fused_search_rerank(
+    query_vecs: jnp.ndarray,  # (B, d)
+    corpus: jnp.ndarray,  # (N, d)
+    corpus_sqnorms: jnp.ndarray,  # (N,)
+    valid_rows: jnp.ndarray,  # (N,) bool
+    k: int,
+    candidates: int,
+    n_qubits: int,
+    metric: str = "l2",
+    analytic: bool = True,
+    topk_mode: str = "exact",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused graph: retrieval top-C → quantum fidelity → top-k.
+
+    Returns (fidelity_scores (B, k) desc, corpus_indices (B, k),
+    retrieval_scores_of_selected (B, k)).
+    """
+    retr_scores, idx = flat_scan_topk(
+        query_vecs.astype(corpus.dtype),
+        corpus,
+        candidates,
+        metric=metric,
+        corpus_sqnorms=corpus_sqnorms,
+        valid_rows=valid_rows,
+        mode=topk_mode,
+    )  # (B, C)
+    cand_vecs = jnp.take(corpus, idx, axis=0)  # (B, C, d) gather in HBM
+    fid_fn = fidelity_analytic if analytic else fidelity_statevector
+    fid = jax.vmap(lambda q, c: fid_fn(q, c, n_qubits))(
+        query_vecs, cand_vecs
+    )  # (B, C)
+    # mask out invalid candidate slots (C > ntotal case)
+    invalid = (
+        jnp.isinf(retr_scores) if metric == "l2" else jnp.isneginf(retr_scores)
+    )
+    fid = jnp.where(invalid, -jnp.inf, fid)
+    top_fid, sel = jax.lax.top_k(fid, k)  # (B, k) descending fidelity
+    final_idx = jnp.take_along_axis(idx, sel, axis=1)
+    final_retr = jnp.take_along_axis(retr_scores, sel, axis=1)
+    return top_fid, final_idx, final_retr
+
+
+class QragEngine:
+    """Owns index + embedder + rerankers; serves search and rerank."""
+
+    def __init__(
+        self,
+        config: Optional[QragConfig] = None,
+        index: Optional[DeviceFlatIndex] = None,
+        embedder: Optional[Embedder] = None,
+        controller: Optional[RerankerController] = None,
+        metrics: Optional[Metrics] = None,
+    ):
+        self.config = config or QragConfig()
+        self.index = index or DeviceFlatIndex(
+            d=self.config.embedding.dim,
+            metric=self.config.index.metric,
+            normalize=self.config.index.normalize,
+            row_pad_multiple=self.config.index.row_pad_multiple,
+            use_pallas=self.config.index.use_pallas,
+            topk_mode=self.config.index.topk_mode,
+            store_dtype=self.config.index.dtype,
+        )
+        self.embedder = embedder or get_embedder(self.config.embedding)
+        self.controller = controller or RerankerController(self.config)
+        self.metrics = metrics or GLOBAL_METRICS
+
+    # ------------------------------------------------------------- index ops
+
+    @classmethod
+    def from_faiss(
+        cls, path: str, config: Optional[QragConfig] = None, **kwargs
+    ) -> "QragEngine":
+        config = config or QragConfig()
+        index = DeviceFlatIndex.load_faiss(
+            path,
+            row_pad_multiple=config.index.row_pad_multiple,
+            use_pallas=config.index.use_pallas,
+            topk_mode=config.index.topk_mode,
+            store_dtype=config.index.dtype,
+        )
+        return cls(config=config, index=index, **kwargs)
+
+    def add_texts(
+        self, texts: Sequence[str], metadata: Optional[Sequence[str]] = None
+    ) -> int:
+        """Embed + normalize + add (streaming ingestion step)."""
+        vecs = self.embedder(list(texts))
+        return self.index.add(vecs, metadata)
+
+    # ------------------------------------------------------------ query path
+
+    def _embed_queries(self, queries: Union[str, Sequence[str]]) -> np.ndarray:
+        if isinstance(queries, str):
+            queries = [queries]
+        return self.embedder(list(queries))
+
+    def search(
+        self, queries: Union[str, Sequence[str], np.ndarray], k: int = 10
+    ) -> SearchResult:
+        """Exact top-k retrieval; text queries are embedded first."""
+        with self.metrics.timer("search"):
+            if isinstance(queries, (str, list, tuple)):
+                qv = self._embed_queries(queries)
+            else:
+                qv = np.asarray(queries, dtype=np.float32)
+            result = self.index.search(qv, k=k)
+        self.metrics.incr("search_requests")
+        return result
+
+    def rerank(
+        self,
+        query: str,
+        documents: List[Document],
+        top_k: Optional[int] = None,
+        reranker_type: str = "auto",
+    ) -> Dict[str, Any]:
+        """The reference's ``POST /rerank`` semantics
+        (``app.py:56-77`` → ``controller.py:69-104``)."""
+        with self.metrics.timer("rerank"):
+            out = self.controller.rerank(query, documents, top_k, reranker_type)
+        self.metrics.incr("rerank_requests")
+        self.metrics.incr(f"rerank_{out['reranker_used']}")
+        return out
+
+    def search_rerank(
+        self,
+        queries: Union[str, Sequence[str], np.ndarray],
+        k: int = 10,
+        candidates: int = 100,
+        reranker_type: str = "quantum",
+    ) -> Dict[str, Any]:
+        """Fused retrieval→rerank over the HBM corpus (one jit graph).
+
+        Retrieves ``candidates`` nearest rows then reranks them by
+        quantum fidelity on-device, returning the top ``k``.
+        """
+        with self.metrics.timer("search_rerank"):
+            if isinstance(queries, (str, list, tuple)):
+                qv = self._embed_queries(queries)
+            else:
+                qv = np.asarray(queries, dtype=np.float32)
+            if qv.ndim == 1:
+                qv = qv[None, :]
+            n = self.index.ntotal
+            if n == 0:
+                return {"queries": qv.shape[0], "results": [], "reranker_used": reranker_type}
+            c_eff = min(candidates, n)
+            k_eff = min(k, c_eff)
+            self.index._ensure_device()
+            if reranker_type == "quantum":
+                fid, idx, retr = fused_search_rerank(
+                    jnp.asarray(qv),
+                    self.index._dev_matrix,
+                    self.index._dev_sqnorms,
+                    self.index._dev_valid,
+                    k=k_eff,
+                    candidates=c_eff,
+                    n_qubits=self.config.quantum.n_qubits,
+                    metric=self.index.metric,
+                    analytic=self.config.quantum.use_analytic_fidelity,
+                    topk_mode=(
+                        "approx"
+                        if self.index.topk_mode == "verified"
+                        else self.index.topk_mode
+                    ),
+                )
+                scores, indices = np.asarray(fid), np.asarray(idx)
+                retr_scores = np.asarray(retr)
+            else:
+                retr_scores_j, idx = self.index.search_device(
+                    jnp.asarray(qv), k_eff
+                )
+                scores, indices = np.asarray(retr_scores_j), np.asarray(idx)
+                retr_scores = scores
+            results = []
+            for qi in range(indices.shape[0]):
+                hits = []
+                for j in range(indices.shape[1]):
+                    i = int(indices[qi, j])
+                    if i < 0 or i >= n or not np.isfinite(scores[qi, j]):
+                        continue
+                    hits.append(
+                        {
+                            "index": i,
+                            "score": float(scores[qi, j]),
+                            "retrieval_score": float(retr_scores[qi, j]),
+                            "metadata": self.index.metadata[i] or None,
+                        }
+                    )
+                results.append(hits)
+        self.metrics.incr("search_rerank_requests")
+        return {
+            "queries": indices.shape[0],
+            "results": results,
+            "reranker_used": reranker_type,
+        }
+
+    # ------------------------------------------------------------- lifecycle
+
+    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> float:
+        """Pre-compile the hot graphs (cf. eager model load at startup,
+        ``app.py:53``).  Returns seconds spent."""
+        t0 = time.time()
+        if self.index.ntotal == 0:
+            return 0.0
+        for b in batch_sizes:
+            q = np.zeros((b, self.index.d), dtype=np.float32)
+            self.index.search(q, k=min(10, self.index.ntotal))
+            self.search_rerank(q, k=min(5, self.index.ntotal), candidates=min(50, self.index.ntotal))
+        dt = time.time() - t0
+        logger.info("engine warmup in %.2fs", dt)
+        return dt
+
+    def stats(self) -> Dict[str, Any]:
+        return {
+            "index": {
+                "ntotal": self.index.ntotal,
+                "d": self.index.d,
+                "metric": self.index.metric,
+                "topk_mode": self.index.topk_mode,
+                "verified_fallback_rows": self.index.fallback_rows,
+            },
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "metrics": self.metrics.snapshot(),
+        }

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qrag_tpu.index import faiss_io
-from qrag_tpu.ops.topk import flat_scan_topk
+from qrag_tpu.ops.topk import flat_scan_topk, scan_topk_verified
 
 MANIFEST_NAME = "manifest.json"
 VECTORS_NAME = "vectors.npy"
@@ -65,16 +65,23 @@ class DeviceFlatIndex:
         normalize: bool = False,
         row_pad_multiple: int = 128,
         use_pallas: bool = False,
+        topk_mode: str = "verified",
+        store_dtype: str = "float32",
         device=None,
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
+        if topk_mode not in ("exact", "approx", "verified"):
+            raise ValueError(f"unknown topk_mode {topk_mode!r}")
         self.d = int(d)
         self.metric = metric
         self.normalize = normalize
         self.row_pad_multiple = max(8, int(row_pad_multiple))
         self.use_pallas = use_pallas
+        self.topk_mode = topk_mode
+        self.store_dtype = jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
         self.device = device
+        self.fallback_rows = 0  # verified-mode exact re-runs (observability)
         self._host_vectors = np.zeros((0, d), dtype=np.float32)
         self.metadata: List[str] = []
         self._dev_matrix: Optional[jax.Array] = None
@@ -165,8 +172,10 @@ class DeviceFlatIndex:
             if self.device is not None
             else jax.device_put
         )
-        self._dev_matrix = put(padded)
-        self._dev_sqnorms = put(np.sum(padded * padded, axis=1))
+        # sqnorms computed in f32 from the master copy even when the
+        # device matrix is stored bf16 (keeps L2 corrections accurate)
+        self._dev_matrix = put(padded.astype(self.store_dtype))
+        self._dev_sqnorms = put(np.sum(padded * padded, axis=1, dtype=np.float32))
         self._dev_valid = put(valid)
         self._dirty = False
 
@@ -184,16 +193,18 @@ class DeviceFlatIndex:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-level search: (B, d) queries → (scores, indices) on
         device, padded rows masked out.  Stays inside jit if called
-        under one."""
+        under one (the "verified" mode's host patch-up degrades to
+        "approx" here; use `search` for verified-exact results)."""
         self._ensure_device()
         return flat_scan_topk(
-            queries,
+            queries.astype(self.store_dtype),
             self._dev_matrix,
             k,
             metric=self.metric,
             corpus_sqnorms=self._dev_sqnorms,
             valid_rows=self._dev_valid,
             use_pallas=self.use_pallas,
+            mode=self.topk_mode,
         )
 
     def search(self, queries: np.ndarray, k: int = 10) -> SearchResult:
@@ -206,7 +217,19 @@ class DeviceFlatIndex:
                 f"expected (*, {self.d}) queries, got {queries.shape}"
             )
         k_eff = min(k, max(self.ntotal, 1))
-        scores, indices = self.search_device(jnp.asarray(queries), k_eff)
+        self._ensure_device()
+        if self.topk_mode == "verified" and not self.use_pallas:
+            scores, indices, n_bad = scan_topk_verified(
+                jnp.asarray(queries).astype(self.store_dtype),
+                self._dev_matrix,
+                k_eff,
+                metric=self.metric,
+                corpus_sqnorms=self._dev_sqnorms,
+                valid_rows=self._dev_valid,
+            )
+            self.fallback_rows += n_bad
+        else:
+            scores, indices = self.search_device(jnp.asarray(queries), k_eff)
         scores = np.asarray(scores)
         indices = np.asarray(indices, dtype=np.int32)
         # mark hits beyond ntotal (possible when ntotal == 0) invalid

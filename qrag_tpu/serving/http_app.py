@@ -1,0 +1,270 @@
+"""HTTP serving layer — stdlib only.
+
+The reference serves ``POST /rerank`` + ``GET /`` via FastAPI/uvicorn
+with permissive CORS (``app.py:37-96``).  FastAPI isn't a dependency
+here; this is a threaded stdlib HTTP server exposing the same surface
+(same request/response shapes) plus the retrieval endpoints the
+reference lacked:
+
+  POST /rerank         — reference-shaped: {query, documents:[{id,
+                         content, source?}], reranker_type?, top_k?}
+                         (``app.py:23-33``); response
+                         {documents: [{document, score}], reranker_used,
+                         query} (explicit schema; SURVEY.md A.3)
+  POST /search         — {query: str | queries: [str] | vectors: [[f]],
+                         k?} → exact top-k over the HBM index
+  POST /search_rerank  — fused retrieval→quantum-rerank
+  POST /add            — {texts: [str], metadata?: [str]} ingestion
+  GET  /               — service info (mirrors ``app.py:81-92``)
+  GET  /stats          — counters + latency histograms (SURVEY.md §5)
+
+Errors return ``{"error": str}`` with HTTP 200 for handler-level
+failures, matching the reference's behavior (``app.py:75-77`` returns
+the error dict rather than a 4xx/5xx), and 400/404 for protocol-level
+problems.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from qrag_tpu.config import QragConfig
+from qrag_tpu.documents import Document
+from qrag_tpu.engine import QragEngine
+from qrag_tpu.reranker.controller import rerank_response_dict
+from qrag_tpu.utils.logging_util import configure_logging
+
+logger = logging.getLogger(__name__)
+
+SERVICE_INFO = {
+    "message": "qrag_tpu retrieval + rerank API",
+    "version": "0.1.0",
+    "use_case": "Podcast advertisement detection",
+    "endpoints": {
+        "rerank": "POST /rerank - rerank documents (quantum/classical/auto)",
+        "search": "POST /search - exact top-k over the HBM-resident index",
+        "search_rerank": "POST /search_rerank - fused retrieval + quantum rerank",
+        "add": "POST /add - embed + ingest texts",
+        "stats": "GET /stats - metrics snapshot",
+    },
+}
+
+
+def _make_handler(engine: QragEngine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # -- helpers ----------------------------------------------------
+
+        def _send_json(self, payload: Dict[str, Any], status: int = 200) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            # permissive CORS, as the reference configures (app.py:44-50)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> Optional[Dict[str, Any]]:
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length) if length else b"{}"
+                data = json.loads(raw)
+                if not isinstance(data, dict):
+                    raise ValueError("body must be a JSON object")
+                return data
+            except Exception as e:  # noqa: BLE001
+                self._send_json({"error": f"invalid JSON body: {e}"}, 400)
+                return None
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("%s %s", self.address_string(), fmt % args)
+
+        # -- routes -----------------------------------------------------
+
+        def do_OPTIONS(self):  # CORS preflight
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send_json(SERVICE_INFO)
+            elif self.path == "/stats":
+                self._send_json(engine.stats())
+            else:
+                self._send_json({"error": f"not found: {self.path}"}, 404)
+
+        def do_POST(self):
+            body = self._read_json()
+            if body is None:
+                return
+            try:
+                if self.path == "/rerank":
+                    self._send_json(self._handle_rerank(body))
+                elif self.path == "/search":
+                    self._send_json(self._handle_search(body))
+                elif self.path == "/search_rerank":
+                    self._send_json(self._handle_search_rerank(body))
+                elif self.path == "/add":
+                    self._send_json(self._handle_add(body))
+                else:
+                    self._send_json({"error": f"not found: {self.path}"}, 404)
+            except Exception as e:  # noqa: BLE001 - reference app.py:75-77
+                logger.error("error during request: %s", e)
+                self._send_json({"error": str(e)})
+
+        # -- handlers ---------------------------------------------------
+
+        def _handle_rerank(self, body: Dict[str, Any]) -> Dict[str, Any]:
+            query = body.get("query")
+            if not isinstance(query, str):
+                return {"error": "query must be a string"}
+            raw_docs = body.get("documents")
+            if not isinstance(raw_docs, list):
+                return {"error": "documents must be a list"}
+            documents = [
+                Document(
+                    id=str(d.get("id", i)),
+                    content=str(d.get("content", "")),
+                    source=d.get("source"),
+                )
+                for i, d in enumerate(raw_docs)
+            ]
+            result = engine.rerank(
+                query=query,
+                documents=documents,
+                top_k=body.get("top_k", engine.config.serving.default_top_k),
+                reranker_type=body.get("reranker_type", "auto"),
+            )
+            return rerank_response_dict(result)
+
+        def _handle_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
+            k = int(body.get("k", 10))
+            if "vectors" in body:
+                import numpy as np
+
+                queries = np.asarray(body["vectors"], dtype=np.float32)
+            elif "queries" in body:
+                queries = list(body["queries"])
+            elif "query" in body:
+                queries = [body["query"]]
+            else:
+                return {"error": "provide query, queries, or vectors"}
+            res = engine.search(queries, k=k)
+            return {
+                "results": [
+                    [
+                        {"index": int(i), "score": float(s), "metadata": m}
+                        for i, s, m in res.top(q)
+                    ]
+                    for q in range(res.indices.shape[0])
+                ],
+                "metric": engine.index.metric,
+            }
+
+        def _handle_search_rerank(self, body: Dict[str, Any]) -> Dict[str, Any]:
+            if "vectors" in body:
+                import numpy as np
+
+                queries = np.asarray(body["vectors"], dtype=np.float32)
+            elif "query" in body:
+                queries = [body["query"]]
+            elif "queries" in body:
+                queries = list(body["queries"])
+            else:
+                return {"error": "provide query, queries, or vectors"}
+            return engine.search_rerank(
+                queries,
+                k=int(body.get("k", 10)),
+                candidates=int(body.get("candidates", 100)),
+                reranker_type=body.get("reranker_type", "quantum"),
+            )
+
+        def _handle_add(self, body: Dict[str, Any]) -> Dict[str, Any]:
+            texts = body.get("texts")
+            if not isinstance(texts, list) or not texts:
+                return {"error": "texts must be a non-empty list"}
+            ntotal = engine.add_texts(
+                [str(t) for t in texts], body.get("metadata")
+            )
+            return {"stored_count": len(texts), "total_vectors": ntotal}
+
+    return Handler
+
+
+def create_server(
+    engine: QragEngine, host: str = "0.0.0.0", port: int = 8000
+) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), _make_handler(engine))
+
+
+def serve_in_thread(
+    engine: QragEngine, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Start serving on a background thread (tests / embedding)."""
+    server = create_server(engine, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="qrag_tpu HTTP server")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--index", default=None, help=".faiss file or native dir")
+    parser.add_argument(
+        "--embedding-provider", default=None, choices=["mock", "hash", "openai"]
+    )
+    parser.add_argument("--no-warmup", action="store_true")
+    args = parser.parse_args(argv)
+
+    configure_logging()
+    config = QragConfig().with_env_overrides()
+    if args.embedding_provider:
+        from dataclasses import replace
+
+        config = replace(
+            config, embedding=replace(config.embedding, provider=args.embedding_provider)
+        )
+    host = args.host or config.serving.host
+    port = args.port if args.port is not None else config.serving.port
+
+    if args.index:
+        import os
+
+        if os.path.isdir(args.index):
+            from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+            engine = QragEngine(
+                config=config, index=DeviceFlatIndex.load_native(args.index)
+            )
+        else:
+            engine = QragEngine.from_faiss(args.index, config=config)
+    else:
+        engine = QragEngine(config=config)
+
+    # Bind before warmup so clients can connect immediately; warmup
+    # compiles the hot graphs concurrently (first queries that race it
+    # simply compile on demand).
+    server = create_server(engine, host, port)
+    if not args.no_warmup:
+        threading.Thread(target=engine.warmup, daemon=True).start()
+    logger.info("serving on %s:%d (index ntotal=%d)", host, port, engine.index.ntotal)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

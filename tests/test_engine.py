@@ -1,0 +1,102 @@
+"""QragEngine: fused retrieval→rerank pipeline (SURVEY.md §7 phase 1
+exit criterion + BASELINE configs[3])."""
+
+import numpy as np
+import pytest
+
+from qrag_tpu.config import QragConfig
+from qrag_tpu.documents import Document
+from qrag_tpu.engine import QragEngine
+from qrag_tpu.index.flat_index import DeviceFlatIndex
+from qrag_tpu.ops.statevector import fidelity_analytic
+
+import jax.numpy as jnp
+
+
+def _engine(rng, n=200, d=64, **cfg_overrides):
+    cfg = QragConfig.from_dict(
+        {"embedding": {"provider": "hash", "dim": d}, **cfg_overrides}
+    )
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", metadata=[f"show/ep{i}" for i in range(n)]
+    )
+    return QragEngine(config=cfg, index=idx), x
+
+
+def test_search_by_vector(rng):
+    eng, x = _engine(rng)
+    res = eng.search(x[5], k=3)
+    assert res.indices[0, 0] == 5
+    assert res.metadata[0][0] == "show/ep5"
+
+
+def test_search_by_text(rng):
+    eng, _ = _engine(rng)
+    # index a known text's embedding, then search for the same text
+    eng.add_texts(["the quick brown fox"], ["added/t0"])
+    res = eng.search("the quick brown fox", k=1)
+    assert res.metadata[0][0] == "added/t0"
+    assert res.scores[0, 0] < 1e-5
+
+
+def test_fused_search_rerank_matches_two_stage(rng):
+    """Fused jit result == separate retrieval-then-fidelity oracle."""
+    eng, x = _engine(rng)
+    n_qubits = eng.config.quantum.n_qubits
+    q = x[17] + 0.01 * rng.randn(64).astype(np.float32)
+    out = eng.search_rerank(q[None, :], k=5, candidates=20)
+    hits = out["results"][0]
+    assert len(hits) == 5
+    # oracle: top-20 by L2, fidelity per candidate, top-5 by fidelity
+    d2 = ((x - q) ** 2).sum(-1)
+    cand = np.argsort(d2, kind="stable")[:20]
+    fid = np.asarray(
+        fidelity_analytic(jnp.asarray(q), jnp.asarray(x[cand]), n_qubits)
+    )
+    order = np.argsort(-fid, kind="stable")[:5]
+    want_idx = cand[order]
+    got_idx = [h["index"] for h in hits]
+    assert set(got_idx) == set(int(i) for i in want_idx)
+    got_scores = [h["score"] for h in hits]
+    assert got_scores == sorted(got_scores, reverse=True)
+    np.testing.assert_allclose(got_scores, np.sort(fid)[::-1][:5], atol=1e-5)
+
+
+def test_search_rerank_classical_type(rng):
+    eng, x = _engine(rng)
+    out = eng.search_rerank(x[3][None, :], k=4, candidates=10, reranker_type="classical")
+    assert out["reranker_used"] == "classical"
+    assert out["results"][0][0]["index"] == 3
+
+
+def test_search_rerank_candidates_capped_by_ntotal(rng):
+    eng, x = _engine(rng, n=12)
+    out = eng.search_rerank(x[0][None, :], k=5, candidates=100)
+    assert len(out["results"][0]) == 5
+
+
+def test_empty_index(rng):
+    eng = QragEngine(
+        config=QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 8}})
+    )
+    out = eng.search_rerank(np.zeros((1, 8), np.float32), k=3)
+    assert out["results"] == []
+
+
+def test_rerank_through_engine(rng):
+    eng, _ = _engine(rng)
+    docs = [Document(str(i), f"content {i}") for i in range(4)]
+    out = eng.rerank("a query with sponsor words", docs, top_k=2)
+    assert out["reranker_used"] == "quantum"
+    assert len(out["documents"]) == 2
+
+
+def test_warmup_and_stats(rng):
+    eng, _ = _engine(rng, n=50)
+    dt = eng.warmup()
+    assert dt >= 0
+    stats = eng.stats()
+    assert stats["index"]["ntotal"] == 50
+    assert "search" in stats["metrics"]["latency"]

@@ -1,0 +1,160 @@
+"""HTTP API round-trip tests mirroring the reference request/response
+shapes (``app.py:56-92``; SURVEY.md §4.2)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from qrag_tpu.config import QragConfig
+from qrag_tpu.engine import QragEngine
+from qrag_tpu.index.flat_index import DeviceFlatIndex
+from qrag_tpu.serving import serve_in_thread
+
+
+@pytest.fixture(scope="module")
+def server_url(rng=np.random.RandomState(7)):
+    cfg = QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 32}})
+    x = rng.randn(40, 32).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", metadata=[f"show/ep{i}" for i in range(40)]
+    )
+    engine = QragEngine(config=cfg, index=idx)
+    server = serve_in_thread(engine, host="127.0.0.1", port=0)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, path, payload):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_root_info(server_url):
+    status, body = _get(server_url, "/")
+    assert status == 200
+    assert "endpoints" in body and "rerank" in body["endpoints"]
+
+
+def test_rerank_roundtrip(server_url):
+    payload = {
+        "query": "find the advertisement in this podcast",
+        "documents": [
+            {"id": "a", "content": "buy our product now great deal"},
+            {"id": "b", "content": "the weather is nice today"},
+            {"id": "c", "content": "sponsored by acme corp"},
+        ],
+        "reranker_type": "auto",
+        "top_k": 2,
+    }
+    status, body = _post(server_url, "/rerank", payload)
+    assert status == 200
+    assert body["reranker_used"] == "quantum"  # keyword route
+    assert body["query"] == payload["query"]
+    assert len(body["documents"]) == 2
+    entry = body["documents"][0]
+    assert set(entry.keys()) == {"document", "score"}
+    assert entry["document"]["id"] in {"a", "b", "c"}
+    scores = [e["score"] for e in body["documents"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rerank_classical_explicit(server_url):
+    status, body = _post(
+        server_url,
+        "/rerank",
+        {
+            "query": "short query",
+            "documents": [{"id": "1", "content": "xyz"}],
+            "reranker_type": "classical",
+        },
+    )
+    assert body["reranker_used"] == "classical"
+
+
+def test_rerank_invalid_query_error_dict(server_url):
+    """Handler errors come back as {"error": ...} with HTTP 200,
+    matching ``app.py:75-77``."""
+    status, body = _post(server_url, "/rerank", {"query": 42, "documents": []})
+    assert status == 200
+    assert "error" in body
+
+
+def test_search_by_vector(server_url):
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 32).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    status, body = _post(
+        server_url, "/search", {"vectors": [x[10].tolist()], "k": 3}
+    )
+    assert status == 200
+    assert body["metric"] == "l2"
+    assert body["results"][0][0]["index"] == 10
+    assert body["results"][0][0]["metadata"] == "show/ep10"
+
+
+def test_search_rerank_endpoint(server_url):
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 32).astype(np.float32)
+    status, body = _post(
+        server_url,
+        "/search_rerank",
+        {"vectors": [x[0].tolist()], "k": 3, "candidates": 10},
+    )
+    assert status == 200
+    assert body["reranker_used"] == "quantum"
+    hits = body["results"][0]
+    assert len(hits) == 3
+    assert all({"index", "score", "retrieval_score", "metadata"} <= set(h) for h in hits)
+
+
+def test_add_then_search(server_url):
+    status, body = _post(
+        server_url,
+        "/add",
+        {"texts": ["unique marker text xyzzy"], "metadata": ["added/1"]},
+    )
+    assert status == 200 and body["stored_count"] == 1
+    status, body = _post(
+        server_url, "/search", {"query": "unique marker text xyzzy", "k": 1}
+    )
+    assert body["results"][0][0]["metadata"] == "added/1"
+
+
+def test_stats_endpoint(server_url):
+    status, body = _get(server_url, "/stats")
+    assert status == 200
+    assert body["index"]["d"] == 32
+    assert "counters" in body["metrics"]
+
+
+def test_unknown_route_404(server_url):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _get(server_url, "/nope")
+    assert exc_info.value.code == 404
+
+
+def test_malformed_json_400(server_url):
+    import urllib.error
+
+    req = urllib.request.Request(
+        server_url + "/rerank", data=b"{not json", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req)
+    assert exc_info.value.code == 400

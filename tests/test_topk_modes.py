@@ -1,0 +1,86 @@
+"""approx / verified top-k modes vs the exact path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from qrag_tpu.index.flat_index import DeviceFlatIndex
+from qrag_tpu.ops.topk import (
+    flat_scan_topk,
+    goodness_topk,
+    scan_topk_verified,
+)
+
+
+def test_goodness_topk_small_n_uses_exact(rng):
+    g = jnp.asarray(rng.randn(4, 100).astype(np.float32))
+    va, ia = goodness_topk(g, 5, mode="approx")
+    ve, ie = goodness_topk(g, 5, mode="exact")
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ie))
+
+
+def test_verified_scan_matches_exact_values(rng):
+    q = rng.randn(16, 64).astype(np.float32)
+    x = rng.randn(8192, 64).astype(np.float32)
+    s_v, i_v, n_bad = scan_topk_verified(
+        jnp.asarray(q), jnp.asarray(x), 10, metric="l2"
+    )
+    s_e, i_e = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 10, metric="l2", mode="exact"
+    )
+    # verified guarantees exact score VALUES (tie order may differ)
+    np.testing.assert_allclose(s_v, np.asarray(s_e), rtol=1e-5, atol=1e-5)
+    assert n_bad >= 0
+    # and with float scores ties are absent → indices match too
+    np.testing.assert_array_equal(i_v, np.asarray(i_e))
+
+
+def test_verified_scan_ip(rng):
+    q = rng.randn(8, 32).astype(np.float32)
+    x = rng.randn(8192, 32).astype(np.float32)
+    s_v, i_v, _ = scan_topk_verified(jnp.asarray(q), jnp.asarray(x), 7, metric="ip")
+    s_e, i_e = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 7, metric="ip", mode="exact"
+    )
+    np.testing.assert_allclose(s_v, np.asarray(s_e), rtol=1e-5)
+    np.testing.assert_array_equal(i_v, np.asarray(i_e))
+
+
+def test_verified_fallback_fires_on_adversarial_input(rng):
+    """A corpus where many near-ties cluster inside one approx window
+    can defeat the approx pass; verified mode must still return exact
+    values via its fallback."""
+    q = np.zeros((4, 16), np.float32)
+    q[:, 0] = 1.0
+    x = rng.randn(8192, 16).astype(np.float32) * 0.01
+    # plant the true top-10 adjacent to each other (same windows)
+    for j in range(10):
+        x[4000 + j] = 0.0
+        x[4000 + j, 0] = 1.0 - 1e-4 * j
+    s_v, i_v, n_bad = scan_topk_verified(
+        jnp.asarray(q), jnp.asarray(x), 10, metric="ip"
+    )
+    s_e, i_e = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 10, metric="ip", mode="exact"
+    )
+    np.testing.assert_allclose(s_v, np.asarray(s_e), rtol=1e-6)
+    np.testing.assert_array_equal(i_v, np.asarray(i_e))
+
+
+def test_index_modes_agree(rng):
+    x = rng.randn(9000, 48).astype(np.float32)
+    q = x[123:127] + 0.001 * rng.randn(4, 48).astype(np.float32)
+    exact = DeviceFlatIndex.from_numpy(x, topk_mode="exact")
+    verified = DeviceFlatIndex.from_numpy(x, topk_mode="verified")
+    r_e = exact.search(q, k=10)
+    r_v = verified.search(q, k=10)
+    np.testing.assert_allclose(r_v.scores, r_e.scores, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(r_v.indices, r_e.indices)
+
+
+def test_bf16_store_dtype_search(rng):
+    x = rng.randn(2000, 64).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = DeviceFlatIndex.from_numpy(x, store_dtype="bfloat16")
+    res = idx.search(x[7:8], k=3)
+    assert res.indices[0, 0] == 7
+    assert res.scores[0, 0] < 1e-2  # bf16 noise floor
