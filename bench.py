@@ -83,16 +83,23 @@ def retrieval_loop(queries, corpus, corpus_sqnorms, k, iters, metric, mode):
     return v.sum() + q_out[0, 0].astype(jnp.float32), i.sum()
 
 
-def run(n, d, b, k, iters, mode, dtype=jnp.bfloat16):
+def run(n, d, b, k, iters, mode, dtype=jnp.bfloat16, verbose=False):
+    t0 = time.time()
     corpus = make_corpus(n, d, dtype)
     sq = jnp.sum(
         corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
     )
+    np.asarray(sq[0])
+    if verbose:
+        print(f"# corpus gen {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     q = jax.random.normal(jax.random.PRNGKey(7), (b, d), dtype=jnp.float32)
     q = (q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(dtype)
     # compile + warm
+    t0 = time.time()
     r = retrieval_loop(q, corpus, sq, k, iters, "l2", mode)
     np.asarray(r[0])
+    if verbose:
+        print(f"# compile+warm {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     # timed
     t0 = time.time()
     r = retrieval_loop(q, corpus, sq, k, iters, "l2", mode)
@@ -114,7 +121,7 @@ def main() -> None:
     else:
         n, d, b, iters = 1_000_000, 768, 1024, 16
 
-    qps, per_batch = run(n, d, b, 10, iters, args.mode)
+    qps, per_batch = run(n, d, b, 10, iters, args.mode, verbose=args.all)
 
     if args.all:
         print(

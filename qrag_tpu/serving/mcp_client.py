@@ -1,0 +1,207 @@
+"""MCP agent client — tool discovery + orchestrated tool calls + REPL.
+
+The reference's client (``mcp/client/main.py:46-258``) fetches the MCP
+tool list, shows it in a rich table, and loops a GPT-4o orchestrator
+(atomic-agents + instructor) whose action schema is the union of tool
+inputs, feeding tool results (or structured errors with
+``available_shows``) back until a final response.
+
+This client keeps that architecture with two orchestrators:
+
+  * `RuleBasedOrchestrator` (default, offline) — deterministic intent
+    parsing with the same error-driven retry loop: unknown-show errors
+    are retried with the closest ``available_shows`` match.
+  * `OpenAIOrchestrator` — the reference's LLM loop, gated on the
+    optional ``openai`` package (absent in this image).
+
+Transport is JSON-RPC 2.0 over HTTP via stdlib urllib (initialize →
+tools/list → tools/call), against ``qrag_tpu.serving.mcp_server``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import difflib
+import json
+import re
+import urllib.request
+from typing import Any, Dict, List, Optional, Tuple
+
+
+class McpClient:
+    """Minimal MCP HTTP client."""
+
+    def __init__(self, url: str = "http://127.0.0.1:6969/mcp"):
+        self.url = url
+        self._id = 0
+
+    def _rpc(self, method: str, params: Optional[Dict[str, Any]] = None):
+        self._id += 1
+        payload = {
+            "jsonrpc": "2.0",
+            "id": self._id,
+            "method": method,
+            "params": params or {},
+        }
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read())
+        if "error" in body:
+            raise RuntimeError(f"rpc error: {body['error']}")
+        return body["result"]
+
+    def initialize(self) -> Dict[str, Any]:
+        return self._rpc("initialize")
+
+    def list_tools(self) -> List[Dict[str, Any]]:
+        return self._rpc("tools/list")["tools"]
+
+    def call_tool(
+        self, name: str, arguments: Dict[str, Any]
+    ) -> Tuple[bool, Dict[str, Any]]:
+        """Returns (success, first JSON payload or {'text': ...})."""
+        result = self._rpc(
+            "tools/call", {"name": name, "arguments": arguments}
+        )
+        payload: Dict[str, Any] = {}
+        for block in result.get("content", []):
+            if block.get("type") != "text":
+                continue
+            text = block.get("text", "")
+            if text.startswith("error: "):
+                payload.setdefault("error", text[len("error: "):])
+                continue
+            try:
+                data = json.loads(text)
+                if isinstance(data, dict):
+                    payload.update(data)
+                    continue
+            except (ValueError, TypeError):
+                pass
+            payload.setdefault("text", text)
+        return not result.get("isError", False), payload
+
+
+class RuleBasedOrchestrator:
+    """Deterministic intent → tool-call planner with error-feedback
+    retry (the agent loop of ``mcp/client/main.py:133-258``, minus the
+    LLM)."""
+
+    def __init__(self, client: McpClient, index_path: str = "qrag_index.faiss"):
+        self.client = client
+        self.default_index_path = index_path
+
+    def run(self, query: str, max_steps: int = 4) -> str:
+        q = query.strip()
+        ql = q.lower()
+        if re.search(r"\b(list|show me|what|which|available)\b.*\bshows?\b", ql) or ql in (
+            "shows",
+            "list shows",
+        ):
+            ok, payload = self.client.call_tool("ReadFromS3", {})
+            shows = payload.get("available_shows", [])
+            return (
+                "Available shows: " + ", ".join(shows)
+                if shows
+                else "No shows found."
+            )
+
+        m = re.search(
+            r"\b(?:index|process|ingest|embed)\b\s+(?:show\s+)?([\w\- ]+?)"
+            r"(?:\s+(?:into|to)\s+(\S+))?$",
+            ql,
+        )
+        if m:
+            show = m.group(1).strip()
+            index_path = m.group(2) or self.default_index_path
+            return self._process_show(show, index_path, max_steps)
+
+        return (
+            "I can 'list shows' or 'index <show> [into <path>]'. "
+            f"(got: {q!r})"
+        )
+
+    def _process_show(self, show: str, index_path: str, max_steps: int) -> str:
+        attempt_show = show
+        last_error = ""
+        for _ in range(max_steps):
+            ok, payload = self.client.call_tool(
+                "ProcessTranscriptsToEmbeddings",
+                {"show_name": attempt_show, "index_path": index_path},
+            )
+            if ok:
+                return (
+                    f"Indexed show {payload.get('show_name')!r}: "
+                    f"{payload.get('embeddings_created')} embeddings from "
+                    f"{payload.get('transcripts_processed')} transcripts "
+                    f"(index now {payload.get('total_vectors')} vectors at "
+                    f"{payload.get('index_path')})."
+                )
+            # error-driven retry using available_shows (main.py:194-217)
+            last_error = payload.get("error", "unknown error")
+            shows = payload.get("available_shows") or []
+            match = difflib.get_close_matches(
+                attempt_show, shows, n=1, cutoff=0.4
+            )
+            lower_match = next(
+                (s for s in shows if s.lower() == attempt_show.lower()), None
+            )
+            next_show = lower_match or (match[0] if match else None)
+            if next_show is None or next_show == attempt_show:
+                avail = f" Available: {', '.join(shows)}." if shows else ""
+                return f"Failed: {last_error}.{avail}"
+            attempt_show = next_show
+        return f"Failed after retries: {last_error}"
+
+
+def make_orchestrator(client: McpClient, kind: str = "auto", **kwargs):
+    if kind in ("auto", "openai"):
+        try:  # pragma: no cover - needs openai
+            import openai  # type: ignore  # noqa: F401
+
+            from qrag_tpu.serving.llm_orchestrator import OpenAIOrchestrator
+
+            return OpenAIOrchestrator(client, **kwargs)
+        except ImportError:
+            if kind == "openai":
+                raise RuntimeError(
+                    "openai package not installed; use --orchestrator rules"
+                )
+    return RuleBasedOrchestrator(client, **kwargs)
+
+
+def main(argv=None) -> None:  # pragma: no cover - interactive
+    parser = argparse.ArgumentParser(description="qrag_tpu MCP client")
+    parser.add_argument("--url", default="http://127.0.0.1:6969/mcp")
+    parser.add_argument(
+        "--orchestrator", default="auto", choices=["auto", "rules", "openai"]
+    )
+    args = parser.parse_args(argv)
+
+    client = McpClient(args.url)
+    info = client.initialize()
+    tools = client.list_tools()
+    print(f"connected to {info['serverInfo']['name']} — tools:")
+    for t in tools:
+        print(f"  {t['name']:36s} {t['description'][:70]}")
+    orchestrator = make_orchestrator(client, args.orchestrator)
+    print("type a request ('list shows', 'index <show>'), or 'quit'")
+    while True:
+        try:
+            query = input("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if query.lower() in ("quit", "exit", "q"):
+            break
+        if not query:
+            continue
+        print(orchestrator.run(query))
+
+
+if __name__ == "__main__":
+    main()

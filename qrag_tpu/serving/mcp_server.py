@@ -1,0 +1,210 @@
+"""MCP server — JSON-RPC 2.0 over HTTP, stdlib only.
+
+The reference wraps FastMCP's streamable-HTTP app around its four
+tools on port 6969 (``mcp/server/server.py:16-71``).  FastMCP isn't
+available here, so this is a from-scratch implementation of the MCP
+wire surface the reference's clients actually use:
+
+  POST /mcp   JSON-RPC 2.0:
+    initialize      → protocol + server info + tool capability
+    tools/list      → [{name, description, inputSchema}]
+    tools/call      → {content: [{type: "text", text}], isError}
+    ping            → {}
+  GET /tools        → convenience schema listing (non-MCP)
+
+Tool dispatch goes through the typed ``ToolService`` (closures, not
+the reference's exec-generated handlers — SURVEY.md Appendix A.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from qrag_tpu.tools import ToolService, default_tools
+from qrag_tpu.tools.interface import ToolResponse
+from qrag_tpu.utils.logging_util import configure_logging
+
+logger = logging.getLogger(__name__)
+
+PROTOCOL_VERSION = "2024-11-05"
+SERVER_INFO = {"name": "qrag-mcp-server", "version": "0.1.0"}
+DEFAULT_PORT = 6969  # reference default (server.py argparse)
+
+
+def create_tool_service(**kwargs) -> ToolService:
+    service = ToolService()
+    service.register_tools(default_tools(**kwargs))
+    return service
+
+
+def _tool_result(resp: ToolResponse) -> Dict[str, Any]:
+    """Map a ToolResponse onto the MCP tools/call result shape."""
+    blocks = []
+    for c in resp.content:
+        if c.type == "text" and c.text is not None:
+            blocks.append({"type": "text", "text": c.text})
+        elif c.data is not None:
+            blocks.append({"type": "text", "text": json.dumps(c.data)})
+    if resp.error:
+        blocks.insert(0, {"type": "text", "text": f"error: {resp.error}"})
+    return {"content": blocks, "isError": not resp.success}
+
+
+def _make_handler(service: ToolService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _send(self, payload: Dict[str, Any], status: int = 200) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            logger.debug("%s %s", self.address_string(), fmt % args)
+
+        def do_OPTIONS(self):
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_GET(self):
+            if self.path == "/tools":
+                self._send({"tools": service.list_schemas()})
+            else:
+                self._send({"error": f"not found: {self.path}"}, 404)
+
+        def do_POST(self):
+            if self.path not in ("/mcp", "/mcp/"):
+                self._send({"error": f"not found: {self.path}"}, 404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+            except Exception as e:  # noqa: BLE001
+                self._send(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": None,
+                        "error": {"code": -32700, "message": f"parse error: {e}"},
+                    },
+                    400,
+                )
+                return
+            self._send(self._dispatch(req))
+
+        def _dispatch(self, req: Dict[str, Any]) -> Dict[str, Any]:
+            rpc_id = req.get("id")
+            method = req.get("method")
+            params = req.get("params") or {}
+
+            def ok(result):
+                return {"jsonrpc": "2.0", "id": rpc_id, "result": result}
+
+            def err(code, message):
+                return {
+                    "jsonrpc": "2.0",
+                    "id": rpc_id,
+                    "error": {"code": code, "message": message},
+                }
+
+            if method == "initialize":
+                return ok(
+                    {
+                        "protocolVersion": PROTOCOL_VERSION,
+                        "capabilities": {"tools": {}},
+                        "serverInfo": SERVER_INFO,
+                    }
+                )
+            if method in ("ping", "notifications/initialized"):
+                return ok({})
+            if method == "tools/list":
+                return ok(
+                    {
+                        "tools": [
+                            {
+                                "name": t.name,
+                                "description": t.description,
+                                "inputSchema": t.input_model.model_json_schema(),
+                            }
+                            for t in service.tools
+                        ]
+                    }
+                )
+            if method == "tools/call":
+                name = params.get("name")
+                arguments = params.get("arguments") or {}
+                if not name:
+                    return err(-32602, "missing tool name")
+                resp = service.execute_tool_sync(name, arguments)
+                return ok(_tool_result(resp))
+            return err(-32601, f"method not found: {method}")
+
+    return Handler
+
+
+def create_server(
+    service: Optional[ToolService] = None,
+    host: str = "0.0.0.0",
+    port: int = DEFAULT_PORT,
+) -> ThreadingHTTPServer:
+    service = service or create_tool_service()
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def serve_in_thread(
+    service: Optional[ToolService] = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    server = create_server(service, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="qrag_tpu MCP server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=DEFAULT_PORT)
+    parser.add_argument(
+        "--transcripts", default=None, help="local transcript root dir"
+    )
+    parser.add_argument(
+        "--embedding-provider", default="hash", choices=["mock", "hash", "openai"]
+    )
+    args = parser.parse_args(argv)
+    configure_logging()
+
+    from qrag_tpu.config import EmbeddingConfig
+    from qrag_tpu.pipeline.storage import LocalTranscriptStore
+
+    store = LocalTranscriptStore(args.transcripts) if args.transcripts else None
+    service = create_tool_service(
+        store=store,
+        config=EmbeddingConfig(provider=args.embedding_provider),
+    )
+    logger.info(
+        "MCP server on %s:%d with tools: %s",
+        args.host,
+        args.port,
+        [t.name for t in service.tools],
+    )
+    create_server(service, args.host, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
