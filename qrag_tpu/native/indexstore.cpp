@@ -1,0 +1,264 @@
+// indexstore — native host-side vector store + exact scan.
+//
+// The reference delegated its on-disk index and flat scan to faiss-cpu's
+// C++ (mcp/server/tools/store_in_faiss.py:105 builds IndexFlatL2 and the
+// library does the heavy lifting).  This is the rebuild's native
+// counterpart for the HOST side of the system: an mmap-backed,
+// append-only vector store with a binary manifest header, plus an exact
+// L2/IP scan + top-k heap used as (a) the CPU oracle for kernel parity
+// tests and (b) the retrieval fallback where no accelerator exists.
+// The TPU compute path (Pallas/XLA) remains the production scan; this
+// file is the runtime/IO layer around it.
+//
+// File layout (little-endian):
+//   header (64 bytes):
+//     magic   "QIDX"            4
+//     version u32               4
+//     d       u32               4
+//     metric  u32  (0=ip,1=l2)  4
+//     ntotal  u64               8
+//     capacity u64              8  (rows allocated in the file)
+//     normalized u32            4
+//     reserved               28
+//   data: capacity * d * f32 row-major
+//
+// Concurrency contract: single writer, multiple readers (the reference
+// had unguarded read-modify-write of its index file — SURVEY.md §5
+// "race detection"; here appends are in-place + a single ntotal header
+// store with release semantics, so readers never see torn rows).
+//
+// Build: make -C qrag_tpu/native   (g++ -O3 -shared; no deps)
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+static const uint32_t QIDX_VERSION = 1;
+static const uint64_t HEADER_BYTES = 64;
+
+struct Header {
+  char magic[4];
+  uint32_t version;
+  uint32_t d;
+  uint32_t metric;
+  uint64_t ntotal;
+  uint64_t capacity;
+  uint32_t normalized;
+  char reserved[28];
+};
+
+struct Store {
+  int fd;
+  uint8_t* map;
+  uint64_t map_bytes;
+  Header* header;
+  float* data;
+  int writable;
+};
+
+static uint64_t file_bytes_for(uint32_t d, uint64_t capacity) {
+  return HEADER_BYTES + (uint64_t)d * capacity * sizeof(float);
+}
+
+static int remap(Store* s, uint64_t new_bytes) {
+  if (s->map) munmap(s->map, s->map_bytes);
+  s->map = (uint8_t*)mmap(nullptr, new_bytes,
+                          s->writable ? (PROT_READ | PROT_WRITE) : PROT_READ,
+                          MAP_SHARED, s->fd, 0);
+  if (s->map == MAP_FAILED) {
+    s->map = nullptr;
+    return -1;
+  }
+  s->map_bytes = new_bytes;
+  s->header = (Header*)s->map;
+  s->data = (float*)(s->map + HEADER_BYTES);
+  return 0;
+}
+
+// open-or-create (the open-or-create+append semantics of the
+// reference's store tool, done safely).  Returns handle or null.
+Store* qidx_open(const char* path, uint32_t d, uint32_t metric,
+                 uint32_t normalized, int writable) {
+  Store* s = new Store();
+  std::memset(s, 0, sizeof(Store));
+  s->writable = writable;
+  int flags = writable ? (O_RDWR | O_CREAT) : O_RDONLY;
+  s->fd = open(path, flags, 0644);
+  if (s->fd < 0) { delete s; return nullptr; }
+  struct stat st;
+  fstat(s->fd, &st);
+  if (st.st_size == 0) {
+    if (!writable) { close(s->fd); delete s; return nullptr; }
+    uint64_t cap = 1024;
+    if (ftruncate(s->fd, file_bytes_for(d, cap)) != 0) {
+      close(s->fd); delete s; return nullptr;
+    }
+    if (remap(s, file_bytes_for(d, cap)) != 0) {
+      close(s->fd); delete s; return nullptr;
+    }
+    std::memcpy(s->header->magic, "QIDX", 4);
+    s->header->version = QIDX_VERSION;
+    s->header->d = d;
+    s->header->metric = metric;
+    s->header->ntotal = 0;
+    s->header->capacity = cap;
+    s->header->normalized = normalized;
+  } else {
+    if (remap(s, (uint64_t)st.st_size) != 0) {
+      close(s->fd); delete s; return nullptr;
+    }
+    if (std::memcmp(s->header->magic, "QIDX", 4) != 0 ||
+        s->header->version != QIDX_VERSION ||
+        (d != 0 && s->header->d != d)) {  // d=0 means "accept existing"
+      munmap(s->map, s->map_bytes); close(s->fd); delete s; return nullptr;
+    }
+  }
+  return s;
+}
+
+uint32_t qidx_dim(Store* s) { return s->header->d; }
+uint32_t qidx_metric(Store* s) { return s->header->metric; }
+uint32_t qidx_normalized(Store* s) { return s->header->normalized; }
+uint64_t qidx_ntotal(Store* s) {
+  return std::atomic_ref<uint64_t>(s->header->ntotal).load(
+      std::memory_order_acquire);
+}
+
+// Append rows.  Single-writer: grows the file geometrically, copies
+// rows, then publishes the new ntotal with a release store so
+// concurrent readers never observe partially-written rows.
+int64_t qidx_append(Store* s, const float* rows, uint64_t n) {
+  if (!s->writable) return -1;
+  uint32_t d = s->header->d;
+  uint64_t ntotal = s->header->ntotal;
+  uint64_t need = ntotal + n;
+  if (need > s->header->capacity) {
+    uint64_t cap = s->header->capacity;
+    while (cap < need) cap *= 2;
+    if (ftruncate(s->fd, file_bytes_for(d, cap)) != 0) return -1;
+    if (remap(s, file_bytes_for(d, cap)) != 0) return -1;
+    s->header->capacity = cap;
+  }
+  std::memcpy(s->data + ntotal * d, rows, n * d * sizeof(float));
+  std::atomic_ref<uint64_t>(s->header->ntotal)
+      .store(need, std::memory_order_release);
+  return (int64_t)need;
+}
+
+// Zero-copy-ish read: copies [start, start+n) rows into out.
+int qidx_read(Store* s, uint64_t start, uint64_t n, float* out) {
+  uint64_t ntotal = qidx_ntotal(s);
+  if (start + n > ntotal) return -1;
+  std::memcpy(out, s->data + start * (uint64_t)s->header->d,
+              n * (uint64_t)s->header->d * sizeof(float));
+  return 0;
+}
+
+int qidx_flush(Store* s) {
+  return msync(s->map, s->map_bytes, MS_SYNC);
+}
+
+void qidx_close(Store* s) {
+  if (!s) return;
+  if (s->map) munmap(s->map, s->map_bytes);
+  if (s->fd >= 0) close(s->fd);
+  delete s;
+}
+
+// ---------------------------------------------------------------- scan
+
+// Exact scan + top-k over the store (or any raw matrix).
+// metric: 0=ip (descending), 1=l2 (ascending squared distances).
+// Results are written as (b, k) scores + int64 indices, sorted, padded
+// with score=+-inf / idx=-1 when ntotal < k.  Tie-break: lower index
+// first (matches lax.top_k / the Pallas kernel).
+static void scan_topk(const float* x, uint64_t n, uint32_t d,
+                      const float* q, uint64_t b, uint32_t k,
+                      uint32_t metric, float* out_scores,
+                      int64_t* out_idx) {
+  std::vector<float> xsq;
+  if (metric == 1) {
+    xsq.resize(n);
+    for (uint64_t i = 0; i < n; ++i) {
+      const float* row = x + i * d;
+      float acc = 0.f;
+      for (uint32_t j = 0; j < d; ++j) acc += row[j] * row[j];
+      xsq[i] = acc;
+    }
+  }
+  for (uint64_t bi = 0; bi < b; ++bi) {
+    const float* qq = q + bi * d;
+    float qsq = 0.f;
+    if (metric == 1)
+      for (uint32_t j = 0; j < d; ++j) qsq += qq[j] * qq[j];
+    // max-goodness selection on (-d2 | ip); min-heap of size k keyed by
+    // (goodness, -index) so ties keep the LOWER index.
+    typedef std::pair<float, int64_t> Entry;  // (goodness, -index)
+    std::vector<Entry> heap;
+    heap.reserve(k + 1);
+    auto cmp = [](const Entry& a, const Entry& b_) { return a > b_; };
+    for (uint64_t i = 0; i < n; ++i) {
+      const float* row = x + i * d;
+      float dot = 0.f;
+      uint32_t j = 0;
+      // unrolled-by-4 dot; g++ -O3 vectorizes this
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+      for (; j + 4 <= d; j += 4) {
+        a0 += row[j] * qq[j];
+        a1 += row[j + 1] * qq[j + 1];
+        a2 += row[j + 2] * qq[j + 2];
+        a3 += row[j + 3] * qq[j + 3];
+      }
+      dot = a0 + a1 + a2 + a3;
+      for (; j < d; ++j) dot += row[j] * qq[j];
+      float g = (metric == 1) ? (2.f * dot - qsq - xsq[i]) : dot;
+      Entry e(g, -(int64_t)i);
+      if (heap.size() < k) {
+        heap.push_back(e);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      } else if (e > heap.front()) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        heap.back() = e;
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      }
+    }
+    std::sort_heap(heap.begin(), heap.end(), cmp);  // descending goodness
+    for (uint32_t r = 0; r < k; ++r) {
+      if (r < heap.size()) {
+        float g = heap[r].first;
+        out_scores[bi * k + r] =
+            (metric == 1) ? std::max(0.f, -g) : g;
+        out_idx[bi * k + r] = -heap[r].second;
+      } else {
+        out_scores[bi * k + r] =
+            (metric == 1) ? __builtin_inff() : -__builtin_inff();
+        out_idx[bi * k + r] = -1;
+      }
+    }
+  }
+}
+
+void qidx_scan_topk(Store* s, const float* q, uint64_t b, uint32_t k,
+                    float* out_scores, int64_t* out_idx) {
+  scan_topk(s->data, qidx_ntotal(s), s->header->d, q, b, k,
+            s->header->metric, out_scores, out_idx);
+}
+
+void qidx_raw_scan_topk(const float* x, uint64_t n, uint32_t d,
+                        const float* q, uint64_t b, uint32_t k,
+                        uint32_t metric, float* out_scores,
+                        int64_t* out_idx) {
+  scan_topk(x, n, d, q, b, k, metric, out_scores, out_idx);
+}
+
+}  // extern "C"

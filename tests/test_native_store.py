@@ -1,0 +1,157 @@
+"""Native C++ index store: build, roundtrip, scan parity vs the JAX
+path, concurrency hammer (SURVEY.md §5 race-detection contract)."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+pytest.importorskip("ctypes")
+
+from qrag_tpu.index.native_store import (  # noqa: E402
+    NativeVectorStore,
+    cpu_scan_topk,
+    load_library,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_library():
+    load_library()  # builds libqidx.so on demand (g++ in image)
+
+
+def test_create_append_read(tmp_path, rng):
+    path = str(tmp_path / "store.qidx")
+    with NativeVectorStore(path, d=32, metric="l2") as store:
+        a = rng.randn(10, 32).astype(np.float32)
+        b = rng.randn(2000, 32).astype(np.float32)  # forces capacity growth
+        assert store.append(a) == 10
+        assert store.append(b) == 2010
+        assert store.ntotal == 2010 and store.d == 32
+        np.testing.assert_array_equal(store.read(0, 10), a)
+        np.testing.assert_array_equal(store.read(10), b)
+
+
+def test_reopen_persists(tmp_path, rng):
+    path = str(tmp_path / "p.qidx")
+    x = rng.randn(7, 16).astype(np.float32)
+    with NativeVectorStore(path, d=16, metric="ip", normalized=True) as s:
+        s.append(x)
+        s.flush()
+    with NativeVectorStore(path, writable=False) as s:
+        assert s.ntotal == 7 and s.metric == "ip" and s.normalized
+        np.testing.assert_array_equal(s.read(), x)
+
+
+def test_dim_mismatch_rejected(tmp_path, rng):
+    path = str(tmp_path / "d.qidx")
+    with NativeVectorStore(path, d=8) as s:
+        s.append(rng.randn(2, 8).astype(np.float32))
+        with pytest.raises(ValueError):
+            s.append(rng.randn(2, 16).astype(np.float32))
+    with pytest.raises(OSError):
+        NativeVectorStore(path, d=16)  # reopen with wrong d
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_scan_parity_with_jax(tmp_path, rng, metric):
+    """C++ heap scan == JAX exact scan, incl. tie order."""
+    import jax.numpy as jnp
+
+    from qrag_tpu.ops.topk import flat_scan_topk
+
+    x = rng.randn(500, 24).astype(np.float32)
+    q = rng.randn(6, 24).astype(np.float32)
+    s_c, i_c = cpu_scan_topk(x, q, 10, metric=metric)
+    s_j, i_j = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 10, metric=metric, mode="exact"
+    )
+    np.testing.assert_array_equal(i_c, np.asarray(i_j))
+    np.testing.assert_allclose(s_c, np.asarray(s_j), rtol=1e-4, atol=1e-4)
+
+
+def test_scan_tie_break_lower_index(rng):
+    x = np.repeat(rng.randn(5, 8).astype(np.float32), 4, axis=0)
+    q = rng.randn(1, 8).astype(np.float32)
+    _, idx = cpu_scan_topk(x, q, 8, metric="ip")
+    import jax.numpy as jnp
+
+    from qrag_tpu.ops.topk import ip_topk
+
+    _, idx_j = ip_topk(jnp.asarray(q), jnp.asarray(x), 8)
+    np.testing.assert_array_equal(idx, np.asarray(idx_j))
+
+
+def test_store_scan_topk(tmp_path, rng):
+    path = str(tmp_path / "s.qidx")
+    x = rng.randn(300, 16).astype(np.float32)
+    with NativeVectorStore(path, d=16, metric="l2") as s:
+        s.append(x)
+        scores, idx = s.scan_topk(x[42], k=3)
+        assert idx[0, 0] == 42
+        assert scores[0, 0] < 1e-5
+
+
+def test_k_exceeds_ntotal_padding(tmp_path, rng):
+    with NativeVectorStore(str(tmp_path / "k.qidx"), d=8) as s:
+        s.append(rng.randn(3, 8).astype(np.float32))
+        scores, idx = s.scan_topk(rng.randn(1, 8).astype(np.float32), k=6)
+        assert (idx[0, 3:] == -1).all()
+        assert np.isinf(scores[0, 3:]).all()
+
+
+def test_concurrent_append_and_scan(tmp_path, rng):
+    """Hammer append+read concurrently: readers must never see torn
+    rows (rows are either fully present or not yet published)."""
+    path = str(tmp_path / "c.qidx")
+    d = 16
+    writer_store = NativeVectorStore(path, d=d, metric="ip")
+    marker = np.full((1, d), 7.0, np.float32)  # rows have constant value
+    writer_store.append(marker)
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        while not stop.is_set() and i < 300:
+            val = float(i % 50) + 1.0
+            writer_store.append(np.full((4, d), val, np.float32))
+            i += 1
+
+    def reader():
+        reader_store = NativeVectorStore(path, writable=False)
+        try:
+            while not stop.is_set():
+                n = reader_store.ntotal
+                if n == 0:
+                    continue
+                rows = reader_store.read(0, n)
+                # each row must be constant-valued (never torn)
+                if not np.all(rows == rows[:, :1]):
+                    errors.append("torn row observed")
+                    return
+        finally:
+            reader_store.close()
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    threads[0].join()
+    stop.set()
+    for t in threads[1:]:
+        t.join()
+    writer_store.close()
+    assert not errors
+
+
+def test_to_device_index(tmp_path, rng):
+    path = str(tmp_path / "dev.qidx")
+    x = rng.randn(50, 12).astype(np.float32)
+    with NativeVectorStore(path, d=12, metric="l2") as s:
+        s.append(x)
+        idx = s.to_device_index()
+    res = idx.search(x[5], k=1)
+    assert res.indices[0, 0] == 5
