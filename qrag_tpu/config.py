@@ -83,6 +83,10 @@ class QuantumConfig:
     # circuits share the same CX-ladder entangler, which cancels in
     # <psi_q|psi_d>).  Set False to force the full 2^n statevector path.
     use_analytic_fidelity: bool = True
+    # "rotation": the reference's ry/rz + CX-ladder encoding
+    # (quantum.py:138-167).  "amplitude": amplitude encoding + swap-test
+    # fidelity (the BASELINE north-star variant).
+    encoding: str = "rotation"
 
 
 @dataclass

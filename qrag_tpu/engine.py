@@ -89,6 +89,65 @@ def fused_search_rerank(
     return top_fid, final_idx, final_retr
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "candidates", "n_qubits", "metric", "topk_mode"),
+)
+def fused_search_rerank_routed(
+    query_vecs: jnp.ndarray,  # (B, d)
+    route_quantum: jnp.ndarray,  # (B,) bool — True: fidelity expert
+    corpus: jnp.ndarray,
+    corpus_sqnorms: jnp.ndarray,
+    valid_rows: jnp.ndarray,
+    k: int,
+    candidates: int,
+    n_qubits: int,
+    metric: str = "l2",
+    topk_mode: str = "exact",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-query expert-routed rerank in one jit (SURVEY.md §2 EP row).
+
+    The controller's quantum-vs-classical dispatch
+    (``controller.py:88-98``) becomes a branchless per-query select on
+    device: both experts score the candidate tensor (fidelity is
+    O(n_qubits) per pair, cosine is one normalized dot — both cheap
+    next to the scan) and ``route_quantum`` picks per row.  No
+    host-side batch splitting, no divergent compilation.
+    """
+    retr_scores, idx = flat_scan_topk(
+        query_vecs.astype(corpus.dtype),
+        corpus,
+        candidates,
+        metric=metric,
+        corpus_sqnorms=corpus_sqnorms,
+        valid_rows=valid_rows,
+        mode=topk_mode,
+    )
+    cand_vecs = jnp.take(corpus, idx, axis=0).astype(jnp.float32)  # (B, C, d)
+    q32 = query_vecs.astype(jnp.float32)
+    # expert 1: quantum fidelity
+    fid = jax.vmap(lambda q, c: fidelity_analytic(q, c, n_qubits))(
+        q32, cand_vecs
+    )
+    # expert 2: classical cosine
+    qn = q32 / jnp.clip(jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
+    cn = cand_vecs / jnp.clip(
+        jnp.linalg.norm(cand_vecs, axis=-1, keepdims=True), 1e-12
+    )
+    cos = jnp.einsum("bd,bcd->bc", qn, cn)
+    scores = jnp.where(route_quantum[:, None], fid, cos)
+    invalid = (
+        jnp.isinf(retr_scores) if metric == "l2" else jnp.isneginf(retr_scores)
+    )
+    scores = jnp.where(invalid, -jnp.inf, scores)
+    top, sel = jax.lax.top_k(scores, k)
+    return (
+        top,
+        jnp.take_along_axis(idx, sel, axis=1),
+        jnp.take_along_axis(retr_scores, sel, axis=1),
+    )
+
+
 class QragEngine:
     """Owns index + embedder + rerankers; serves search and rerank."""
 
@@ -185,8 +244,13 @@ class QragEngine:
         quantum fidelity on-device, returning the top ``k``.
         """
         with self.metrics.timer("search_rerank"):
-            if isinstance(queries, (str, list, tuple)):
-                qv = self._embed_queries(queries)
+            query_texts: Optional[List[str]] = None
+            if isinstance(queries, str):
+                query_texts = [queries]
+            elif isinstance(queries, (list, tuple)):
+                query_texts = [str(q) for q in queries]
+            if query_texts is not None:
+                qv = self.embedder(query_texts)
             else:
                 qv = np.asarray(queries, dtype=np.float32)
             if qv.ndim == 1:
@@ -197,7 +261,38 @@ class QragEngine:
             c_eff = min(candidates, n)
             k_eff = min(k, c_eff)
             self.index._ensure_device()
-            if reranker_type == "quantum":
+            fused_mode = (
+                "approx"
+                if self.index.topk_mode == "verified"
+                else self.index.topk_mode
+            )
+            if reranker_type == "auto":
+                # per-query expert routing (controller.py:42-67 routing
+                # on host, branchless select on device)
+                if query_texts is not None:
+                    route = np.asarray(
+                        [
+                            self.controller.select_reranker(t) == "quantum"
+                            for t in query_texts
+                        ]
+                    )
+                else:
+                    route = np.ones((qv.shape[0],), bool)
+                fid, idx, retr = fused_search_rerank_routed(
+                    jnp.asarray(qv),
+                    jnp.asarray(route),
+                    self.index._dev_matrix,
+                    self.index._dev_sqnorms,
+                    self.index._dev_valid,
+                    k=k_eff,
+                    candidates=c_eff,
+                    n_qubits=self.config.quantum.n_qubits,
+                    metric=self.index.metric,
+                    topk_mode=fused_mode,
+                )
+                scores, indices = np.asarray(fid), np.asarray(idx)
+                retr_scores = np.asarray(retr)
+            elif reranker_type == "quantum":
                 fid, idx, retr = fused_search_rerank(
                     jnp.asarray(qv),
                     self.index._dev_matrix,
@@ -208,11 +303,7 @@ class QragEngine:
                     n_qubits=self.config.quantum.n_qubits,
                     metric=self.index.metric,
                     analytic=self.config.quantum.use_analytic_fidelity,
-                    topk_mode=(
-                        "approx"
-                        if self.index.topk_mode == "verified"
-                        else self.index.topk_mode
-                    ),
+                    topk_mode=fused_mode,
                 )
                 scores, indices = np.asarray(fid), np.asarray(idx)
                 retr_scores = np.asarray(retr)

@@ -213,3 +213,52 @@ def batched_fidelity(
     if analytic:
         return fidelity_analytic(query_vec, doc_vecs, n_qubits)
     return fidelity_statevector(query_vec, doc_vecs, n_qubits)
+
+
+# ----------------------------------------------------------- amplitude mode
+
+
+def amplitude_encode(vectors: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+    """Amplitude encoding: the (normalized) vector IS the statevector.
+
+    The BASELINE north star specifies "amplitude-encode query/doc
+    pairs, swap-test fidelity" (the encoding the reference's docstring
+    *aspired* to — ``quantum.py:156`` "in a real implementation, this
+    would use amplitude encoding").  Vectors are truncated/zero-padded
+    to 2^n amplitudes and re-normalized.
+    """
+    vectors = jnp.asarray(vectors, dtype=jnp.float32)
+    dim = 2 ** n_qubits
+    m = vectors.shape[-1]
+    if m >= dim:
+        v = vectors[..., :dim]
+    else:
+        pad = [(0, 0)] * (vectors.ndim - 1) + [(0, dim - m)]
+        v = jnp.pad(vectors, pad)
+    return _normalize(v).astype(jnp.complex64)
+
+
+def amplitude_fidelity(
+    query_vec: jnp.ndarray, doc_vecs: jnp.ndarray, n_qubits: int
+) -> jnp.ndarray:
+    """|<psi_q|psi_d>|^2 under amplitude encoding — for real vectors
+    this is the squared cosine similarity of the truncated/renormalized
+    vectors, computed as one batched dot (MXU-friendly)."""
+    q = jnp.real(amplitude_encode(query_vec, n_qubits)).astype(jnp.float32)
+    d = jnp.real(amplitude_encode(doc_vecs, n_qubits)).astype(jnp.float32)
+    inner = jnp.einsum("...d,nd->...n", jnp.atleast_2d(q), d)
+    out = inner * inner
+    return out[0] if query_vec.ndim == 1 else out
+
+
+def swap_test_probability(
+    query_vec: jnp.ndarray, doc_vecs: jnp.ndarray, n_qubits: int
+) -> jnp.ndarray:
+    """P(ancilla = 0) of the swap test = (1 + |<psi_q|psi_d>|^2) / 2.
+
+    The physical-circuit readout the north star references: an ancilla
+    in |+>, controlled-SWAP between the two registers, H, measure.
+    Derived exactly from the amplitude fidelity (no 2^(2n+1) circuit
+    simulation needed — the identity is exact).
+    """
+    return 0.5 * (1.0 + amplitude_fidelity(query_vec, doc_vecs, n_qubits))

@@ -31,8 +31,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _merge_candidates(
+    acc_v: jnp.ndarray,
+    acc_i: jnp.ndarray,
+    new_v: jnp.ndarray,
+    new_i: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact (B, k) merge of two candidate sets with lower-global-index
+    tie-break (lexsort on (-value, index)) — order-insensitive, so the
+    ring merge matches the allgather merge bit-for-bit."""
+    comb_v = jnp.concatenate([acc_v, new_v], axis=1)
+    comb_i = jnp.concatenate([acc_i, new_i], axis=1)
+    order = jnp.lexsort((comb_i, -comb_v), axis=-1)[:, :k]
+    return (
+        jnp.take_along_axis(comb_v, order, axis=1),
+        jnp.take_along_axis(comb_i, order, axis=1),
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "mode", "mesh")
+    jax.jit, static_argnames=("k", "metric", "mode", "mesh", "merge")
 )
 def _sharded_search(
     queries: jnp.ndarray,  # (B, d) sharded P(data, None)
@@ -43,6 +62,7 @@ def _sharded_search(
     metric: str,
     mode: str,
     mesh: Mesh,
+    merge: str = "allgather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     def local(q, x, sq, vl):
         # per-shard scan: identical kernel to the single-chip path
@@ -50,10 +70,24 @@ def _sharded_search(
         vals, idx = goodness_topk(g, k, mode=mode)
         shard = jax.lax.axis_index(MODEL_AXIS)
         idx = idx + shard * x.shape[0]  # globalize row ids
+        s = jax.lax.axis_size(MODEL_AXIS)
+        if merge == "ring":
+            # memory-bounded ring merge (the retrieval analogue of ring
+            # attention — SURVEY.md §2): the ORIGINAL per-shard
+            # candidates travel around the ring via ppermute; each shard
+            # folds the traveling set into its accumulator.  Peak memory
+            # per step is (B, 2k) instead of allgather's (S, B, k).
+            perm = [(j, (j + 1) % s) for j in range(s)]
+            acc_v, acc_i = vals, idx
+            trav_v, trav_i = vals, idx
+            for _ in range(s - 1):
+                trav_v = jax.lax.ppermute(trav_v, MODEL_AXIS, perm)
+                trav_i = jax.lax.ppermute(trav_i, MODEL_AXIS, perm)
+                acc_v, acc_i = _merge_candidates(acc_v, acc_i, trav_v, trav_i, k)
+            return acc_v, acc_i
         # one ICI collective: k candidates per shard, all-to-all-gather
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # (S, Bl, k)
         all_idx = jax.lax.all_gather(idx, MODEL_AXIS)
-        s = all_vals.shape[0]
         bl = all_vals.shape[1]
         comb_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bl, s * k)
         comb_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bl, s * k)
@@ -88,9 +122,13 @@ class ShardedFlatIndex:
         metadata: Optional[Sequence[str]] = None,
         topk_mode: str = "approx",
         store_dtype: str = "float32",
+        merge: str = "allgather",
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
+        if merge not in ("allgather", "ring"):
+            raise ValueError(f"unknown merge strategy {merge!r}")
+        self.merge = merge
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.mesh = mesh
         self.metric = metric
@@ -130,6 +168,7 @@ class ShardedFlatIndex:
             self.metric,
             self.topk_mode,
             self.mesh,
+            self.merge,
         )
 
     def search(self, queries: np.ndarray, k: int = 10):

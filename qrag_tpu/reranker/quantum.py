@@ -66,12 +66,19 @@ class QuantumReranker:
         ``quantum.py:98-104``)."""
         embeds = self.embedder([query] + [doc.content for doc in documents])
         q_vec, doc_vecs = embeds[0], embeds[1:]
-        scores = batched_fidelity(
-            jnp.asarray(q_vec),
-            jnp.asarray(doc_vecs),
-            n_qubits=self.n_qubits,
-            analytic=self.config.use_analytic_fidelity,
-        )
+        if self.config.encoding == "amplitude":
+            from qrag_tpu.ops.statevector import amplitude_fidelity
+
+            scores = amplitude_fidelity(
+                jnp.asarray(q_vec), jnp.asarray(doc_vecs), self.n_qubits
+            )
+        else:
+            scores = batched_fidelity(
+                jnp.asarray(q_vec),
+                jnp.asarray(doc_vecs),
+                n_qubits=self.n_qubits,
+                analytic=self.config.use_analytic_fidelity,
+            )
         return np.asarray(scores, dtype=np.float32)
 
     def rerank(
