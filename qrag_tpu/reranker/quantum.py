@@ -66,6 +66,13 @@ class QuantumReranker:
         ``quantum.py:98-104``)."""
         embeds = self.embedder([query] + [doc.content for doc in documents])
         q_vec, doc_vecs = embeds[0], embeds[1:]
+        # pad the candidate count to a power-of-two bucket so serving
+        # traffic with varying doc counts reuses compiled graphs
+        # (XLA static shapes; SURVEY.md §7 hard part 5)
+        n = doc_vecs.shape[0]
+        bucket = 1 << max(3, (n - 1).bit_length())
+        if bucket != n:
+            doc_vecs = np.pad(doc_vecs, ((0, bucket - n), (0, 0)))
         if self.config.encoding == "amplitude":
             from qrag_tpu.ops.statevector import amplitude_fidelity
 
@@ -79,7 +86,7 @@ class QuantumReranker:
                 n_qubits=self.n_qubits,
                 analytic=self.config.use_analytic_fidelity,
             )
-        return np.asarray(scores, dtype=np.float32)
+        return np.asarray(scores, dtype=np.float32)[:n]
 
     def rerank(
         self,
