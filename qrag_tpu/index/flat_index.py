@@ -89,6 +89,14 @@ class DeviceFlatIndex:
         self._dev_valid: Optional[jax.Array] = None
         self._capacity = 0
         self._dirty = True
+        # Single-writer contract (SURVEY.md §5 race detection): the
+        # reference's index read-modify-write and score cache were
+        # unguarded; here mutation and device-upload are serialized.
+        # The query path reads immutable device arrays, so concurrent
+        # searches need no lock once uploaded.
+        import threading
+
+        self._write_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # construction / ingestion
@@ -111,16 +119,19 @@ class DeviceFlatIndex:
         if self.normalize:
             norms = np.linalg.norm(vectors, axis=1, keepdims=True)
             vectors = np.where(norms > 0, vectors / np.where(norms > 0, norms, 1), vectors)
-        self._host_vectors = np.concatenate([self._host_vectors, vectors], axis=0)
-        if metadata is not None:
-            if len(metadata) != vectors.shape[0]:
-                raise ValueError(
-                    f"metadata length {len(metadata)} != vectors {vectors.shape[0]}"
-                )
-            self.metadata.extend(str(m) for m in metadata)
-        else:
-            self.metadata.extend([""] * vectors.shape[0])
-        self._dirty = True
+        if metadata is not None and len(metadata) != vectors.shape[0]:
+            raise ValueError(
+                f"metadata length {len(metadata)} != vectors {vectors.shape[0]}"
+            )
+        with self._write_lock:
+            self._host_vectors = np.concatenate(
+                [self._host_vectors, vectors], axis=0
+            )
+            if metadata is not None:
+                self.metadata.extend(str(m) for m in metadata)
+            else:
+                self.metadata.extend([""] * vectors.shape[0])
+            self._dirty = True
         return self.ntotal
 
     @classmethod
@@ -155,6 +166,12 @@ class DeviceFlatIndex:
     # ------------------------------------------------------------------
 
     def _ensure_device(self) -> None:
+        if not self._dirty and self._dev_matrix is not None:
+            return
+        with self._write_lock:
+            self._upload_locked()
+
+    def _upload_locked(self) -> None:
         if not self._dirty and self._dev_matrix is not None:
             return
         n = self.ntotal

@@ -83,6 +83,9 @@ class CrossEncoderConfig:
     n_experts: int = 4  # MoE FFN experts (EP axis); 0 = dense FFN
     dropout: float = 0.0  # (not used at score time)
     dtype: Any = jnp.bfloat16
+    # rematerialize each block's activations in backward (trade FLOPs
+    # for HBM — jax.checkpoint per layer)
+    remat: bool = False
 
 
 # ------------------------------------------------------------------- params
@@ -252,6 +255,16 @@ def _dense_ffn(p, x):
     return _linear(p["w2"], h)
 
 
+def _block(layer, x, mask, n_heads, dtype):
+    h = _layer_norm(x.astype(jnp.float32), layer["ln1"]["g"], layer["ln1"]["b"])
+    x = x + _attention(layer["attn"], h.astype(dtype), mask, n_heads)
+    h = _layer_norm(x.astype(jnp.float32), layer["ln2"]["g"], layer["ln2"]["b"])
+    h = h.astype(dtype)
+    if "moe" in layer:
+        return x + _moe_ffn(layer["moe"], h)
+    return x + _dense_ffn(layer["mlp"], h)
+
+
 def forward(
     params: Dict[str, Any],
     tokens: jnp.ndarray,  # (B, T) int32
@@ -261,15 +274,11 @@ def forward(
     """Relevance logits (B,)."""
     x = params["tok_emb"][tokens] + params["pos_emb"][None, : tokens.shape[1]]
     x = x.astype(cfg.dtype)
+    block = functools.partial(_block, n_heads=cfg.n_heads, dtype=cfg.dtype)
+    if cfg.remat:
+        block = jax.checkpoint(block)
     for layer in params["layers"]:
-        h = _layer_norm(x.astype(jnp.float32), layer["ln1"]["g"], layer["ln1"]["b"])
-        x = x + _attention(layer["attn"], h.astype(cfg.dtype), mask, cfg.n_heads)
-        h = _layer_norm(x.astype(jnp.float32), layer["ln2"]["g"], layer["ln2"]["b"])
-        h = h.astype(cfg.dtype)
-        if "moe" in layer:
-            x = x + _moe_ffn(layer["moe"], h)
-        else:
-            x = x + _dense_ffn(layer["mlp"], h)
+        x = block(layer, x, mask)
     x = _layer_norm(
         x.astype(jnp.float32), params["final_ln"]["g"], params["final_ln"]["b"]
     )
