@@ -44,24 +44,32 @@ from qrag_tpu.ops.topk import _goodness, goodness_topk  # noqa: E402
 NORTH_STAR_QPS = 1_000_000.0
 
 
+_CORPUS_CACHE = {}
+
+
 def make_corpus(n: int, d: int, dtype) -> jax.Array:
-    """Unit-norm random corpus generated on device in chunks."""
+    """Unit-norm random corpus generated on device in ONE dispatch
+    (per-dispatch tunnel latency dominates; vmapped chunk generation
+    keeps peak memory at one f32 chunk while emitting dtype)."""
+    key = (n, d, np.dtype(dtype).name)
+    if key in _CORPUS_CACHE:
+        return _CORPUS_CACHE[key]
+
+    n_chunks = max(1, -(-n // 131072))
+    rows = -(-n // n_chunks)
 
     @functools.partial(jax.jit, static_argnames=("rows", "d"))
-    def chunk(key, rows, d):
-        x = jax.random.normal(key, (rows, d), dtype=jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x.astype(dtype)
+    def gen(keys, rows, d):
+        def one(k):
+            x = jax.random.normal(k, (rows, d), dtype=jnp.float32)
+            return (x / jnp.linalg.norm(x, axis=1, keepdims=True)).astype(dtype)
 
-    chunk_rows = min(n, 131072)
-    keys = jax.random.split(jax.random.PRNGKey(0), -(-n // chunk_rows))
-    parts = []
-    done = 0
-    for key in keys:
-        rows = min(chunk_rows, n - done)
-        parts.append(chunk(key, rows, d))
-        done += rows
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        return jax.lax.map(one, keys)  # sequential: bounds f32 temps
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chunks)
+    corpus = gen(keys, rows, d).reshape(n_chunks * rows, d)[:n]
+    _CORPUS_CACHE[key] = corpus
+    return corpus
 
 
 @functools.partial(
@@ -108,6 +116,57 @@ def run(n, d, b, k, iters, mode, dtype=jnp.bfloat16, verbose=False):
     return b * iters / dt, dt / iters
 
 
+def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
+    """Quantum-rerank overhead (north star: 10-qubit fidelity over the
+    candidates at <5%% added query latency): retrieval-only top-k vs
+    fused retrieval->fidelity->top-k, same candidate budget."""
+    from qrag_tpu.ops.statevector import fidelity_analytic
+
+    corpus = make_corpus(n, d, dtype)
+    sq = jnp.sum(
+        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
+    )
+    q0 = jax.random.normal(jax.random.PRNGKey(3), (b, d), dtype=jnp.float32)
+    q0 = (q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)).astype(dtype)
+    iters, k, cands, n_qubits = 8, 10, 100, 10
+
+    @functools.partial(jax.jit, static_argnames=("fused",))
+    def loop(q, fused):
+        def body(carry, _):
+            g = _goodness(carry, corpus, "l2", sq, None)
+            vals, idx = goodness_topk(g, cands, mode=mode)
+            if fused:
+                cand_vecs = jnp.take(corpus, idx, axis=0).astype(jnp.float32)
+                fid = jax.vmap(
+                    lambda qq, c: fidelity_analytic(qq, c, n_qubits)
+                )(carry.astype(jnp.float32), cand_vecs)
+                vals, sel = jax.lax.top_k(fid, k)
+                idx = jnp.take_along_axis(idx, sel, axis=1)
+            return (
+                carry + (1e-9 * vals[:, :1]).astype(carry.dtype),
+                (vals[0, 0], idx[0, 0]),
+            )
+
+        q_out, (v, i) = jax.lax.scan(body, q, None, length=iters)
+        return v.sum() + q_out[0, 0].astype(jnp.float32), i.sum()
+
+    times = {}
+    for fused in (False, True):
+        r = loop(q0, fused)
+        np.asarray(r[0])
+        t0 = time.time()
+        r = loop(q0, fused)
+        np.asarray(r[0])
+        times[fused] = (time.time() - t0) / iters
+    overhead = (times[True] - times[False]) / times[False] * 100
+    print(
+        f"# fused {n_qubits}-qubit fidelity rerank of {cands} candidates: "
+        f"{times[False]*1e3:.2f} -> {times[True]*1e3:.2f} ms/batch{b} "
+        f"(+{overhead:.1f}% latency; target <5%)",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true", help="CPU-sized run")
@@ -131,6 +190,7 @@ def main() -> None:
         )
         qps_e, _ = run(n, d, b, 10, max(2, iters // 4), "exact")
         print(f"# exact mode: {qps_e:,.0f} QPS", file=sys.stderr)
+        bench_fused_rerank(n, d, b, args.mode)
 
     print(
         json.dumps(

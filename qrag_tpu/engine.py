@@ -38,8 +38,6 @@ from qrag_tpu.utils.metrics import GLOBAL_METRICS, Metrics
 
 logger = logging.getLogger(__name__)
 
-enable_compilation_cache()
-
 
 @functools.partial(
     jax.jit,
@@ -159,6 +157,7 @@ class QragEngine:
         controller: Optional[RerankerController] = None,
         metrics: Optional[Metrics] = None,
     ):
+        enable_compilation_cache()  # per-backend persistent XLA cache
         self.config = config or QragConfig()
         self.index = index or DeviceFlatIndex(
             d=self.config.embedding.dim,

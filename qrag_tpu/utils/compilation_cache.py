@@ -31,6 +31,9 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
         path = cache_dir or os.environ.get(
             "QRAG_COMPILE_CACHE_DIR", DEFAULT_CACHE_DIR
         )
+        # scope by backend: CPU AOT artifacts are machine-specific and
+        # must not be shared with (or poisoned by) TPU entries
+        path = os.path.join(path, jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
