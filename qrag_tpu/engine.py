@@ -335,6 +335,166 @@ class QragEngine:
             "reranker_used": reranker_type,
         }
 
+    def search_rerank_pipelined(
+        self,
+        queries: Union[Sequence[str], np.ndarray],
+        k: int = 10,
+        candidates: int = 100,
+        micro_batch: int = 32,
+        reranker_type: str = "quantum",
+    ) -> Dict[str, Any]:
+        """Two-stage retrieval→rerank pipelined over query micro-batches
+        (the PP row of SURVEY.md §2: the reference's retrieval-then-
+        rerank concept, overlapped).
+
+        Stage 1 (scan top-C) and stage 2 (fidelity rerank) are separate
+        jit graphs; micro-batch i's stage-2 is enqueued before
+        micro-batch i+1's results are fetched, so host embedding /
+        result assembly overlaps device compute via JAX async dispatch
+        (and stages run concurrently across devices when the stages are
+        placed on different chips).  Results are identical to
+        `search_rerank` on the concatenated batch.
+        """
+        if isinstance(queries, (str,)):
+            queries = [queries]
+        if isinstance(queries, (list, tuple)):
+            qv = self.embedder([str(q) for q in queries])
+        else:
+            qv = np.asarray(queries, dtype=np.float32)
+        n = self.index.ntotal
+        if n == 0:
+            return {"queries": qv.shape[0], "results": [], "reranker_used": reranker_type}
+        c_eff = min(candidates, n)
+        k_eff = min(k, c_eff)
+        self._ensure_pipeline_fns()
+        self.index._ensure_device()
+        # pad the tail micro-batch so every stage reuses one compiled shape
+        b = qv.shape[0]
+        n_mb = -(-b // micro_batch)
+        qv_p = np.zeros((n_mb * micro_batch, qv.shape[1]), np.float32)
+        qv_p[:b] = qv
+        in_flight = []  # (device futures) — stage-2 outputs
+        for i in range(n_mb):
+            mb = jnp.asarray(qv_p[i * micro_batch : (i + 1) * micro_batch])
+            retr_scores, idx = self._stage_retrieve(mb, c_eff)  # stage 1
+            fid, sel_idx, sel_retr = self._stage_rerank(
+                mb, retr_scores, idx, k_eff
+            )  # stage 2 — enqueued; not fetched yet
+            in_flight.append((fid, sel_idx, sel_retr))
+        results = []
+        for fid, sel_idx, sel_retr in in_flight:  # fetch in order
+            scores = np.asarray(fid)
+            indices = np.asarray(sel_idx)
+            retr_np = np.asarray(sel_retr)
+            for qi in range(indices.shape[0]):
+                if len(results) >= b:
+                    break
+                hits = []
+                for j in range(indices.shape[1]):
+                    i2 = int(indices[qi, j])
+                    if i2 < 0 or i2 >= n or not np.isfinite(scores[qi, j]):
+                        continue
+                    hits.append(
+                        {
+                            "index": i2,
+                            "score": float(scores[qi, j]),
+                            "retrieval_score": float(retr_np[qi, j]),
+                            "metadata": self.index.metadata[i2] or None,
+                        }
+                    )
+                results.append(hits)
+        self.metrics.incr("search_rerank_pipelined_requests")
+        return {
+            "queries": b,
+            "results": results[:b],
+            "reranker_used": reranker_type,
+        }
+
+    def _ensure_pipeline_fns(self) -> None:
+        if hasattr(self, "_stage_retrieve"):
+            return
+        index = self.index
+        cfg = self.config
+        # device buffers are passed as ARGUMENTS (not closed over) so
+        # index appends/re-uploads are picked up without retracing bugs
+
+        @functools.partial(jax.jit, static_argnames=("c", "metric", "mode"))
+        def _retrieve_impl(q, matrix, sqnorms, valid, c, metric, mode):
+            return flat_scan_topk(
+                q.astype(matrix.dtype),
+                matrix,
+                c,
+                metric=metric,
+                corpus_sqnorms=sqnorms,
+                valid_rows=valid,
+                mode=mode,
+            )
+
+        @functools.partial(
+            jax.jit, static_argnames=("k", "n_qubits", "metric")
+        )
+        def _rerank_impl(q, matrix, retr_scores, idx, k, n_qubits, metric):
+            cand = jnp.take(matrix, idx, axis=0).astype(jnp.float32)
+            fid = jax.vmap(
+                lambda qq, c: fidelity_analytic(qq, c, n_qubits)
+            )(q.astype(jnp.float32), cand)
+            invalid = (
+                jnp.isinf(retr_scores)
+                if metric == "l2"
+                else jnp.isneginf(retr_scores)
+            )
+            fid = jnp.where(invalid, -jnp.inf, fid)
+            top, sel = jax.lax.top_k(fid, k)
+            return (
+                top,
+                jnp.take_along_axis(idx, sel, axis=1),
+                jnp.take_along_axis(retr_scores, sel, axis=1),
+            )
+
+        def stage_retrieve(q, c):
+            return _retrieve_impl(
+                q,
+                index._dev_matrix,
+                index._dev_sqnorms,
+                index._dev_valid,
+                c,
+                index.metric,
+                "approx" if index.topk_mode == "verified" else index.topk_mode,
+            )
+
+        def stage_rerank(q, retr_scores, idx, k):
+            return _rerank_impl(
+                q,
+                index._dev_matrix,
+                retr_scores,
+                idx,
+                k,
+                cfg.quantum.n_qubits,
+                index.metric,
+            )
+
+        self._stage_retrieve = stage_retrieve
+        self._stage_rerank = stage_rerank
+
+    def sample_recall(self, k: int = 10, samples: int = 16, seed: int = 0) -> float:
+        """Observability self-check (SURVEY.md §5 metrics: "recall@k
+        sampling"): perturb random corpus rows slightly and measure the
+        fraction whose source row lands in the top-k."""
+        n = self.index.ntotal
+        if n == 0:
+            return 0.0
+        rng = np.random.RandomState(seed)
+        rows = rng.choice(n, size=min(samples, n), replace=False)
+        base = self.index._host_vectors[rows]
+        noise = 1e-3 * rng.randn(*base.shape).astype(np.float32)
+        res = self.index.search(base + noise, k=min(k, n))
+        hits = sum(
+            1 for qi, row in enumerate(rows) if row in set(res.indices[qi])
+        )
+        recall = hits / len(rows)
+        self.metrics.incr("recall_samples", len(rows))
+        return recall
+
     # ------------------------------------------------------------- lifecycle
 
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> float:
