@@ -111,6 +111,33 @@ def _sharded_search(
     )(queries, corpus, sqnorms, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _sharded_gather_rows(
+    idx: jnp.ndarray,  # (B, k) int32 global row ids (replicated)
+    corpus: jnp.ndarray,  # (Np, d) sharded P(model, None)
+    mesh: Mesh,
+) -> jnp.ndarray:
+    def local(idx_l, x):
+        rows_per = x.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        local_idx = idx_l - shard * rows_per
+        owned = (local_idx >= 0) & (local_idx < rows_per)
+        safe = jnp.clip(local_idx, 0, rows_per - 1)
+        take = jnp.take(x, safe.reshape(-1), axis=0).reshape(
+            idx_l.shape + (x.shape[1],)
+        )
+        contrib = jnp.where(owned[..., None], take.astype(jnp.float32), 0.0)
+        return jax.lax.psum(contrib, MODEL_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(MODEL_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )(idx, corpus)
+
+
 class ShardedFlatIndex:
     """Row-sharded HBM-resident exact flat index over a device mesh."""
 
@@ -169,6 +196,36 @@ class ShardedFlatIndex:
             self.topk_mode,
             self.mesh,
             self.merge,
+        )
+
+    def gather_rows_device(self, idx: jnp.ndarray) -> jnp.ndarray:
+        """Gather corpus rows by global index across shards: each shard
+        contributes the rows it owns (masked local take), one psum over
+        the model axis combines them.  (B, k) int32 → (B, k, d) f32."""
+        return _sharded_gather_rows(idx, self._dev_matrix, self.mesh)
+
+    def search_rerank_device(
+        self, queries: jnp.ndarray, k: int, candidates: int, n_qubits: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Sharded retrieval → quantum fidelity rerank: per-shard scan +
+        allgather/ring merge, distributed candidate-row gather, batched
+        fidelity, final top-k (BASELINE configs[4] query path)."""
+        retr, idx = self.search_device(queries, candidates)
+        cand = self.gather_rows_device(idx)  # (B, C, d)
+        from qrag_tpu.ops.statevector import fidelity_analytic
+
+        q32 = queries.astype(jnp.float32)
+        fid = jax.vmap(lambda q, c: fidelity_analytic(q, c, n_qubits))(
+            q32, cand
+        )
+        # retr is raw goodness here (pre-_finalize): invalid slots -inf
+        invalid = jnp.isneginf(retr)
+        fid = jnp.where(invalid, -jnp.inf, fid)
+        top, sel = jax.lax.top_k(fid, k)
+        return (
+            top,
+            jnp.take_along_axis(idx, sel, axis=1),
+            jnp.take_along_axis(retr, sel, axis=1),
         )
 
     def search(self, queries: np.ndarray, k: int = 10):
