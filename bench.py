@@ -131,12 +131,12 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
     iters, k, cands, n_qubits = 8, 10, 100, 10
 
     @functools.partial(jax.jit, static_argnames=("fused",))
-    def loop(q, fused):
+    def loop(q, corpus_, sq_, fused):
         def body(carry, _):
-            g = _goodness(carry, corpus, "l2", sq, None)
+            g = _goodness(carry, corpus_, "l2", sq_, None)
             vals, idx = goodness_topk(g, cands, mode=mode)
             if fused:
-                cand_vecs = jnp.take(corpus, idx, axis=0).astype(jnp.float32)
+                cand_vecs = jnp.take(corpus_, idx, axis=0).astype(jnp.float32)
                 fid = jax.vmap(
                     lambda qq, c: fidelity_analytic(qq, c, n_qubits)
                 )(carry.astype(jnp.float32), cand_vecs)
@@ -152,10 +152,10 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
 
     times = {}
     for fused in (False, True):
-        r = loop(q0, fused)
+        r = loop(q0, corpus, sq, fused)
         np.asarray(r[0])
         t0 = time.time()
-        r = loop(q0, fused)
+        r = loop(q0, corpus, sq, fused)
         np.asarray(r[0])
         times[fused] = (time.time() - t0) / iters
     overhead = (times[True] - times[False]) / times[False] * 100

@@ -101,8 +101,13 @@ def _make_handler(engine: QragEngine):
         def do_GET(self):
             if self.path == "/":
                 self._send_json(SERVICE_INFO)
-            elif self.path == "/stats":
-                self._send_json(engine.stats())
+            elif self.path.startswith("/stats"):
+                stats = engine.stats()
+                if "recall" in self.path.partition("?")[2]:
+                    # on-demand recall@10 self-check (perturbed
+                    # self-queries; SURVEY.md §5 observability)
+                    stats["sampled_recall_at_10"] = engine.sample_recall(k=10)
+                self._send_json(stats)
             else:
                 self._send_json({"error": f"not found: {self.path}"}, 404)
 
