@@ -118,9 +118,12 @@ def run(n, d, b, k, iters, mode, dtype=jnp.bfloat16, verbose=False):
 
 def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
     """Quantum-rerank overhead (north star: 10-qubit fidelity over the
-    candidates at <5%% added query latency): retrieval-only top-k vs
-    fused retrieval->fidelity->top-k, same candidate budget."""
-    from qrag_tpu.ops.statevector import fidelity_analytic
+    candidates at <5%% added query latency): retrieval of C candidates
+    vs retrieval + feature-gather fidelity + final top-k, same C."""
+    from qrag_tpu.ops.statevector import (
+        fidelity_from_features,
+        rotation_features,
+    )
 
     corpus = make_corpus(n, d, dtype)
     sq = jnp.sum(
@@ -129,17 +132,19 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
     q0 = jax.random.normal(jax.random.PRNGKey(3), (b, d), dtype=jnp.float32)
     q0 = (q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)).astype(dtype)
     iters, k, cands, n_qubits = 8, 10, 100, 10
+    feats = jax.jit(rotation_features, static_argnames="n_qubits")(
+        corpus.astype(jnp.float32), n_qubits, sqnorms=sq
+    )
 
     @functools.partial(jax.jit, static_argnames=("fused",))
-    def loop(q, corpus_, sq_, fused):
+    def loop(q, corpus_, sq_, feats_, fused):
         def body(carry, _):
             g = _goodness(carry, corpus_, "l2", sq_, None)
-            vals, idx = goodness_topk(g, cands, mode=mode)
+            vals, idx = goodness_topk(g, cands, mode=mode, oversample=1)
             if fused:
-                cand_vecs = jnp.take(corpus_, idx, axis=0).astype(jnp.float32)
-                fid = jax.vmap(
-                    lambda qq, c: fidelity_analytic(qq, c, n_qubits)
-                )(carry.astype(jnp.float32), cand_vecs)
+                q_feat = rotation_features(carry.astype(jnp.float32), n_qubits)
+                cand = jnp.take(feats_, idx, axis=0)  # (B, C, n_qubits)
+                fid = fidelity_from_features(q_feat, cand)
                 vals, sel = jax.lax.top_k(fid, k)
                 idx = jnp.take_along_axis(idx, sel, axis=1)
             return (
@@ -152,10 +157,10 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
 
     times = {}
     for fused in (False, True):
-        r = loop(q0, corpus, sq, fused)
+        r = loop(q0, corpus, sq, feats, fused)
         np.asarray(r[0])
         t0 = time.time()
-        r = loop(q0, corpus, sq, fused)
+        r = loop(q0, corpus, sq, feats, fused)
         np.asarray(r[0])
         times[fused] = (time.time() - t0) / iters
     overhead = (times[True] - times[False]) / times[False] * 100

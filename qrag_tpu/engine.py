@@ -56,8 +56,13 @@ def fused_search_rerank(
     metric: str = "l2",
     analytic: bool = True,
     topk_mode: str = "exact",
+    fid_feats: Optional[jnp.ndarray] = None,  # (N, n_qubits) cached
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused graph: retrieval top-C → quantum fidelity → top-k.
+
+    When ``fid_feats`` (precomputed rotation features,
+    `DeviceFlatIndex.fidelity_features`) is given, the rerank stage
+    gathers only (C, n_qubits) per query instead of (C, d) raw rows.
 
     Returns (fidelity_scores (B, k) desc, corpus_indices (B, k),
     retrieval_scores_of_selected (B, k)).
@@ -70,12 +75,25 @@ def fused_search_rerank(
         corpus_sqnorms=corpus_sqnorms,
         valid_rows=valid_rows,
         mode=topk_mode,
+        # the fidelity stage fully re-ranks the candidate SET, so the
+        # retrieval stage needs no oversampling of its own
+        oversample=1,
     )  # (B, C)
-    cand_vecs = jnp.take(corpus, idx, axis=0)  # (B, C, d) gather in HBM
-    fid_fn = fidelity_analytic if analytic else fidelity_statevector
-    fid = jax.vmap(lambda q, c: fid_fn(q, c, n_qubits))(
-        query_vecs, cand_vecs
-    )  # (B, C)
+    if analytic and fid_feats is not None:
+        from qrag_tpu.ops.statevector import (
+            fidelity_from_features,
+            rotation_features,
+        )
+
+        q_feat = rotation_features(query_vecs.astype(jnp.float32), n_qubits)
+        cand_feats = jnp.take(fid_feats, idx, axis=0)  # (B, C, n_qubits)
+        fid = fidelity_from_features(q_feat, cand_feats)
+    else:
+        cand_vecs = jnp.take(corpus, idx, axis=0)  # (B, C, d) gather in HBM
+        fid_fn = fidelity_analytic if analytic else fidelity_statevector
+        fid = jax.vmap(lambda q, c: fid_fn(q, c, n_qubits))(
+            query_vecs, cand_vecs
+        )  # (B, C)
     # mask out invalid candidate slots (C > ntotal case)
     invalid = (
         jnp.isinf(retr_scores) if metric == "l2" else jnp.isneginf(retr_scores)
@@ -292,6 +310,7 @@ class QragEngine:
                 scores, indices = np.asarray(fid), np.asarray(idx)
                 retr_scores = np.asarray(retr)
             elif reranker_type == "quantum":
+                analytic = self.config.quantum.use_analytic_fidelity
                 fid, idx, retr = fused_search_rerank(
                     jnp.asarray(qv),
                     self.index._dev_matrix,
@@ -301,8 +320,15 @@ class QragEngine:
                     candidates=c_eff,
                     n_qubits=self.config.quantum.n_qubits,
                     metric=self.index.metric,
-                    analytic=self.config.quantum.use_analytic_fidelity,
+                    analytic=analytic,
                     topk_mode=fused_mode,
+                    fid_feats=(
+                        self.index.fidelity_features(
+                            self.config.quantum.n_qubits
+                        )
+                        if analytic
+                        else None
+                    ),
                 )
                 scores, indices = np.asarray(fid), np.asarray(idx)
                 retr_scores = np.asarray(retr)
@@ -433,11 +459,15 @@ class QragEngine:
         @functools.partial(
             jax.jit, static_argnames=("k", "n_qubits", "metric")
         )
-        def _rerank_impl(q, matrix, retr_scores, idx, k, n_qubits, metric):
-            cand = jnp.take(matrix, idx, axis=0).astype(jnp.float32)
-            fid = jax.vmap(
-                lambda qq, c: fidelity_analytic(qq, c, n_qubits)
-            )(q.astype(jnp.float32), cand)
+        def _rerank_impl(q, feats, retr_scores, idx, k, n_qubits, metric):
+            from qrag_tpu.ops.statevector import (
+                fidelity_from_features,
+                rotation_features,
+            )
+
+            q_feat = rotation_features(q.astype(jnp.float32), n_qubits)
+            cand_feats = jnp.take(feats, idx, axis=0)
+            fid = fidelity_from_features(q_feat, cand_feats)
             invalid = (
                 jnp.isinf(retr_scores)
                 if metric == "l2"
@@ -465,7 +495,7 @@ class QragEngine:
         def stage_rerank(q, retr_scores, idx, k):
             return _rerank_impl(
                 q,
-                index._dev_matrix,
+                index.fidelity_features(cfg.quantum.n_qubits),
                 retr_scores,
                 idx,
                 k,

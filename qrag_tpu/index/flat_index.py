@@ -97,6 +97,8 @@ class DeviceFlatIndex:
         import threading
 
         self._write_lock = threading.Lock()
+        # cached (capacity, n_qubits) fidelity feature matrices
+        self._fid_feats: dict = {}
 
     # ------------------------------------------------------------------
     # construction / ingestion
@@ -194,12 +196,30 @@ class DeviceFlatIndex:
         self._dev_matrix = put(padded.astype(self.store_dtype))
         self._dev_sqnorms = put(np.sum(padded * padded, axis=1, dtype=np.float32))
         self._dev_valid = put(valid)
+        self._fid_feats.clear()
         self._dirty = False
 
     @property
     def device_matrix(self) -> jax.Array:
         self._ensure_device()
         return self._dev_matrix
+
+    def fidelity_features(self, n_qubits: int) -> jax.Array:
+        """Cached (capacity, n_qubits) rotation-encoding features —
+        what the fused quantum rerank gathers instead of full rows
+        (768/n_qubits× less HBM gather traffic)."""
+        self._ensure_device()
+        feats = self._fid_feats.get(n_qubits)
+        if feats is None:
+            from qrag_tpu.ops.statevector import rotation_features
+
+            feats = jax.jit(rotation_features, static_argnames="n_qubits")(
+                self._dev_matrix.astype(jnp.float32),
+                n_qubits,
+                sqnorms=self._dev_sqnorms,
+            )
+            self._fid_feats[n_qubits] = feats
+        return feats
 
     # ------------------------------------------------------------------
     # search

@@ -215,6 +215,47 @@ def batched_fidelity(
     return fidelity_statevector(query_vec, doc_vecs, n_qubits)
 
 
+def rotation_features(
+    vectors: jnp.ndarray, n_qubits: int, sqnorms: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Precompute the per-vector features the analytic fidelity needs:
+    the first ``n_qubits`` components of the L2-NORMALIZED vector.
+
+    The rotation encoding only reads v_normalized[:n_qubits]
+    (``quantum.py:158-161`` uses min(len(v), n_qubits) components after
+    normalizing the FULL vector), so a (N, n_qubits) feature matrix is
+    all the rerank stage must gather from HBM — 768/n_qubits× less
+    bandwidth than gathering raw rows.
+    """
+    vectors = jnp.asarray(vectors, dtype=jnp.float32)
+    if sqnorms is None:
+        sqnorms = jnp.sum(vectors * vectors, axis=-1)
+    inv = jnp.where(sqnorms > 0, jax.lax.rsqrt(jnp.maximum(sqnorms, 1e-30)), 1.0)
+    k = min(vectors.shape[-1], n_qubits)
+    feats = vectors[..., :k] * inv[..., None]
+    if k < n_qubits:
+        pad = [(0, 0)] * (vectors.ndim - 1) + [(0, n_qubits - k)]
+        feats = jnp.pad(feats, pad)
+    return feats
+
+
+def fidelity_from_features(
+    q_feat: jnp.ndarray,  # (..., n_qubits) — rotation_features of queries
+    d_feats: jnp.ndarray,  # (..., C, n_qubits) — of candidates
+) -> jnp.ndarray:
+    """Analytic fidelity from precomputed features (same math as
+    `fidelity_analytic`, minus the normalization — exact for features
+    built by `rotation_features`)."""
+    qa = q_feat[..., None, :]
+    half_tq = qa * (jnp.pi / 2)
+    half_td = d_feats * (jnp.pi / 2)
+    dphi = (qa - d_feats) * (jnp.pi / 2)
+    A = jnp.cos(half_tq) * jnp.cos(half_td)
+    B = jnp.sin(half_tq) * jnp.sin(half_td)
+    per_qubit = A * A + B * B + 2.0 * A * B * jnp.cos(dphi)
+    return jnp.prod(per_qubit, axis=-1)
+
+
 # ----------------------------------------------------------- amplitude mode
 
 

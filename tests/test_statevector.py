@@ -106,3 +106,40 @@ def test_zero_vector_passthrough():
     got = np.asarray(encode_statevector(jnp.asarray(z), n_qubits))
     want = oracle_statevector(z, n_qubits)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_rotation_features_fidelity_matches_analytic(rng):
+    """Feature-based path (what the fused rerank gathers) == direct
+    analytic fidelity on raw vectors."""
+    from qrag_tpu.ops.statevector import (
+        fidelity_from_features,
+        rotation_features,
+    )
+
+    n_qubits = 10
+    q = rng.randn(768).astype(np.float32) * 3.0
+    docs = rng.randn(32, 768).astype(np.float32)
+    want = np.asarray(fidelity_analytic(jnp.asarray(q), jnp.asarray(docs), n_qubits))
+    qf = rotation_features(jnp.asarray(q), n_qubits)
+    df = rotation_features(jnp.asarray(docs), n_qubits)
+    got = np.asarray(fidelity_from_features(qf, df))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_rotation_features_short_vector(rng):
+    from qrag_tpu.ops.statevector import (
+        fidelity_from_features,
+        rotation_features,
+    )
+
+    n_qubits = 6
+    q = rng.randn(3).astype(np.float32)
+    d = rng.randn(4, 3).astype(np.float32)
+    want = np.asarray(fidelity_analytic(jnp.asarray(q), jnp.asarray(d), n_qubits))
+    got = np.asarray(
+        fidelity_from_features(
+            rotation_features(jnp.asarray(q), n_qubits),
+            rotation_features(jnp.asarray(d), n_qubits),
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
