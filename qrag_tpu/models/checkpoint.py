@@ -50,6 +50,7 @@ def save_train_state(
     path = os.path.join(directory, STATE_DIR)
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    ckptr.close()  # join orbax's background threads (clean interpreter exit)
 
 
 def load_train_state(
@@ -71,4 +72,5 @@ def load_train_state(
         "opt_state": _to_host(opt_state_like),
     }
     state = ckptr.restore(os.path.join(directory, STATE_DIR), target)
+    ckptr.close()
     return state["params"], state["opt_state"], int(meta["step"]), meta["config"]
