@@ -116,6 +116,52 @@ def run(n, d, b, k, iters, mode, dtype=jnp.bfloat16, verbose=False):
     return b * iters / dt, dt / iters
 
 
+def bench_int8(n, d, b, iters, k=10):
+    """Int8 scan + exact bf16 refinement (index/quantized_index.py)."""
+    from qrag_tpu.ops.quantize import (
+        int8_scan_topk,
+        quantize_rows,
+        refine_candidates,
+    )
+
+    corpus = make_corpus(n, d, jnp.bfloat16)
+    sq = jnp.sum(
+        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
+    )
+    x8, xs = jax.jit(quantize_rows)(corpus.astype(jnp.float32))
+    q0 = jax.random.normal(jax.random.PRNGKey(5), (b, d), dtype=jnp.float32)
+    q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
+
+    @jax.jit
+    def loop(q, corpus_, sq_, x8_, xs_):
+        def body(carry, _):
+            q8, q_scale = quantize_rows(carry)
+            qsq = jnp.sum(carry * carry, axis=-1)
+            g, idx = int8_scan_topk(
+                q8, q_scale, x8_, xs_, 4 * k, metric="l2",
+                corpus_sqnorms=sq_, query_sqnorms=qsq,
+            )
+            vals, fidx = refine_candidates(
+                carry, corpus_, idx, g, k, metric="l2", corpus_sqnorms=sq_
+            )
+            return carry + 1e-9 * vals[:, :1], (vals[0, 0], fidx[0, 0])
+
+        q_out, (v, i) = jax.lax.scan(body, q, None, length=iters)
+        return v.sum() + q_out[0, 0], i.sum()
+
+    r = loop(q0, corpus, sq, x8, xs)
+    np.asarray(r[0])
+    t0 = time.time()
+    r = loop(q0, corpus, sq, x8, xs)
+    np.asarray(r[0])
+    dt = (time.time() - t0) / iters
+    print(
+        f"# int8 scan + exact refine: {dt*1e3:.2f} ms/batch{b} "
+        f"({b/dt:,.0f} QPS)",
+        file=sys.stderr,
+    )
+
+
 def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
     """Quantum-rerank overhead (north star: 10-qubit fidelity over the
     candidates at <5%% added query latency): retrieval of C candidates
@@ -195,6 +241,7 @@ def main() -> None:
         )
         qps_e, _ = run(n, d, b, 10, max(2, iters // 4), "exact")
         print(f"# exact mode: {qps_e:,.0f} QPS", file=sys.stderr)
+        bench_int8(n, d, b, iters)
         bench_fused_rerank(n, d, b, args.mode)
 
     print(

@@ -105,6 +105,11 @@ class IndexConfig:
     # certificate + exact re-run of failing rows; exact values at
     # ~approx speed).
     topk_mode: str = "verified"
+    # "none" | "int8": int8 scan with exact refinement
+    # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.
+    quantization: str = "none"
+    # candidates = refine_factor * k for the quantized scan
+    refine_factor: int = 4
 
 
 @dataclass

@@ -177,15 +177,24 @@ class QragEngine:
     ):
         enable_compilation_cache()  # per-backend persistent XLA cache
         self.config = config or QragConfig()
-        self.index = index or DeviceFlatIndex(
-            d=self.config.embedding.dim,
-            metric=self.config.index.metric,
-            normalize=self.config.index.normalize,
-            row_pad_multiple=self.config.index.row_pad_multiple,
-            use_pallas=self.config.index.use_pallas,
-            topk_mode=self.config.index.topk_mode,
-            store_dtype=self.config.index.dtype,
-        )
+        if index is None:
+            kwargs = dict(
+                d=self.config.embedding.dim,
+                metric=self.config.index.metric,
+                normalize=self.config.index.normalize,
+                row_pad_multiple=self.config.index.row_pad_multiple,
+                use_pallas=self.config.index.use_pallas,
+                topk_mode=self.config.index.topk_mode,
+                store_dtype=self.config.index.dtype,
+            )
+            if self.config.index.quantization == "int8":
+                from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+
+                kwargs["refine_factor"] = self.config.index.refine_factor
+                index = QuantizedFlatIndex(**kwargs)
+            else:
+                index = DeviceFlatIndex(**kwargs)
+        self.index = index
         self.embedder = embedder or get_embedder(self.config.embedding)
         self.controller = controller or RerankerController(self.config)
         self.metrics = metrics or GLOBAL_METRICS

@@ -1,0 +1,70 @@
+"""Int8 quantized scan + exact refinement (ops/quantize.py,
+index/quantized_index.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qrag_tpu.index.flat_index import DeviceFlatIndex
+from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+from qrag_tpu.ops.quantize import quantize_rows
+
+
+def test_quantize_rows_roundtrip(rng):
+    x = rng.randn(64, 32).astype(np.float32) * 5
+    q8, s = quantize_rows(jnp.asarray(x))
+    back = np.asarray(q8, np.float32) * np.asarray(s)[:, None]
+    # int8 relative error bounded by scale/2 per element
+    assert np.max(np.abs(back - x)) <= np.max(np.asarray(s)) * 0.5 + 1e-6
+
+
+def test_quantize_zero_row():
+    q8, s = quantize_rows(jnp.zeros((2, 8)))
+    assert np.all(np.asarray(q8) == 0)
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_quantized_index_recall_and_exact_scores(rng, metric):
+    x = rng.randn(5000, 64).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(16, 64).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    exact = DeviceFlatIndex.from_numpy(x, metric=metric, topk_mode="exact")
+    quant = QuantizedFlatIndex.from_numpy(x, metric=metric, refine_factor=8)
+    r_e = exact.search(q, k=10)
+    r_q = quant.search(q, k=10)
+    # recall@10 of the refined quantized search on unit-norm data
+    recall = np.mean(
+        [
+            len(set(r_q.indices[i]) & set(r_e.indices[i])) / 10
+            for i in range(len(q))
+        ]
+    )
+    assert recall >= 0.95, recall
+    # top-1 must be the true best within bf16 refinement precision:
+    # random 64-d unit vectors have razor-thin margins, so assert the
+    # SCORE gap, not index identity (bf16 rounding may flip near-ties)
+    for i in range(len(q)):
+        assert abs(r_q.scores[i, 0] - r_e.scores[i, 0]) < 5e-2
+
+
+def test_quantized_self_query(rng):
+    x = rng.randn(1000, 32).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    quant = QuantizedFlatIndex.from_numpy(x, metric="l2")
+    res = quant.search(x[123:124], k=1)
+    assert res.indices[0, 0] == 123
+
+
+def test_quantized_incremental_add(rng):
+    quant = QuantizedFlatIndex(d=16, metric="ip")
+    a = rng.randn(50, 16).astype(np.float32)
+    quant.add(a, metadata=[f"a/{i}" for i in range(50)])
+    res = quant.search(a[7], k=1)
+    assert res.indices[0, 0] == 7
+    b = rng.randn(30, 16).astype(np.float32)
+    quant.add(b)
+    res = quant.search(b[4], k=1)
+    assert res.indices[0, 0] == 54  # re-quantized after append
