@@ -72,7 +72,11 @@ def int8_scan_topk(
         g = jnp.where(valid_rows[None, :], g, -jnp.inf)
     from qrag_tpu.ops.topk import goodness_topk
 
-    return goodness_topk(g, k, mode="approx", oversample=1)
+    # bf16 goodness into the selector: halves the (B, N) HBM traffic
+    # that dominates the selection stage (docs/PERFORMANCE.md); exact
+    # refinement downstream restores exact final scores
+    vals, idx = goodness_topk(g.astype(jnp.bfloat16), k, mode="approx", oversample=1)
+    return vals.astype(jnp.float32), idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
