@@ -286,30 +286,31 @@ class QragEngine:
                 return {"queries": qv.shape[0], "results": [], "reranker_used": reranker_type}
             c_eff = min(candidates, n)
             k_eff = min(k, c_eff)
-            self.index._ensure_device()
+            snap = self.index.device_buffers()  # one atomic generation
             fused_mode = (
                 "approx"
                 if self.index.topk_mode == "verified"
                 else self.index.topk_mode
             )
+            if reranker_type == "auto" and query_texts is None:
+                # no text → the routing truth table can't run; label
+                # honestly instead of claiming "auto" ran
+                reranker_type = "quantum"
             if reranker_type == "auto":
                 # per-query expert routing (controller.py:42-67 routing
                 # on host, branchless select on device)
-                if query_texts is not None:
-                    route = np.asarray(
-                        [
-                            self.controller.select_reranker(t) == "quantum"
-                            for t in query_texts
-                        ]
-                    )
-                else:
-                    route = np.ones((qv.shape[0],), bool)
+                route = np.asarray(
+                    [
+                        self.controller.select_reranker(t) == "quantum"
+                        for t in query_texts
+                    ]
+                )
                 fid, idx, retr = fused_search_rerank_routed(
                     jnp.asarray(qv),
                     jnp.asarray(route),
-                    self.index._dev_matrix,
-                    self.index._dev_sqnorms,
-                    self.index._dev_valid,
+                    snap.matrix,
+                    snap.sqnorms,
+                    snap.valid,
                     k=k_eff,
                     candidates=c_eff,
                     n_qubits=self.config.quantum.n_qubits,
@@ -322,9 +323,9 @@ class QragEngine:
                 analytic = self.config.quantum.use_analytic_fidelity
                 fid, idx, retr = fused_search_rerank(
                     jnp.asarray(qv),
-                    self.index._dev_matrix,
-                    self.index._dev_sqnorms,
-                    self.index._dev_valid,
+                    snap.matrix,
+                    snap.sqnorms,
+                    snap.valid,
                     k=k_eff,
                     candidates=c_eff,
                     n_qubits=self.config.quantum.n_qubits,
@@ -333,7 +334,7 @@ class QragEngine:
                     topk_mode=fused_mode,
                     fid_feats=(
                         self.index.fidelity_features(
-                            self.config.quantum.n_qubits
+                            self.config.quantum.n_qubits, snap
                         )
                         if analytic
                         else None
@@ -388,8 +389,16 @@ class QragEngine:
         result assembly overlaps device compute via JAX async dispatch
         (and stages run concurrently across devices when the stages are
         placed on different chips).  Results are identical to
-        `search_rerank` on the concatenated batch.
+        `search_rerank(..., reranker_type="quantum")` on the
+        concatenated batch — the pipelined path implements only the
+        quantum rerank stage.
         """
+        if reranker_type != "quantum":
+            raise ValueError(
+                "search_rerank_pipelined implements the quantum rerank "
+                "stage only; use search_rerank for "
+                f"reranker_type={reranker_type!r}"
+            )
         if isinstance(queries, (str,)):
             queries = [queries]
         if isinstance(queries, (list, tuple)):
@@ -402,7 +411,7 @@ class QragEngine:
         c_eff = min(candidates, n)
         k_eff = min(k, c_eff)
         self._ensure_pipeline_fns()
-        self.index._ensure_device()
+        snap = self.index.device_buffers()  # one generation for ALL stages
         # pad the tail micro-batch so every stage reuses one compiled shape
         b = qv.shape[0]
         n_mb = -(-b // micro_batch)
@@ -411,9 +420,9 @@ class QragEngine:
         in_flight = []  # (device futures) — stage-2 outputs
         for i in range(n_mb):
             mb = jnp.asarray(qv_p[i * micro_batch : (i + 1) * micro_batch])
-            retr_scores, idx = self._stage_retrieve(mb, c_eff)  # stage 1
+            retr_scores, idx = self._stage_retrieve(mb, c_eff, snap)  # stage 1
             fid, sel_idx, sel_retr = self._stage_rerank(
-                mb, retr_scores, idx, k_eff
+                mb, retr_scores, idx, k_eff, snap
             )  # stage 2 — enqueued; not fetched yet
             in_flight.append((fid, sel_idx, sel_retr))
         results = []
@@ -490,21 +499,21 @@ class QragEngine:
                 jnp.take_along_axis(retr_scores, sel, axis=1),
             )
 
-        def stage_retrieve(q, c):
+        def stage_retrieve(q, c, snap):
             return _retrieve_impl(
                 q,
-                index._dev_matrix,
-                index._dev_sqnorms,
-                index._dev_valid,
+                snap.matrix,
+                snap.sqnorms,
+                snap.valid,
                 c,
                 index.metric,
                 "approx" if index.topk_mode == "verified" else index.topk_mode,
             )
 
-        def stage_rerank(q, retr_scores, idx, k):
+        def stage_rerank(q, retr_scores, idx, k, snap):
             return _rerank_impl(
                 q,
-                index.fidelity_features(cfg.quantum.n_qubits),
+                index.fidelity_features(cfg.quantum.n_qubits, snap),
                 retr_scores,
                 idx,
                 k,

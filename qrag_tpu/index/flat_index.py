@@ -38,6 +38,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 @dataclass
+class DeviceBuffers:
+    """One immutable-by-convention generation of device buffers,
+    published atomically (single attribute store) so lock-free readers
+    never observe a mix of old and new corpus state."""
+
+    matrix: jax.Array  # (capacity, d) store_dtype
+    sqnorms: jax.Array  # (capacity,) f32
+    valid: jax.Array  # (capacity,) bool
+    ntotal: int
+    extras: dict  # derived buffers: fidelity features, int8 forms, ...
+
+
+def _rotation_features_impl(matrix, n_qubits, sqnorms):
+    from qrag_tpu.ops.statevector import rotation_features
+
+    return rotation_features(matrix, n_qubits, sqnorms=sqnorms)
+
+
+# module-level jit: one trace cache across all indexes/uploads
+_jit_rotation_features = jax.jit(
+    _rotation_features_impl, static_argnames="n_qubits"
+)
+
+
+@dataclass
 class SearchResult:
     """Results of a top-k search over the index."""
 
@@ -84,9 +109,7 @@ class DeviceFlatIndex:
         self.fallback_rows = 0  # verified-mode exact re-runs (observability)
         self._host_vectors = np.zeros((0, d), dtype=np.float32)
         self.metadata: List[str] = []
-        self._dev_matrix: Optional[jax.Array] = None
-        self._dev_sqnorms: Optional[jax.Array] = None
-        self._dev_valid: Optional[jax.Array] = None
+        self._snapshot: Optional[DeviceBuffers] = None
         self._capacity = 0
         self._dirty = True
         # Single-writer contract (SURVEY.md §5 race detection): the
@@ -97,8 +120,6 @@ class DeviceFlatIndex:
         import threading
 
         self._write_lock = threading.Lock()
-        # cached (capacity, n_qubits) fidelity feature matrices
-        self._fid_feats: dict = {}
 
     # ------------------------------------------------------------------
     # construction / ingestion
@@ -168,13 +189,13 @@ class DeviceFlatIndex:
     # ------------------------------------------------------------------
 
     def _ensure_device(self) -> None:
-        if not self._dirty and self._dev_matrix is not None:
+        if not self._dirty and self._snapshot is not None:
             return
         with self._write_lock:
             self._upload_locked()
 
     def _upload_locked(self) -> None:
-        if not self._dirty and self._dev_matrix is not None:
+        if not self._dirty and self._snapshot is not None:
             return
         n = self.ntotal
         needed = max(self.row_pad_multiple, _round_up(n, self.row_pad_multiple))
@@ -193,32 +214,63 @@ class DeviceFlatIndex:
         )
         # sqnorms computed in f32 from the master copy even when the
         # device matrix is stored bf16 (keeps L2 corrections accurate)
-        self._dev_matrix = put(padded.astype(self.store_dtype))
-        self._dev_sqnorms = put(np.sum(padded * padded, axis=1, dtype=np.float32))
-        self._dev_valid = put(valid)
-        self._fid_feats.clear()
+        snap = DeviceBuffers(
+            matrix=put(padded.astype(self.store_dtype)),
+            sqnorms=put(np.sum(padded * padded, axis=1, dtype=np.float32)),
+            valid=put(valid),
+            ntotal=n,
+            extras={},
+        )
+        self._finalize_snapshot(snap)
+        # single attribute store publishes the whole generation
+        # atomically — lock-free readers never see mixed buffers
+        self._snapshot = snap
         self._dirty = False
+
+    def _finalize_snapshot(self, snap: "DeviceBuffers") -> None:
+        """Hook for subclasses to attach derived buffers (quantized
+        forms etc.) BEFORE the snapshot is published."""
+
+    def device_buffers(self) -> "DeviceBuffers":
+        """Atomic snapshot of all device-resident buffers for one
+        corpus generation.  Callers doing multi-buffer reads MUST take
+        one snapshot rather than reading attributes sequentially."""
+        self._ensure_device()
+        return self._snapshot
+
+    # back-compat attribute views (single-buffer reads only)
+    @property
+    def _dev_matrix(self):
+        return self._snapshot.matrix if self._snapshot else None
+
+    @property
+    def _dev_sqnorms(self):
+        return self._snapshot.sqnorms if self._snapshot else None
+
+    @property
+    def _dev_valid(self):
+        return self._snapshot.valid if self._snapshot else None
 
     @property
     def device_matrix(self) -> jax.Array:
         self._ensure_device()
-        return self._dev_matrix
+        return self._snapshot.matrix
 
-    def fidelity_features(self, n_qubits: int) -> jax.Array:
+    def fidelity_features(
+        self, n_qubits: int, snap: Optional["DeviceBuffers"] = None
+    ) -> jax.Array:
         """Cached (capacity, n_qubits) rotation-encoding features —
         what the fused quantum rerank gathers instead of full rows
-        (768/n_qubits× less HBM gather traffic)."""
-        self._ensure_device()
-        feats = self._fid_feats.get(n_qubits)
+        (768/n_qubits× less HBM gather traffic).  Cached per snapshot
+        generation."""
+        if snap is None:
+            snap = self.device_buffers()
+        feats = snap.extras.get(("fid_feats", n_qubits))
         if feats is None:
-            from qrag_tpu.ops.statevector import rotation_features
-
-            feats = jax.jit(rotation_features, static_argnames="n_qubits")(
-                self._dev_matrix.astype(jnp.float32),
-                n_qubits,
-                sqnorms=self._dev_sqnorms,
+            feats = _jit_rotation_features(
+                snap.matrix.astype(jnp.float32), n_qubits, snap.sqnorms
             )
-            self._fid_feats[n_qubits] = feats
+            snap.extras[("fid_feats", n_qubits)] = feats
         return feats
 
     # ------------------------------------------------------------------
@@ -232,14 +284,14 @@ class DeviceFlatIndex:
         device, padded rows masked out.  Stays inside jit if called
         under one (the "verified" mode's host patch-up degrades to
         "approx" here; use `search` for verified-exact results)."""
-        self._ensure_device()
+        snap = self.device_buffers()
         return flat_scan_topk(
             queries.astype(self.store_dtype),
-            self._dev_matrix,
+            snap.matrix,
             k,
             metric=self.metric,
-            corpus_sqnorms=self._dev_sqnorms,
-            valid_rows=self._dev_valid,
+            corpus_sqnorms=snap.sqnorms,
+            valid_rows=snap.valid,
             use_pallas=self.use_pallas,
             mode=self.topk_mode,
         )
@@ -254,15 +306,15 @@ class DeviceFlatIndex:
                 f"expected (*, {self.d}) queries, got {queries.shape}"
             )
         k_eff = min(k, max(self.ntotal, 1))
-        self._ensure_device()
+        snap = self.device_buffers()
         if self.topk_mode == "verified" and not self.use_pallas:
             scores, indices, n_bad = scan_topk_verified(
                 jnp.asarray(queries).astype(self.store_dtype),
-                self._dev_matrix,
+                snap.matrix,
                 k_eff,
                 metric=self.metric,
-                corpus_sqnorms=self._dev_sqnorms,
-                valid_rows=self._dev_valid,
+                corpus_sqnorms=snap.sqnorms,
+                valid_rows=snap.valid,
             )
             self.fallback_rows += n_bad
         else:
@@ -284,14 +336,15 @@ class DeviceFlatIndex:
 
     def save_faiss(self, path: str) -> None:
         faiss_io.write_flat_index(path, self._host_vectors, metric=self.metric)
-        if any(self.metadata):
-            faiss_io.append_metadata(path, [])  # ensure file exists semantics
-            # overwrite (not append): the index file was fully rewritten
-            meta_path = faiss_io.metadata_path_for(path)
-            import pickle
+        # overwrite (not append) the sidecar unconditionally: the index
+        # file was fully rewritten, and a stale sidecar from a previous
+        # save must not survive next to it
+        import pickle
 
-            with open(meta_path, "wb") as f:
-                pickle.dump(list(self.metadata), f)
+        meta_path = faiss_io.metadata_path_for(path)
+        with open(meta_path + ".tmp", "wb") as f:
+            pickle.dump(list(self.metadata), f)
+        os.replace(meta_path + ".tmp", meta_path)
 
     def save_native(self, directory: str) -> None:
         """Manifest + raw vectors: the framework's own checkpoint format."""

@@ -9,7 +9,9 @@ recall depends on quantization, controlled by ``refine_factor``
 
 Memory for 1M×768: 0.77 GB int8 + 1.5 GB bf16 ≈ 2.3 GB; the scan
 reads only the int8 half → ~2× less HBM traffic and 2× MXU rate vs
-bf16.
+bf16.  The quantized buffers live inside the index's atomic
+`DeviceBuffers` snapshot, so appends publish all forms of a corpus
+generation together.
 """
 
 from __future__ import annotations
@@ -20,9 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qrag_tpu.index.flat_index import DeviceFlatIndex
+from qrag_tpu.index.flat_index import DeviceBuffers, DeviceFlatIndex
 from qrag_tpu.ops.quantize import int8_scan_topk, quantize_rows, refine_candidates
 from qrag_tpu.ops.topk import _finalize
+
+# module-level jit: one trace cache across all indexes/uploads
+_jit_quantize_rows = jax.jit(quantize_rows)
 
 
 class QuantizedFlatIndex(DeviceFlatIndex):
@@ -36,45 +41,38 @@ class QuantizedFlatIndex(DeviceFlatIndex):
         kwargs["topk_mode"] = "approx"
         super().__init__(*args, **kwargs)
         self.refine_factor = max(1, int(refine_factor))
-        self._dev_q8: Optional[jax.Array] = None
-        self._dev_scales: Optional[jax.Array] = None
 
-    def _upload_locked(self) -> None:
-        was_dirty = self._dirty or self._dev_matrix is None
-        super()._upload_locked()
-        if was_dirty:
-            q8, scales = jax.jit(quantize_rows)(
-                self._dev_matrix.astype(jnp.float32)
-            )
-            self._dev_q8 = q8
-            self._dev_scales = scales
+    def _finalize_snapshot(self, snap: DeviceBuffers) -> None:
+        q8, scales = _jit_quantize_rows(snap.matrix.astype(jnp.float32))
+        snap.extras["int8"] = (q8, scales)
 
     def search_device(
         self, queries: jnp.ndarray, k: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        self._ensure_device()
+        snap = self.device_buffers()
+        x8, scales = snap.extras["int8"]
         q32 = queries.astype(jnp.float32)
         q8, q_scale = quantize_rows(q32)
         qsq = jnp.sum(q32 * q32, axis=-1)
-        c = min(self.refine_factor * k, self._dev_q8.shape[0])
+        c = min(self.refine_factor * k, x8.shape[0])
         cand_g, idx = int8_scan_topk(
             q8,
             q_scale,
-            self._dev_q8,
-            self._dev_scales,
+            x8,
+            scales,
             c,
             metric=self.metric,
-            corpus_sqnorms=self._dev_sqnorms,
+            corpus_sqnorms=snap.sqnorms,
             query_sqnorms=qsq,
-            valid_rows=self._dev_valid,
+            valid_rows=snap.valid,
         )
         vals, final_idx = refine_candidates(
             q32,
-            self._dev_matrix,
+            snap.matrix,
             idx,
             cand_g,
             k,
             metric=self.metric,
-            corpus_sqnorms=self._dev_sqnorms,
+            corpus_sqnorms=snap.sqnorms,
         )
         return _finalize(vals, final_idx, self.metric)

@@ -59,8 +59,9 @@ def load_train_state(
     opt_state_like: Any,
 ) -> Tuple[Any, Any, int, Dict[str, Any]]:
     """Restore (params, opt_state, step, cfg_dict).  ``*_like`` trees
-    provide structure/dtypes; pass sharded templates to restore
-    directly onto a mesh, or host trees to restore to host."""
+    provide structure/dtypes; when their leaves are sharded jax Arrays,
+    restored leaves are re-placed onto the SAME shardings, so resuming
+    on a (possibly different-shaped) mesh keeps the TP/EP layout."""
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
@@ -73,4 +74,21 @@ def load_train_state(
     }
     state = ckptr.restore(os.path.join(directory, STATE_DIR), target)
     ckptr.close()
-    return state["params"], state["opt_state"], int(meta["step"]), meta["config"]
+
+    from jax.sharding import NamedSharding
+
+    def _replace(template, restored):
+        # re-place only mesh-sharded leaves; single-device leaves (e.g.
+        # optimizer step counters) stay host-side and let jit place
+        # them, avoiding mixed-device-set jit arguments
+        if isinstance(template, jax.Array) and isinstance(
+            template.sharding, NamedSharding
+        ):
+            return jax.device_put(restored, template.sharding)
+        return restored
+
+    params = jax.tree_util.tree_map(_replace, params_like, state["params"])
+    opt_state = jax.tree_util.tree_map(
+        _replace, opt_state_like, state["opt_state"]
+    )
+    return params, opt_state, int(meta["step"]), meta["config"]

@@ -245,8 +245,10 @@ def scan_topk_verified(
         recall_target,
     )
     ok_np = np.asarray(ok)
-    vals_np = np.asarray(vals)
-    idx_np = np.asarray(idx)
+    # np.array (not asarray): jax arrays convert to READ-ONLY views and
+    # the fallback patch-up below writes in place
+    vals_np = np.array(vals)
+    idx_np = np.array(idx)
     n_bad = int((~ok_np).sum())
     if n_bad:
         bad_rows = np.nonzero(~ok_np)[0]

@@ -139,16 +139,20 @@ class ClassicalReranker:
 
         query_s = sanitize_text(query, self.config.max_sequence_length)
         try:
-            scored: List[Tuple[Document, float]] = []
-            uncached_docs: List[Document] = []
+            # score into position slots so the stable descending sort
+            # below sees documents in THEIR ORIGINAL ORDER regardless
+            # of cache-hit/miss interleaving (ties keep input order —
+            # the reference's contract, classical.py:301-308)
+            scores_by_pos: List[Optional[float]] = [None] * len(documents)
+            uncached_pos: List[int] = []
             uncached_contents: List[str] = []
-            for doc in documents:
+            for pos, doc in enumerate(documents):
                 content_s = sanitize_text(doc.content, self.config.max_sequence_length)
                 key = _stable_key(query_s, content_s)
                 if self.config.enable_cache and key in self.score_cache:
-                    scored.append((doc, self.score_cache[key]))
+                    scores_by_pos[pos] = self.score_cache[key]
                 else:
-                    uncached_docs.append(doc)
+                    uncached_pos.append(pos)
                     uncached_contents.append(content_s)
 
             if uncached_contents:
@@ -160,12 +164,15 @@ class ClassicalReranker:
                         float(s)
                         for s in self._predict_with_retries(query_s, batch)
                     )
-                for doc, content_s, score in zip(
-                    uncached_docs, uncached_contents, all_scores
+                for pos, content_s, score in zip(
+                    uncached_pos, uncached_contents, all_scores
                 ):
                     if self.config.enable_cache:
                         self.score_cache[_stable_key(query_s, content_s)] = score
-                    scored.append((doc, score))
+                    scores_by_pos[pos] = score
+            scored = [
+                (doc, float(s)) for doc, s in zip(documents, scores_by_pos)
+            ]
         except Exception as e:  # noqa: BLE001 - resilience contract
             logger.error("scoring failed: %s", e)
             return self._neutral(documents)

@@ -111,10 +111,13 @@ class RuleBasedOrchestrator:
                 else "No shows found."
             )
 
+        # match against the ORIGINAL string (case-insensitive) so the
+        # captured show name and index path keep their casing
         m = re.search(
             r"\b(?:index|process|ingest|embed)\b\s+(?:show\s+)?([\w\- ]+?)"
             r"(?:\s+(?:into|to)\s+(\S+))?$",
-            ql,
+            q,
+            re.IGNORECASE,
         )
         if m:
             show = m.group(1).strip()

@@ -11,7 +11,7 @@ S3).
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from pydantic import BaseModel
 
@@ -38,6 +38,9 @@ class FetchEmbeddingsOutput(BaseModel):
     count: int
     model: str
     dimension: int
+    # input positions whose embedding failed entirely (skip-on-error);
+    # callers must drop the corresponding labels to stay aligned
+    skipped_indices: List[int] = []
 
 
 class FetchEmbeddingsTool(Tool):
@@ -64,7 +67,8 @@ class FetchEmbeddingsTool(Tool):
         import numpy as np
 
         out: List[List[float]] = []
-        for text in input_data.texts:
+        skipped: List[int] = []
+        for pos, text in enumerate(input_data.texts):
             chunks = chunk_text(text, self.config.max_tokens_per_chunk)
             vecs = []
             for chunk in chunks:
@@ -74,6 +78,7 @@ class FetchEmbeddingsTool(Tool):
                     logger.warning("chunk embedding failed: %s", e)
                     continue
             if not vecs:
+                skipped.append(pos)
                 continue
             mean = np.mean(vecs, axis=0)
             n = np.linalg.norm(mean)
@@ -86,6 +91,7 @@ class FetchEmbeddingsTool(Tool):
                 count=len(out),
                 model=input_data.model or self.config.model,
                 dimension=len(out[0]),
+                skipped_indices=skipped,
             )
         )
 
@@ -229,23 +235,35 @@ class ProcessTranscriptsOutput(BaseModel):
     index_path: str
 
 
-def extract_texts(transcripts: List[Dict[str, Any]]) -> List[str]:
+def extract_texts(
+    transcripts: List[Dict[str, Any]]
+) -> Tuple[List[str], List[int]]:
     """Payload-shape tolerance of
     ``process_embeddings_index.py:137-165``: str, dict with
-    text/transcript/content, or list of strings."""
+    text/transcript/content, or list of strings.
+
+    Returns (texts, source_indices): source_indices[i] is the position
+    in ``transcripts`` that texts[i] came from, so downstream metadata
+    stays aligned when un-extractable entries are skipped.
+    """
     texts: List[str] = []
-    for t in transcripts:
+    sources: List[int] = []
+    for pos, t in enumerate(transcripts):
         data = t.get("data")
+        text: Optional[str] = None
         if isinstance(data, str):
-            texts.append(data)
+            text = data
         elif isinstance(data, dict):
             for key in ("text", "transcript", "content"):
                 if isinstance(data.get(key), str):
-                    texts.append(data[key])
+                    text = data[key]
                     break
         elif isinstance(data, list) and all(isinstance(x, str) for x in data):
-            texts.append("\n".join(data))
-    return texts
+            text = "\n".join(data)
+        if text is not None:
+            texts.append(text)
+            sources.append(pos)
+    return texts, sources
 
 
 class ProcessTranscriptsToEmbeddingsTool(Tool):
@@ -298,7 +316,7 @@ class ProcessTranscriptsToEmbeddingsTool(Tool):
         if not transcripts:
             return ToolResponse.from_error(f"no transcripts found for {show!r}")
 
-        texts = extract_texts(transcripts)
+        texts, sources = extract_texts(transcripts)
         if not texts:
             return ToolResponse.from_error(
                 f"no extractable text in {len(transcripts)} transcripts"
@@ -308,11 +326,16 @@ class ProcessTranscriptsToEmbeddingsTool(Tool):
         )
         if not emb.success:
             return emb
-        embeddings = (emb.first_json() or {})["embeddings"]
-        # per-embedding metadata "{show}/{episode}" (SURVEY.md A.4)
+        emb_out = emb.first_json() or {}
+        embeddings = emb_out["embeddings"]
+        skipped = set(emb_out.get("skipped_indices", []))
+        # per-embedding metadata "{show}/{episode}" (SURVEY.md A.4),
+        # aligned through BOTH skip stages (un-extractable transcripts
+        # and embedding failures) so labels always match their vectors
+        kept_sources = [s for i, s in enumerate(sources) if i not in skipped]
         metadata = [
-            f"{t['show_name']}/{t['episode_id']}"
-            for t in transcripts[: len(embeddings)]
+            f"{transcripts[s]['show_name']}/{transcripts[s]['episode_id']}"
+            for s in kept_sources
         ]
         store_resp = await StoreInFaissTool().execute(
             StoreInFaissInput(

@@ -28,11 +28,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     try:
         import jax
 
+        # TPU only: compiles through the remote tunnel cost 30-300s and
+        # cache hits are a huge win; CPU compiles are cheap locally and
+        # CPU AOT artifacts are machine-feature-fragile (SIGILL risk
+        # when reused across hosts)
+        if jax.default_backend() != "tpu":
+            return False
         path = cache_dir or os.environ.get(
             "QRAG_COMPILE_CACHE_DIR", DEFAULT_CACHE_DIR
         )
-        # scope by backend: CPU AOT artifacts are machine-specific and
-        # must not be shared with (or poisoned by) TPU entries
         path = os.path.join(path, jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -239,7 +239,7 @@ def test_extract_texts_payload_shapes():
         {"data": {"unrelated": 1}},  # dropped
         {"data": 42},  # dropped
     ]
-    texts = extract_texts(ts)
+    texts, sources = extract_texts(ts)
     assert texts == [
         "plain string",
         "from text key",
@@ -247,3 +247,41 @@ def test_extract_texts_payload_shapes():
         "from content key",
         "list\nof\nstrings",
     ]
+    assert sources == [0, 1, 2, 3, 4]  # positions 5, 6 were skipped
+
+
+def test_pipeline_metadata_alignment_with_skips(tmp_path):
+    """Un-extractable transcripts must not shift metadata onto the
+    wrong vectors (review finding: skipped entries misaligned labels)."""
+    import asyncio
+
+    from qrag_tpu.config import EmbeddingConfig
+    from qrag_tpu.tools.ingest_tools import (
+        ProcessTranscriptsInput,
+        ProcessTranscriptsToEmbeddingsTool,
+    )
+
+    class FakeStore:
+        def list_shows(self):
+            return ["S"]
+
+        def read_show(self, show):
+            return [
+                {"show_name": "S", "episode_id": "bad", "file_path": "x",
+                 "data": 42},  # un-extractable -> skipped
+                {"show_name": "S", "episode_id": "good1", "file_path": "y",
+                 "data": "text one"},
+                {"show_name": "S", "episode_id": "good2", "file_path": "z",
+                 "data": {"text": "text two"}},
+            ]
+
+    tool = ProcessTranscriptsToEmbeddingsTool(
+        store=FakeStore(), config=EmbeddingConfig(provider="hash", dim=16)
+    )
+    path = str(tmp_path / "a.faiss")
+    resp = asyncio.run(
+        tool.execute(ProcessTranscriptsInput(show_name="S", index_path=path))
+    )
+    assert resp.success, resp.error
+    meta = faiss_io.read_metadata(path)
+    assert meta == ["S/good1", "S/good2"]  # NOT ["S/bad", "S/good1"]

@@ -84,3 +84,39 @@ def test_bf16_store_dtype_search(rng):
     res = idx.search(x[7:8], k=3)
     assert res.indices[0, 0] == 7
     assert res.scores[0, 0] < 1e-2  # bf16 noise floor
+
+
+def test_verified_fallback_writable_patch(rng, monkeypatch):
+    """Regression (review finding 1): the exact-fallback patch-up must
+    write into a WRITABLE copy — force the certificate to fail."""
+    import qrag_tpu.ops.topk as topk_mod
+
+    q = rng.randn(4, 32).astype(np.float32)
+    x = rng.randn(8192, 32).astype(np.float32)
+
+    orig = topk_mod._scan_topk_device
+
+    def sabotage(queries, corpus, sqnorms, valid, k, metric, mode, o, rt):
+        vals, idx, ok = orig(
+            queries, corpus, sqnorms, valid, k, metric, mode, o, rt
+        )
+        if mode == "verified":
+            # pretend the approx pass missed rows 1 and 3
+            import jax.numpy as jnp
+
+            ok = jnp.asarray([True, False, True, False])
+            vals = vals.at[1].set(vals[1] - 1.0)  # corrupt those rows
+            idx = idx.at[3].set(0)
+        return vals, idx, ok
+
+    monkeypatch.setattr(topk_mod, "_scan_topk_device", sabotage)
+    s_v, i_v, n_bad = topk_mod.scan_topk_verified(
+        jnp.asarray(q), jnp.asarray(x), 5, metric="ip"
+    )
+    assert n_bad == 2
+    monkeypatch.setattr(topk_mod, "_scan_topk_device", orig)
+    s_e, i_e = topk_mod.flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 5, metric="ip", mode="exact"
+    )
+    np.testing.assert_array_equal(i_v, np.asarray(i_e))
+    np.testing.assert_allclose(s_v, np.asarray(s_e), rtol=1e-5)
