@@ -45,11 +45,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_tile_n(d: int, vmem_budget_bytes: int = 6 * 1024 * 1024) -> int:
-    """Corpus rows per tile: keep the X tile within a VMEM budget,
-    aligned to 128 sublanes (f32 min tile is (8, 128); 128 keeps the
-    MXU fed for the (B, T) result's lane dim too)."""
-    t = vmem_budget_bytes // max(d * 4, 1)
+def _pick_tile_n(
+    d: int, b: int, vmem_budget_bytes: int = 5 * 1024 * 1024
+) -> int:
+    """Corpus rows per tile, sized so X tile + score/candidate planes
+    fit VMEM alongside the Q block, the pipeline's double-buffered
+    input tiles, and the unrolled merge's live temporaries (~2x the
+    plane estimate, hence the conservative budget):
+    x(T*d*4)*2 + ~6 candidate planes of b*(T+128)*4."""
+    fixed = b * d * 4 + 6 * b * 128 * 4
+    avail = max(vmem_budget_bytes - fixed, 512 * 1024)
+    per_row = 2 * d * 4 + 6 * b * 4
+    t = avail // per_row
     t = max(128, min(2048, t))
     return (t // 128) * 128
 
@@ -60,10 +67,11 @@ def _scan_topk_kernel(
     x_ref,  # (T, d) VMEM (tile)
     xsq_ref,  # (1, T) VMEM (tile)
     bias_ref,  # (1, T) VMEM (tile)
-    out_vals_ref,  # (B, k) VMEM — running top-k values (persists)
-    out_idx_ref,  # (B, k) VMEM — running top-k global indices
+    out_vals_ref,  # (B, k_pad) VMEM — running top-k values (persists)
+    out_idx_ref,  # (B, k_pad) VMEM — running top-k global indices
     *,
     k: int,
+    k_pad: int,
     tile_n: int,
     metric: str,
     compute_dtype,
@@ -102,6 +110,13 @@ def _scan_topk_kernel(
     cidx = jnp.concatenate([out_idx_ref[:], tile_idx], axis=1)
     pos = jax.lax.broadcasted_iota(jnp.int32, vals.shape, dimension=1)
 
+    # k selection rounds; selected entries are re-marked in-place in
+    # the FIRST k_pad lanes (the running-buffer section) by position:
+    # round j's winner is written to position j via a positional mask —
+    # all full-width vector ops, no column stores, no relayouts.
+    sel_vals = jnp.full_like(vals[:, :k_pad], _NEG_INF)
+    sel_idx = jnp.full_like(cidx[:, :k_pad], -1)
+    out_pos = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), dimension=1)
     for j in range(k):  # k is small and static — unrolled
         m = jnp.max(vals, axis=1, keepdims=True)  # (B, 1)
         is_max = vals >= m
@@ -109,10 +124,13 @@ def _scan_topk_kernel(
             jnp.where(is_max, pos, _BIG_I32), axis=1, keepdims=True
         )  # (B, 1) first occurrence
         hit = pos == first
-        gidx = jnp.max(jnp.where(hit, cidx, -1), axis=1)  # (B,)
-        out_vals_ref[:, j] = m[:, 0]
-        out_idx_ref[:, j] = gidx
+        gidx = jnp.max(jnp.where(hit, cidx, -1), axis=1, keepdims=True)
+        write = out_pos == j
+        sel_vals = jnp.where(write, m, sel_vals)
+        sel_idx = jnp.where(write, gidx, sel_idx)
         vals = jnp.where(hit, _NEG_INF, vals)
+    out_vals_ref[:] = sel_vals
+    out_idx_ref[:] = sel_idx
 
 
 @functools.partial(
@@ -135,10 +153,14 @@ def _pallas_scan_topk_padded(
     np_, _ = x.shape
     grid = (np_ // tile_n,)
     flops = 2 * bp * np_ * dp
+    # running top-k buffers padded to 128 lanes: keeps every candidate
+    # plane (128 + tile_n wide) lane-aligned, avoiding relayouts
+    kp = 128 if not interpret else k
     out_vals, out_idx = pl.pallas_call(
         functools.partial(
             _scan_topk_kernel,
             k=k,
+            k_pad=kp,
             tile_n=tile_n,
             metric=metric,
             compute_dtype=compute_dtype,
@@ -152,21 +174,21 @@ def _pallas_scan_topk_padded(
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, k), jnp.float32),
-            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+            jax.ShapeDtypeStruct((bp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, kp), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=np_ * dp * 4 + bp * dp * 4 + bp * k * 8,
+            bytes_accessed=np_ * dp * 4 + bp * dp * 4 + bp * kp * 8,
             transcendentals=0,
         ),
         interpret=interpret,
     )(q, qsq, x, xsq, bias)
-    return out_vals, out_idx
+    return out_vals[:, :k], out_idx[:, :k]
 
 
 def pallas_scan_topk(
@@ -190,11 +212,33 @@ def pallas_scan_topk(
     n = corpus.shape[0]
     if n == 0 or k > n:
         raise NotImplementedError("pallas path needs 0 < k <= ntotal")
+    # large query batches are processed in chunks: the kernel's VMEM
+    # working set (Q block + (B, T) score/candidate planes + pipeline
+    # double-buffers) must stay under the 16 MB scoped limit
+    max_b = 256
+    if b > max_b:
+        parts = [
+            pallas_scan_topk(
+                queries[i : i + max_b],
+                corpus,
+                k,
+                metric=metric,
+                corpus_sqnorms=corpus_sqnorms,
+                valid_rows=valid_rows,
+                compute_dtype=compute_dtype,
+                tile_n=tile_n,
+            )
+            for i in range(0, b, max_b)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
     interpret = jax.default_backend() != "tpu"
 
     dp = _round_up(d, 128)
     bp = _round_up(b, 8)
-    tile = tile_n or _pick_tile_n(dp)
+    tile = tile_n or _pick_tile_n(dp, bp)
     npad = _round_up(n, tile)
 
     q = jnp.zeros((bp, dp), jnp.float32).at[:b, :d].set(queries.astype(jnp.float32))
