@@ -111,3 +111,46 @@ def test_device_memory_stats_optional():
 
     stats = device_memory_stats()  # None is acceptable on CPU
     assert stats is None or isinstance(stats, dict)
+
+
+def test_checkpoint_restore_preserves_mesh_shardings(tmp_path):
+    """Review regression: restoring onto sharded templates must keep
+    the NamedSharding layout (TP/EP resume)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from qrag_tpu.config import MeshConfig
+    from qrag_tpu.models.checkpoint import load_train_state, save_train_state
+    from qrag_tpu.models.cross_encoder import CrossEncoderConfig
+    from qrag_tpu.parallel.mesh import make_mesh
+    from qrag_tpu.parallel.train import make_sharded_trainer
+
+    cfg = CrossEncoderConfig(
+        dim=32, n_heads=2, n_layers=1, max_len=32, n_experts=4,
+        dtype=jnp.float32,
+    )
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    params, opt_state, step, _ = make_sharded_trainer(cfg, mesh)
+    d = str(tmp_path / "s")
+    save_train_state(d, params, opt_state, step=1, cfg=cfg)
+    r_params, r_opt, r_step, _ = load_train_state(d, params, opt_state)
+    qkv = r_params["layers"][0]["attn"]["qkv"]["w"]
+    assert isinstance(qkv.sharding, NamedSharding)
+    # still sharded 4-way on the model axis
+    assert {s.data.shape for s in qkv.addressable_shards} == {(32, 3 * 32 // 4)}
+    # and a train step runs on the restored state
+    from qrag_tpu.parallel.train import synthetic_batch
+    from jax.sharding import PartitionSpec as P
+
+    toks, masks, labels = synthetic_batch(np.random.RandomState(0), 4, 32)
+    bsh = NamedSharding(mesh, P("data", None))
+    _, _, loss = step(
+        r_params,
+        r_opt,
+        jax.device_put(jnp.asarray(toks), bsh),
+        jax.device_put(jnp.asarray(masks), bsh),
+        jax.device_put(jnp.asarray(labels), NamedSharding(mesh, P("data"))),
+    )
+    assert np.isfinite(float(loss))

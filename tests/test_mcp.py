@@ -114,3 +114,15 @@ def test_full_loop_ingest_then_serve(mcp_setup):
     )
     res = eng.search("episode two talks about things " * 10, k=1)
     assert res.metadata[0][0] == "My_Show/two_transcript"
+
+
+def test_orchestrator_preserves_path_case(mcp_setup):
+    """Review regression: the index path must keep its casing."""
+    client, tmp = mcp_setup
+    orch = RuleBasedOrchestrator(client)
+    out = orch.run(f"index My_Show into {tmp}/CamelCase.faiss")
+    assert "Indexed show" in out
+    import os
+
+    assert os.path.exists(f"{tmp}/CamelCase.faiss")
+    assert not os.path.exists(f"{tmp}/camelcase.faiss")
