@@ -151,4 +151,11 @@ def get_embedder(config: Optional[EmbeddingConfig] = None) -> Embedder:
         return HashEmbedder(dim=config.dim)
     if config.provider == "openai":
         return OpenAIEmbedder(config)
+    if config.provider == "trained":
+        # the in-framework bi-encoder; config.model is the weights dir
+        # (falls back to random init when absent — useful for tests)
+        from qrag_tpu.models.bi_encoder import TrainedEmbedder
+
+        weights = config.model if os.path.isdir(config.model) else None
+        return TrainedEmbedder(weights_dir=weights)
     raise ValueError(f"unknown embedding provider {config.provider!r}")
