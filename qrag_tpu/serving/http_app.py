@@ -55,7 +55,7 @@ SERVICE_INFO = {
 }
 
 
-def _make_handler(engine: QragEngine):
+def _make_handler(engine: QragEngine, batcher=None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -103,6 +103,8 @@ def _make_handler(engine: QragEngine):
                 self._send_json(SERVICE_INFO)
             elif self.path.startswith("/stats"):
                 stats = engine.stats()
+                if batcher is not None:
+                    stats["batcher"] = batcher.stats()
                 if "recall" in self.path.partition("?")[2]:
                     # on-demand recall@10 self-check (perturbed
                     # self-queries; SURVEY.md §5 observability)
@@ -156,10 +158,10 @@ def _make_handler(engine: QragEngine):
             return rerank_response_dict(result)
 
         def _handle_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
+            import numpy as np
+
             k = int(body.get("k", 10))
             if "vectors" in body:
-                import numpy as np
-
                 queries = np.asarray(body["vectors"], dtype=np.float32)
             elif "queries" in body:
                 queries = list(body["queries"])
@@ -167,7 +169,17 @@ def _make_handler(engine: QragEngine):
                 queries = [body["query"]]
             else:
                 return {"error": "provide query, queries, or vectors"}
-            res = engine.search(queries, k=k)
+            if batcher is not None:
+                # dynamic batching: coalesce concurrent requests into
+                # one device call (embed text host-side first)
+                vecs = (
+                    engine.embedder([str(q) for q in queries])
+                    if not isinstance(queries, np.ndarray)
+                    else queries
+                )
+                res = batcher.search(vecs, k=k)
+            else:
+                res = engine.search(queries, k=k)
             return {
                 "results": [
                     [
@@ -210,16 +222,27 @@ def _make_handler(engine: QragEngine):
 
 
 def create_server(
-    engine: QragEngine, host: str = "0.0.0.0", port: int = 8000
+    engine: QragEngine,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    batching: bool = False,
 ) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port), _make_handler(engine))
+    batcher = None
+    if batching:
+        from qrag_tpu.serving.batcher import SearchBatcher
+
+        batcher = SearchBatcher(engine)
+    return ThreadingHTTPServer((host, port), _make_handler(engine, batcher))
 
 
 def serve_in_thread(
-    engine: QragEngine, host: str = "127.0.0.1", port: int = 0
+    engine: QragEngine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    batching: bool = False,
 ) -> ThreadingHTTPServer:
     """Start serving on a background thread (tests / embedding)."""
-    server = create_server(engine, host, port)
+    server = create_server(engine, host, port, batching=batching)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
@@ -234,6 +257,11 @@ def main(argv=None) -> None:
         "--embedding-provider", default=None, choices=["mock", "hash", "openai"]
     )
     parser.add_argument("--no-warmup", action="store_true")
+    parser.add_argument(
+        "--batching",
+        action="store_true",
+        help="coalesce concurrent /search requests into device batches",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
@@ -264,7 +292,7 @@ def main(argv=None) -> None:
     # Bind before warmup so clients can connect immediately; warmup
     # compiles the hot graphs concurrently (first queries that race it
     # simply compile on demand).
-    server = create_server(engine, host, port)
+    server = create_server(engine, host, port, batching=args.batching)
     if not args.no_warmup:
         threading.Thread(target=engine.warmup, daemon=True).start()
     logger.info("serving on %s:%d (index ntotal=%d)", host, port, engine.index.ntotal)

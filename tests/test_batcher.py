@@ -1,0 +1,93 @@
+"""Dynamic request batcher: correctness under concurrency, batching
+actually happens, per-request k trimming, error propagation."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from qrag_tpu.config import QragConfig
+from qrag_tpu.engine import QragEngine
+from qrag_tpu.index.flat_index import DeviceFlatIndex
+from qrag_tpu.serving.batcher import SearchBatcher
+
+
+@pytest.fixture()
+def engine(rng):
+    cfg = QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 32}})
+    x = rng.randn(500, 32).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", metadata=[f"m/{i}" for i in range(500)],
+        topk_mode="exact",
+    )
+    return QragEngine(config=cfg, index=idx), x
+
+
+def test_single_request_matches_direct(engine):
+    eng, x = engine
+    batcher = SearchBatcher(eng)
+    try:
+        direct = eng.search(x[:3], k=5)
+        via = batcher.search(x[:3], k=5)
+        np.testing.assert_array_equal(via.indices, direct.indices)
+        np.testing.assert_allclose(via.scores, direct.scores, atol=1e-6)
+        assert via.metadata == direct.metadata
+    finally:
+        batcher.close()
+
+
+def test_concurrent_requests_batched_and_correct(engine):
+    eng, x = engine
+    batcher = SearchBatcher(eng, max_wait_s=0.05)
+    results = {}
+
+    def worker(i):
+        results[i] = batcher.search(x[i * 4 : i * 4 + 2], k=3)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(8):
+            assert results[i].indices[0, 0] == i * 4  # self-hit
+            assert results[i].indices.shape == (2, 3)
+        # with a 50 ms window, the 8 concurrent requests coalesce
+        assert batcher.batches < 8
+        assert batcher.stats()["batched_queries"] == 16
+    finally:
+        batcher.close()
+
+
+def test_mixed_k_trimming(engine):
+    eng, x = engine
+    batcher = SearchBatcher(eng, max_wait_s=0.05)
+    out = {}
+
+    def worker(name, q, k):
+        out[name] = batcher.search(q, k=k)
+
+    try:
+        t1 = threading.Thread(target=worker, args=("a", x[10], 2))
+        t2 = threading.Thread(target=worker, args=("b", x[20], 7))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert out["a"].indices.shape == (1, 2)
+        assert out["b"].indices.shape == (1, 7)
+        assert out["a"].indices[0, 0] == 10
+        assert out["b"].indices[0, 0] == 20
+    finally:
+        batcher.close()
+
+
+def test_error_propagation(engine):
+    eng, x = engine
+    batcher = SearchBatcher(eng)
+    try:
+        with pytest.raises(ValueError):
+            batcher.search(np.zeros((1, 7), np.float32), k=3)  # wrong d
+        # batcher still alive afterwards
+        assert batcher.search(x[0], k=1).indices[0, 0] == 0
+    finally:
+        batcher.close()

@@ -158,3 +158,43 @@ def test_malformed_json_400(server_url):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(req)
     assert exc_info.value.code == 400
+
+
+def test_search_with_batching_enabled(rng):
+    """Server with --batching: concurrent /search requests coalesce and
+    return correct per-request results."""
+    import threading
+
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    from qrag_tpu.serving import serve_in_thread
+
+    cfg = QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 16}})
+    x = rng.randn(100, 16).astype(np.float32)
+    idx = DeviceFlatIndex.from_numpy(x, topk_mode="exact")
+    engine = QragEngine(config=cfg, index=idx)
+    server = serve_in_thread(engine, batching=True)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        outs = {}
+
+        def hit(i):
+            status, body = _post(
+                url, "/search", {"vectors": [x[i].tolist()], "k": 2}
+            )
+            outs[i] = (status, body)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(6):
+            status, body = outs[i]
+            assert status == 200
+            assert body["results"][0][0]["index"] == i
+        status, stats = _get(url, "/stats")
+        assert stats["batcher"]["batched_queries"] == 6
+    finally:
+        server.shutdown()
