@@ -71,6 +71,10 @@ class ClassicalConfig:
     enable_cache: bool = True
     # Neutral score returned on scorer failure (``classical.py:218-229``).
     neutral_score: float = 0.5
+    # Long documents: "truncate" (the reference's behavior,
+    # classical.py:164-165) or "chunk_pool" (score fixed-size windows,
+    # max-pool — no content is dropped).
+    long_doc_strategy: str = "truncate"
 
 
 @dataclass

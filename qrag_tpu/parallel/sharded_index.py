@@ -198,6 +198,23 @@ class ShardedFlatIndex:
             self.merge,
         )
 
+    @classmethod
+    def load_faiss(cls, path: str, mesh: Mesh, **kwargs) -> "ShardedFlatIndex":
+        """Load a FAISS flat artifact directly into a sharded index."""
+        from qrag_tpu.index import faiss_io
+
+        data = faiss_io.read_flat_index(path)
+        meta = faiss_io.read_metadata(path)
+        if meta and len(meta) != data.ntotal:
+            meta = (meta + [""] * data.ntotal)[: data.ntotal]
+        return cls(
+            data.vectors,
+            mesh,
+            metric=data.metric,
+            metadata=meta or None,
+            **kwargs,
+        )
+
     def gather_rows_device(self, idx: jnp.ndarray) -> jnp.ndarray:
         """Gather corpus rows by global index across shards: each shard
         contributes the rows it owns (masked local take), one psum over

@@ -91,7 +91,25 @@ class ClassicalReranker:
             from qrag_tpu.models.cross_encoder import CrossEncoderScorer
 
             self._cross_encoder = CrossEncoderScorer.from_config(self.config)
-        return self._cross_encoder.score(query, contents)
+        if self.config.long_doc_strategy != "chunk_pool":
+            return self._cross_encoder.score(query, contents)
+        # chunk-and-pool: score fixed-size windows of each document and
+        # max-pool — no content is dropped (the reference truncates at
+        # max_sequence_length*4 chars; SURVEY.md §5 long-context)
+        window = self.config.max_sequence_length * 4
+        pieces: List[str] = []
+        owner: List[int] = []
+        for di, content in enumerate(contents):
+            chunks = [
+                content[i : i + window] for i in range(0, len(content), window)
+            ] or [""]
+            pieces.extend(chunks)
+            owner.extend([di] * len(chunks))
+        piece_scores = self._cross_encoder.score(query, pieces)
+        out = np.full(len(contents), -np.inf, np.float32)
+        for s, di in zip(piece_scores, owner):
+            out[di] = max(out[di], float(s))
+        return out
 
     def _score_batch(self, query: str, contents: List[str]) -> np.ndarray:
         if self._scorer_override is not None:
@@ -146,8 +164,15 @@ class ClassicalReranker:
             scores_by_pos: List[Optional[float]] = [None] * len(documents)
             uncached_pos: List[int] = []
             uncached_contents: List[str] = []
+            # chunk_pool keeps full content (windows are cut at scoring
+            # time); truncate mode applies the reference's limit here
+            sanitize_limit = (
+                self.config.max_sequence_length
+                if self.config.long_doc_strategy != "chunk_pool"
+                else 1 << 24
+            )
             for pos, doc in enumerate(documents):
-                content_s = sanitize_text(doc.content, self.config.max_sequence_length)
+                content_s = sanitize_text(doc.content, sanitize_limit)
                 key = _stable_key(query_s, content_s)
                 if self.config.enable_cache and key in self.score_cache:
                     scores_by_pos[pos] = self.score_cache[key]

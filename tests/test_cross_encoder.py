@@ -126,3 +126,55 @@ def test_dense_ffn_variant():
     toks, mask = tokenize_batch("q", ["d"], cfg.max_len)
     out = forward(params, jnp.asarray(toks), jnp.asarray(mask), cfg)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_chunk_pool_long_doc_strategy():
+    """chunk_pool scores windows and max-pools; a relevant passage
+    buried beyond the truncation limit must still be seen."""
+    from qrag_tpu.config import ClassicalConfig
+    from qrag_tpu.documents import Document
+    from qrag_tpu.reranker.classical import ClassicalReranker
+
+    calls = []
+
+    def spy_scorer(query, contents):
+        calls.append(list(contents))
+        # score 1.0 for pieces containing the marker, else 0.0
+        return np.asarray(
+            [1.0 if "XMARKERX" in c else 0.0 for c in contents], np.float32
+        )
+
+    long_prefix = "padding words " * 400  # ~5600 chars > 2048 truncation
+    docs = [
+        Document("buried", long_prefix + " XMARKERX"),
+        Document("plain", "irrelevant short text"),
+    ]
+    # truncate mode: marker dropped -> both score 0, original order kept
+    rr_t = ClassicalReranker(
+        ClassicalConfig(long_doc_strategy="truncate", enable_cache=False),
+        scorer=spy_scorer,
+    )
+    out_t = rr_t.rerank("q", docs)
+    assert [d.id for d, _ in out_t] == ["buried", "plain"]
+    assert all(s == 0.0 for _, s in out_t)
+
+    # chunk_pool: marker window scores 1.0 -> buried doc wins
+    rr_c = ClassicalReranker(
+        ClassicalConfig(long_doc_strategy="chunk_pool", enable_cache=False,
+                        method="cross-encoder"),
+        scorer=None,
+    )
+    rr_c._scorer_override = None
+    # patch the cross-encoder scorer boundary with the spy
+    rr_c._score_cross_encoder_orig = rr_c._score_cross_encoder
+
+    class FakeCE:
+        def score(self, query, pieces):
+            return spy_scorer(query, pieces)
+
+    rr_c._cross_encoder = FakeCE()
+    out_c = rr_c.rerank("q", docs)
+    assert out_c[0][0].id == "buried"
+    assert out_c[0][1] == 1.0
+    # the long doc was split into multiple scored windows
+    assert any(len(c) > 2 for c in calls[1:])
