@@ -206,13 +206,19 @@ class QragEngine:
         cls, path: str, config: Optional[QragConfig] = None, **kwargs
     ) -> "QragEngine":
         config = config or QragConfig()
-        index = DeviceFlatIndex.load_faiss(
-            path,
+        load_kwargs = dict(
             row_pad_multiple=config.index.row_pad_multiple,
             use_pallas=config.index.use_pallas,
             topk_mode=config.index.topk_mode,
             store_dtype=config.index.dtype,
         )
+        if config.index.quantization == "int8":
+            from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+
+            load_kwargs["refine_factor"] = config.index.refine_factor
+            index = QuantizedFlatIndex.load_faiss(path, **load_kwargs)
+        else:
+            index = DeviceFlatIndex.load_faiss(path, **load_kwargs)
         return cls(config=config, index=index, **kwargs)
 
     def add_texts(

@@ -68,3 +68,23 @@ def test_quantized_incremental_add(rng):
     quant.add(b)
     res = quant.search(b[4], k=1)
     assert res.indices[0, 0] == 54  # re-quantized after append
+
+
+def test_engine_from_faiss_respects_quantization(tmp_path, rng):
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index import faiss_io
+
+    x = rng.randn(300, 32).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    path = str(tmp_path / "q.faiss")
+    faiss_io.write_flat_index(path, x, metric="l2")
+    cfg = QragConfig.from_dict(
+        {"index": {"quantization": "int8", "refine_factor": 8},
+         "embedding": {"provider": "hash", "dim": 32}}
+    )
+    eng = QragEngine.from_faiss(path, config=cfg)
+    assert isinstance(eng.index, QuantizedFlatIndex)
+    assert eng.index.refine_factor == 8
+    res = eng.search(x[17], k=1)
+    assert res.indices[0, 0] == 17
