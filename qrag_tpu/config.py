@@ -107,7 +107,8 @@ class IndexConfig:
     # Top-k selection: "exact" (lax.top_k), "approx" (hardware
     # partial-reduce + oversample), "verified" (approx + exactness
     # certificate + exact re-run of failing rows; exact values at
-    # ~approx speed).
+    # ~approx speed), "refined" (bf16 selection traffic + exact
+    # re-scoring of gathered candidates).
     topk_mode: str = "verified"
     # "none" | "int8": int8 scan with exact refinement
     # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.

@@ -96,7 +96,7 @@ class DeviceFlatIndex:
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
-        if topk_mode not in ("exact", "approx", "verified"):
+        if topk_mode not in ("exact", "approx", "verified", "refined"):
             raise ValueError(f"unknown topk_mode {topk_mode!r}")
         self.d = int(d)
         self.metric = metric

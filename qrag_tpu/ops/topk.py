@@ -127,6 +127,28 @@ def _scan_topk_device(
     oversample: int,
     recall_target: float,
 ):
+    if mode == "refined":
+        # bf16 goodness into the selector (halves the dominant (B, N)
+        # HBM traffic of the selection stage), then exact re-scoring of
+        # the gathered candidates — exact final scores, recall like
+        # "approx" at the oversampled candidate count
+        from qrag_tpu.ops.quantize import refine_candidates
+
+        g = _goodness(queries, corpus, metric, corpus_sqnorms, valid_rows)
+        kk = min(max(k * max(oversample, 2), k), g.shape[-1])
+        sv, si = goodness_topk(
+            g.astype(jnp.bfloat16), kk, "approx", 1, recall_target
+        )
+        vals, idx = refine_candidates(
+            queries,
+            corpus,
+            si,
+            sv.astype(jnp.float32),
+            k,
+            metric=metric,
+            corpus_sqnorms=corpus_sqnorms,
+        )
+        return vals, idx, jnp.ones((g.shape[0],), dtype=bool)
     g = _goodness(queries, corpus, metric, corpus_sqnorms, valid_rows)
     vals, idx = goodness_topk(g, k, mode, oversample, recall_target)
     if mode == "verified":

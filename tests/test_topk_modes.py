@@ -120,3 +120,29 @@ def test_verified_fallback_writable_patch(rng, monkeypatch):
     )
     np.testing.assert_array_equal(i_v, np.asarray(i_e))
     np.testing.assert_allclose(s_v, np.asarray(s_e), rtol=1e-5)
+
+
+def test_refined_mode_exact_scores(rng):
+    """'refined' returns exact score values (bf16 only in selection)."""
+    q = rng.randn(8, 48).astype(np.float32)
+    x = rng.randn(8192, 48).astype(np.float32)
+    s_r, i_r = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 10, metric="l2", mode="refined"
+    )
+    s_e, i_e = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), 10, metric="l2", mode="exact"
+    )
+    # recall high on random data; agreeing positions carry EXACT scores
+    agree = np.asarray(i_r) == np.asarray(i_e)
+    assert agree.mean() > 0.9
+    np.testing.assert_allclose(
+        np.asarray(s_r)[agree], np.asarray(s_e)[agree], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_refined_mode_through_index(rng):
+    x = rng.randn(5000, 32).astype(np.float32)
+    idx = DeviceFlatIndex.from_numpy(x, topk_mode="refined")
+    res = idx.search(x[99:100], k=3)
+    assert res.indices[0, 0] == 99
+    assert res.scores[0, 0] < 1e-4
