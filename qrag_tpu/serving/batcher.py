@@ -31,10 +31,15 @@ class _Pending:
     vectors: np.ndarray  # (n, d)
     k: int
     future: Future = field(default_factory=Future)
+    params: tuple = ()  # extra grouping key (rerank candidates/type)
 
 
 class SearchBatcher:
-    """Aggregates concurrent search calls into single device batches."""
+    """Aggregates concurrent search calls into single device batches.
+
+    Plain searches batch freely (k differences are served with max(k)
+    and trimmed); fused search+rerank requests batch among requests
+    with identical (k, candidates, reranker_type)."""
 
     def __init__(
         self,
@@ -62,6 +67,26 @@ class SearchBatcher:
         if vectors.ndim == 1:
             vectors = vectors[None, :]
         item = _Pending(vectors=vectors, k=k)
+        self._queue.put(item)
+        return item.future.result()
+
+    def search_rerank(
+        self,
+        vectors: np.ndarray,
+        k: int = 10,
+        candidates: int = 100,
+        reranker_type: str = "quantum",
+    ) -> dict:
+        """Blocking fused search+rerank through the batcher; returns
+        the engine's result dict for THESE vectors only."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        item = _Pending(
+            vectors=vectors,
+            k=k,
+            params=("rerank", k, candidates, reranker_type),
+        )
         self._queue.put(item)
         return item.future.result()
 
@@ -107,14 +132,23 @@ class SearchBatcher:
             items = self._drain()
             if not items:
                 continue
-            try:
-                self._serve(items)
-            except Exception as e:  # noqa: BLE001 - propagate per-request
-                for it in items:
-                    if not it.future.done():
-                        it.future.set_exception(e)
+            # group by extra params: only identical-parameter requests
+            # share a device batch
+            groups: dict = {}
+            for it in items:
+                groups.setdefault(it.params, []).append(it)
+            for group in groups.values():
+                try:
+                    self._serve(group)
+                except Exception as e:  # noqa: BLE001 - per-request
+                    for it in group:
+                        if not it.future.done():
+                            it.future.set_exception(e)
 
     def _serve(self, items: List[_Pending]) -> None:
+        if items[0].params and items[0].params[0] == "rerank":
+            self._serve_rerank(items)
+            return
         vecs = np.concatenate([it.vectors for it in items], axis=0)
         k = max(it.k for it in items)
         b = vecs.shape[0]
@@ -139,5 +173,32 @@ class SearchBatcher:
                     indices=res.indices[sl][:, : it.k],
                     metadata=[row[: it.k] for row in res.metadata[sl]],
                 )
+            )
+            off += n
+
+    def _serve_rerank(self, items: List[_Pending]) -> None:
+        _, k, candidates, reranker_type = items[0].params
+        vecs = np.concatenate([it.vectors for it in items], axis=0)
+        b = vecs.shape[0]
+        bucket = self.bucket_floor
+        while bucket < b:
+            bucket *= 2
+        if bucket != b:
+            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)))
+        out = self.engine.search_rerank(
+            vecs, k=k, candidates=candidates, reranker_type=reranker_type
+        )
+        self.batches += 1
+        self.batched_queries += b
+        results = out["results"]
+        off = 0
+        for it in items:
+            n = it.vectors.shape[0]
+            it.future.set_result(
+                {
+                    "queries": n,
+                    "results": results[off : off + n],
+                    "reranker_used": out["reranker_used"],
+                }
             )
             off += n

@@ -192,9 +192,9 @@ def _make_handler(engine: QragEngine, batcher=None):
             }
 
         def _handle_search_rerank(self, body: Dict[str, Any]) -> Dict[str, Any]:
-            if "vectors" in body:
-                import numpy as np
+            import numpy as np
 
+            if "vectors" in body:
                 queries = np.asarray(body["vectors"], dtype=np.float32)
             elif "query" in body:
                 queries = [body["query"]]
@@ -202,11 +202,20 @@ def _make_handler(engine: QragEngine, batcher=None):
                 queries = list(body["queries"])
             else:
                 return {"error": "provide query, queries, or vectors"}
+            k = int(body.get("k", 10))
+            candidates = int(body.get("candidates", 100))
+            rtype = body.get("reranker_type", "quantum")
+            if batcher is not None and rtype != "auto":
+                vecs = (
+                    engine.embedder([str(q) for q in queries])
+                    if not isinstance(queries, np.ndarray)
+                    else queries
+                )
+                return batcher.search_rerank(
+                    vecs, k=k, candidates=candidates, reranker_type=rtype
+                )
             return engine.search_rerank(
-                queries,
-                k=int(body.get("k", 10)),
-                candidates=int(body.get("candidates", 100)),
-                reranker_type=body.get("reranker_type", "quantum"),
+                queries, k=k, candidates=candidates, reranker_type=rtype
             )
 
         def _handle_add(self, body: Dict[str, Any]) -> Dict[str, Any]:

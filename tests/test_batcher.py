@@ -91,3 +91,37 @@ def test_error_propagation(engine):
         assert batcher.search(x[0], k=1).indices[0, 0] == 0
     finally:
         batcher.close()
+
+
+def test_rerank_batching_grouped_and_correct(engine):
+    eng, x = engine
+    batcher = SearchBatcher(eng, max_wait_s=0.05)
+    outs = {}
+
+    def worker(i, candidates):
+        outs[(i, candidates)] = batcher.search_rerank(
+            x[i], k=3, candidates=candidates
+        )
+
+    try:
+        threads = [
+            threading.Thread(target=worker, args=(i, 10)) for i in range(4)
+        ] + [threading.Thread(target=worker, args=(7, 20))]  # different params
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(4):
+            out = outs[(i, 10)]
+            assert out["queries"] == 1
+            assert out["results"][0][0]["index"] == i  # self top-hit (fid=1)
+        assert outs[(7, 20)]["results"][0][0]["index"] == 7
+        # the four same-param requests coalesced; the odd one ran alone
+        assert batcher.batches <= 3
+        # batched result == direct engine result
+        direct = eng.search_rerank(x[2][None, :], k=3, candidates=10)
+        assert [h["index"] for h in outs[(2, 10)]["results"][0]] == [
+            h["index"] for h in direct["results"][0]
+        ]
+    finally:
+        batcher.close()
