@@ -144,6 +144,11 @@ def _make_handler(service: ToolService):
                         ]
                     }
                 )
+            if method in ("resources/list", "prompts/list"):
+                # protocol politeness: we expose no resources/prompts,
+                # but spec-conformant clients may enumerate them
+                key = method.split("/")[0]
+                return ok({key: []})
             if method == "tools/call":
                 name = params.get("name")
                 arguments = params.get("arguments") or {}

@@ -126,3 +126,9 @@ def test_orchestrator_preserves_path_case(mcp_setup):
 
     assert os.path.exists(f"{tmp}/CamelCase.faiss")
     assert not os.path.exists(f"{tmp}/camelcase.faiss")
+
+
+def test_resources_and_prompts_stubs(mcp_setup):
+    client, _ = mcp_setup
+    assert client._rpc("resources/list") == {"resources": []}
+    assert client._rpc("prompts/list") == {"prompts": []}
