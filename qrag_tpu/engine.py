@@ -565,6 +565,49 @@ class QragEngine:
         logger.info("engine warmup in %.2fs", dt)
         return dt
 
+    def save(self, directory: str) -> None:
+        """Persist the deployable engine state: the index (native
+        manifest format) + the full config tree.  Counterpart of the
+        reference's artifact-as-checkpoint pattern (SURVEY.md §5)."""
+        import dataclasses
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.index.save_native(os.path.join(directory, "index"))
+        with open(os.path.join(directory, "engine.json"), "w") as f:
+            json.dump(
+                {"format": "qrag_tpu.engine", "config": self.config.to_dict()},
+                f,
+                indent=2,
+            )
+
+    @classmethod
+    def load(cls, directory: str, **kwargs) -> "QragEngine":
+        import json
+        import os
+
+        with open(os.path.join(directory, "engine.json")) as f:
+            meta = json.load(f)
+        if meta.get("format") != "qrag_tpu.engine":
+            raise ValueError(f"{directory}: not a qrag_tpu engine bundle")
+        config = QragConfig.from_dict(meta["config"])
+        index_cls = DeviceFlatIndex
+        index_kwargs = dict(
+            topk_mode=config.index.topk_mode,
+            store_dtype=config.index.dtype,
+            use_pallas=config.index.use_pallas,
+        )
+        if config.index.quantization == "int8":
+            from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+
+            index_cls = QuantizedFlatIndex
+            index_kwargs["refine_factor"] = config.index.refine_factor
+        index = index_cls.load_native(
+            os.path.join(directory, "index"), **index_kwargs
+        )
+        return cls(config=config, index=index, **kwargs)
+
     def stats(self) -> Dict[str, Any]:
         return {
             "index": {

@@ -101,6 +101,45 @@ def _make_handler(engine: QragEngine, batcher=None):
         def do_GET(self):
             if self.path == "/":
                 self._send_json(SERVICE_INFO)
+            elif self.path == "/docs":
+                # JSON API description (the reference advertises
+                # docs_url "/docs" via FastAPI's swagger; app.py:84)
+                self._send_json(
+                    {
+                        "service": SERVICE_INFO["message"],
+                        "endpoints": {
+                            "POST /rerank": {
+                                "body": {
+                                    "query": "str",
+                                    "documents": [
+                                        {"id": "str", "content": "str",
+                                         "source": "str?"}
+                                    ],
+                                    "reranker_type": "auto|quantum|classical",
+                                    "top_k": "int?",
+                                },
+                            },
+                            "POST /search": {
+                                "body": {
+                                    "query | queries | vectors": "...",
+                                    "k": "int?",
+                                },
+                            },
+                            "POST /search_rerank": {
+                                "body": {
+                                    "query | queries | vectors": "...",
+                                    "k": "int?",
+                                    "candidates": "int?",
+                                    "reranker_type": "quantum|classical|auto",
+                                },
+                            },
+                            "POST /add": {
+                                "body": {"texts": ["str"], "metadata": ["str?"]},
+                            },
+                            "GET /stats": {"query": "?recall=1"},
+                        },
+                    }
+                )
             elif self.path.startswith("/stats"):
                 stats = engine.stats()
                 if batcher is not None:
@@ -288,11 +327,14 @@ def main(argv=None) -> None:
         import os
 
         if os.path.isdir(args.index):
-            from qrag_tpu.index.flat_index import DeviceFlatIndex
+            if os.path.exists(os.path.join(args.index, "engine.json")):
+                engine = QragEngine.load(args.index)
+            else:
+                from qrag_tpu.index.flat_index import DeviceFlatIndex
 
-            engine = QragEngine(
-                config=config, index=DeviceFlatIndex.load_native(args.index)
-            )
+                engine = QragEngine(
+                    config=config, index=DeviceFlatIndex.load_native(args.index)
+                )
         else:
             engine = QragEngine.from_faiss(args.index, config=config)
     else:

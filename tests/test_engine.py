@@ -100,3 +100,37 @@ def test_warmup_and_stats(rng):
     stats = eng.stats()
     assert stats["index"]["ntotal"] == 50
     assert "search" in stats["metrics"]["latency"]
+
+
+def test_engine_save_load_roundtrip(tmp_path, rng):
+    eng, x = _engine(rng, n=60)
+    d = str(tmp_path / "bundle")
+    eng.save(d)
+    from qrag_tpu.engine import QragEngine
+
+    back = QragEngine.load(d)
+    assert back.index.ntotal == 60
+    assert back.config.embedding.dim == eng.config.embedding.dim
+    r1 = eng.search(x[5], k=3)
+    r2 = back.search(x[5], k=3)
+    np.testing.assert_array_equal(r1.indices, r2.indices)
+    assert r2.metadata[0][0] == "show/ep5"
+
+
+def test_engine_save_load_quantized(tmp_path, rng):
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+
+    cfg = QragConfig.from_dict(
+        {"index": {"quantization": "int8"},
+         "embedding": {"provider": "hash", "dim": 32}}
+    )
+    x = rng.randn(200, 32).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    eng = QragEngine(config=cfg)
+    eng.index.add(x)
+    d = str(tmp_path / "qb")
+    eng.save(d)
+    back = QragEngine.load(d)
+    assert isinstance(back.index, QuantizedFlatIndex)
+    assert back.search(x[9], k=1).indices[0, 0] == 9

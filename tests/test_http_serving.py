@@ -198,3 +198,9 @@ def test_search_with_batching_enabled(rng):
         assert stats["batcher"]["batched_queries"] == 6
     finally:
         server.shutdown()
+
+
+def test_docs_endpoint(server_url):
+    status, body = _get(server_url, "/docs")
+    assert status == 200
+    assert "POST /rerank" in body["endpoints"]
