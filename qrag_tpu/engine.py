@@ -164,6 +164,23 @@ def fused_search_rerank_routed(
     )
 
 
+def _index_cls_and_kwargs(config: QragConfig):
+    """Single source of truth for building an index from config
+    (used by __init__ / from_faiss / load)."""
+    kw = dict(
+        row_pad_multiple=config.index.row_pad_multiple,
+        use_pallas=config.index.use_pallas,
+        topk_mode=config.index.topk_mode,
+        store_dtype=config.index.dtype,
+    )
+    if config.index.quantization == "int8":
+        from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+
+        kw["refine_factor"] = config.index.refine_factor
+        return QuantizedFlatIndex, kw
+    return DeviceFlatIndex, kw
+
+
 class QragEngine:
     """Owns index + embedder + rerankers; serves search and rerank."""
 
@@ -178,22 +195,13 @@ class QragEngine:
         enable_compilation_cache()  # per-backend persistent XLA cache
         self.config = config or QragConfig()
         if index is None:
-            kwargs = dict(
+            cls_, kw = _index_cls_and_kwargs(self.config)
+            index = cls_(
                 d=self.config.embedding.dim,
                 metric=self.config.index.metric,
                 normalize=self.config.index.normalize,
-                row_pad_multiple=self.config.index.row_pad_multiple,
-                use_pallas=self.config.index.use_pallas,
-                topk_mode=self.config.index.topk_mode,
-                store_dtype=self.config.index.dtype,
+                **kw,
             )
-            if self.config.index.quantization == "int8":
-                from qrag_tpu.index.quantized_index import QuantizedFlatIndex
-
-                kwargs["refine_factor"] = self.config.index.refine_factor
-                index = QuantizedFlatIndex(**kwargs)
-            else:
-                index = DeviceFlatIndex(**kwargs)
         self.index = index
         self.embedder = embedder or get_embedder(self.config.embedding)
         self.controller = controller or RerankerController(self.config)
@@ -206,19 +214,8 @@ class QragEngine:
         cls, path: str, config: Optional[QragConfig] = None, **kwargs
     ) -> "QragEngine":
         config = config or QragConfig()
-        load_kwargs = dict(
-            row_pad_multiple=config.index.row_pad_multiple,
-            use_pallas=config.index.use_pallas,
-            topk_mode=config.index.topk_mode,
-            store_dtype=config.index.dtype,
-        )
-        if config.index.quantization == "int8":
-            from qrag_tpu.index.quantized_index import QuantizedFlatIndex
-
-            load_kwargs["refine_factor"] = config.index.refine_factor
-            index = QuantizedFlatIndex.load_faiss(path, **load_kwargs)
-        else:
-            index = DeviceFlatIndex.load_faiss(path, **load_kwargs)
+        cls_, kw = _index_cls_and_kwargs(config)
+        index = cls_.load_faiss(path, **kw)
         return cls(config=config, index=index, **kwargs)
 
     def add_texts(
@@ -569,7 +566,6 @@ class QragEngine:
         """Persist the deployable engine state: the index (native
         manifest format) + the full config tree.  Counterpart of the
         reference's artifact-as-checkpoint pattern (SURVEY.md §5)."""
-        import dataclasses
         import json
         import os
 
@@ -591,21 +587,12 @@ class QragEngine:
             meta = json.load(f)
         if meta.get("format") != "qrag_tpu.engine":
             raise ValueError(f"{directory}: not a qrag_tpu engine bundle")
-        config = QragConfig.from_dict(meta["config"])
-        index_cls = DeviceFlatIndex
-        index_kwargs = dict(
-            topk_mode=config.index.topk_mode,
-            store_dtype=config.index.dtype,
-            use_pallas=config.index.use_pallas,
-        )
-        if config.index.quantization == "int8":
-            from qrag_tpu.index.quantized_index import QuantizedFlatIndex
-
-            index_cls = QuantizedFlatIndex
-            index_kwargs["refine_factor"] = config.index.refine_factor
-        index = index_cls.load_native(
-            os.path.join(directory, "index"), **index_kwargs
-        )
+        # env overrides still apply on top of the bundled config (CLI
+        # callers can further override before constructing the engine)
+        config = QragConfig.from_dict(meta["config"]).with_env_overrides()
+        cls_, kw = _index_cls_and_kwargs(config)
+        kw.pop("row_pad_multiple", None)  # the index manifest records it
+        index = cls_.load_native(os.path.join(directory, "index"), **kw)
         return cls(config=config, index=index, **kwargs)
 
     def stats(self) -> Dict[str, Any]:

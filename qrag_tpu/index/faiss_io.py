@@ -153,6 +153,17 @@ def append_flat_index(
     return vectors.shape[0]
 
 
+def read_flat_with_metadata(path: str):
+    """Read a flat index + its sidecar, with metadata padded/truncated
+    to ntotal (the reference tolerates count mismatches — SURVEY.md
+    Appendix A.4).  Returns (FlatIndexData, List[str] | None)."""
+    data = read_flat_index(path)
+    meta = read_metadata(path)
+    if meta and len(meta) != data.ntotal:
+        meta = (meta + [""] * data.ntotal)[: data.ntotal]
+    return data, (meta or None)
+
+
 def metadata_path_for(index_path: str) -> str:
     """Sidecar path convention of ``store_in_faiss.py:111``."""
     if index_path.endswith(".faiss"):

@@ -174,14 +174,9 @@ class DeviceFlatIndex:
     @classmethod
     def load_faiss(cls, path: str, **kwargs) -> "DeviceFlatIndex":
         """Load a FAISS flat index file + metadata sidecar."""
-        data = faiss_io.read_flat_index(path)
-        meta = faiss_io.read_metadata(path)
-        if meta and len(meta) != data.ntotal:
-            # The reference tolerates count mismatches between vectors
-            # and metadata (SURVEY.md Appendix A.4); pad/truncate here.
-            meta = (meta + [""] * data.ntotal)[: data.ntotal]
+        data, meta = faiss_io.read_flat_with_metadata(path)
         return cls.from_numpy(
-            data.vectors, metric=data.metric, metadata=meta or None, **kwargs
+            data.vectors, metric=data.metric, metadata=meta, **kwargs
         )
 
     # ------------------------------------------------------------------

@@ -194,8 +194,10 @@ class TrainedEmbedder:
         for i in range(0, len(texts), bs):
             chunk = list(texts[i : i + bs])
             n = len(chunk)
-            # pad the batch to the fixed bucket (one compiled shape)
-            chunk = chunk + [""] * (bs - n)
+            # pad to a power-of-two bucket (few compiled shapes without
+            # paying a full batch_size forward for single queries)
+            bucket = 1 << max(2, (n - 1).bit_length())
+            chunk = chunk + [""] * (bucket - n)
             toks, mask = tokenize_texts(chunk, self.cfg.tower.max_len)
             mask[:, 0] = 1.0  # empty strings: avoid all-zero masks
             emb = self._encode(self.params, jnp.asarray(toks), jnp.asarray(mask))

@@ -153,9 +153,10 @@ def _pallas_scan_topk_padded(
     np_, _ = x.shape
     grid = (np_ // tile_n,)
     flops = 2 * bp * np_ * dp
-    # running top-k buffers padded to 128 lanes: keeps every candidate
-    # plane (128 + tile_n wide) lane-aligned, avoiding relayouts
-    kp = 128 if not interpret else k
+    # running top-k buffers padded to a 128-lane multiple: keeps every
+    # candidate plane lane-aligned, avoiding relayouts (and supports
+    # k > 128 — regression-tested)
+    kp = _round_up(k, 128) if not interpret else k
     out_vals, out_idx = pl.pallas_call(
         functools.partial(
             _scan_topk_kernel,
@@ -212,38 +213,20 @@ def pallas_scan_topk(
     n = corpus.shape[0]
     if n == 0 or k > n:
         raise NotImplementedError("pallas path needs 0 < k <= ntotal")
-    # large query batches are processed in chunks: the kernel's VMEM
-    # working set (Q block + (B, T) score/candidate planes + pipeline
-    # double-buffers) must stay under the 16 MB scoped limit
-    max_b = 256
-    if b > max_b:
-        parts = [
-            pallas_scan_topk(
-                queries[i : i + max_b],
-                corpus,
-                k,
-                metric=metric,
-                corpus_sqnorms=corpus_sqnorms,
-                valid_rows=valid_rows,
-                compute_dtype=compute_dtype,
-                tile_n=tile_n,
-            )
-            for i in range(0, b, max_b)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts], axis=0),
-            jnp.concatenate([p[1] for p in parts], axis=0),
-        )
     interpret = jax.default_backend() != "tpu"
+    # query chunk size: the kernel's VMEM working set (Q block + (B, T)
+    # score/candidate planes + pipeline double-buffers) must stay under
+    # the 16 MB scoped limit
+    max_b = 256
 
     dp = _round_up(d, 128)
-    bp = _round_up(b, 8)
+    bp = _round_up(min(b, max_b), 8)
     tile = tile_n or _pick_tile_n(dp, bp)
     npad = _round_up(n, tile)
 
-    q = jnp.zeros((bp, dp), jnp.float32).at[:b, :d].set(queries.astype(jnp.float32))
+    # corpus-side prep is hoisted OUT of the per-chunk loop: padding the
+    # (N, d) matrix + sqnorms/bias once, not once per 256-query chunk
     x = jnp.zeros((npad, dp), jnp.float32).at[:n, :d].set(corpus.astype(jnp.float32))
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)
     if corpus_sqnorms is None:
         xsq_valid = jnp.sum(
             corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
@@ -260,11 +243,25 @@ def pallas_scan_topk(
         bias_row = bias_row.at[:n].set(0.0)
     bias = bias_row[None, :]
 
-    vals, idx = _pallas_scan_topk_padded(
-        q, qsq, x, xsq, bias, k, metric, tile, compute_dtype, interpret
-    )
-    vals = vals[:b]
-    idx = idx[:b]
+    def run_chunk(q_chunk: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cb = q_chunk.shape[0]
+        q = (
+            jnp.zeros((bp, dp), jnp.float32)
+            .at[:cb, :d]
+            .set(q_chunk.astype(jnp.float32))
+        )
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)
+        v, i = _pallas_scan_topk_padded(
+            q, qsq, x, xsq, bias, k, metric, tile, compute_dtype, interpret
+        )
+        return v[:cb], i[:cb]
+
+    parts = [run_chunk(queries[i : i + max_b]) for i in range(0, b, max_b)]
+    if len(parts) == 1:
+        vals, idx = parts[0]
+    else:
+        vals = jnp.concatenate([p[0] for p in parts], axis=0)
+        idx = jnp.concatenate([p[1] for p in parts], axis=0)
     if metric == "l2":
         # g = -(d^2) (+bias); recover distances, mask invalid as +inf
         invalid = vals <= _NEG_INF / 2

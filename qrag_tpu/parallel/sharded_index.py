@@ -203,16 +203,9 @@ class ShardedFlatIndex:
         """Load a FAISS flat artifact directly into a sharded index."""
         from qrag_tpu.index import faiss_io
 
-        data = faiss_io.read_flat_index(path)
-        meta = faiss_io.read_metadata(path)
-        if meta and len(meta) != data.ntotal:
-            meta = (meta + [""] * data.ntotal)[: data.ntotal]
+        data, meta = faiss_io.read_flat_with_metadata(path)
         return cls(
-            data.vectors,
-            mesh,
-            metric=data.metric,
-            metadata=meta or None,
-            **kwargs,
+            data.vectors, mesh, metric=data.metric, metadata=meta, **kwargs
         )
 
     def gather_rows_device(self, idx: jnp.ndarray) -> jnp.ndarray:

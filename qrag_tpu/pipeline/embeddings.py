@@ -153,9 +153,25 @@ def get_embedder(config: Optional[EmbeddingConfig] = None) -> Embedder:
         return OpenAIEmbedder(config)
     if config.provider == "trained":
         # the in-framework bi-encoder; config.model is the weights dir
-        # (falls back to random init when absent — useful for tests)
-        from qrag_tpu.models.bi_encoder import TrainedEmbedder
+        # (falls back to random init when absent — useful for tests).
+        # The projection width follows config.dim so the engine's index
+        # dimension and the embedder agree; saved weights must match.
+        import jax
+
+        from qrag_tpu.models.bi_encoder import BiEncoderConfig, TrainedEmbedder
+        from qrag_tpu.models.cross_encoder import CrossEncoderConfig
 
         weights = config.model if os.path.isdir(config.model) else None
-        return TrainedEmbedder(weights_dir=weights)
+        import jax.numpy as jnp
+
+        bi_cfg = BiEncoderConfig(
+            tower=CrossEncoderConfig(
+                max_len=128,
+                dtype=jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32,
+            ),
+            out_dim=config.dim,
+        )
+        return TrainedEmbedder(cfg=bi_cfg, weights_dir=weights)
     raise ValueError(f"unknown embedding provider {config.provider!r}")

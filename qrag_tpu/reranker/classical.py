@@ -95,8 +95,17 @@ class ClassicalReranker:
             return self._cross_encoder.score(query, contents)
         # chunk-and-pool: score fixed-size windows of each document and
         # max-pool — no content is dropped (the reference truncates at
-        # max_sequence_length*4 chars; SURVEY.md §5 long-context)
-        window = self.config.max_sequence_length * 4
+        # max_sequence_length*4 chars; SURVEY.md §5 long-context).
+        # Windows are cut at what the tokenizer actually INGESTS per
+        # piece (byte-level: max_len minus CLS/SEP framing minus the
+        # query's share), so every window is fully scored.
+        max_len = getattr(
+            getattr(self._cross_encoder, "cfg", None),
+            "max_len",
+            self.config.max_sequence_length,
+        )
+        q_bytes = min(len(query.encode("utf-8")), (max_len - 3) // 2)
+        window = max(32, max_len - 3 - q_bytes)
         pieces: List[str] = []
         owner: List[int] = []
         for di, content in enumerate(contents):

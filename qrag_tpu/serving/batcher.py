@@ -61,14 +61,18 @@ class SearchBatcher:
 
     # ------------------------------------------------------------- client
 
+    def _submit(self, item: _Pending):
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        self._queue.put(item)
+        return item.future.result()
+
     def search(self, vectors: np.ndarray, k: int = 10):
         """Blocking search through the batcher; returns SearchResult."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
-        item = _Pending(vectors=vectors, k=k)
-        self._queue.put(item)
-        return item.future.result()
+        return self._submit(_Pending(vectors=vectors, k=k))
 
     def search_rerank(
         self,
@@ -82,17 +86,26 @@ class SearchBatcher:
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
-        item = _Pending(
-            vectors=vectors,
-            k=k,
-            params=("rerank", k, candidates, reranker_type),
+        return self._submit(
+            _Pending(
+                vectors=vectors,
+                k=k,
+                params=("rerank", k, candidates, reranker_type),
+            )
         )
-        self._queue.put(item)
-        return item.future.result()
 
     def close(self) -> None:
+        """Stop the worker and FAIL any still-pending requests so no
+        caller blocks forever on a dead queue."""
         self._stop.set()
         self._worker.join(timeout=5)
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not item.future.done():
+                item.future.set_exception(RuntimeError("batcher closed"))
 
     def stats(self) -> dict:
         return {

@@ -302,7 +302,9 @@ def main(argv=None) -> None:
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--index", default=None, help=".faiss file or native dir")
     parser.add_argument(
-        "--embedding-provider", default=None, choices=["mock", "hash", "openai"]
+        "--embedding-provider",
+        default=None,
+        choices=["mock", "hash", "openai", "trained"],
     )
     parser.add_argument("--no-warmup", action="store_true")
     parser.add_argument(
@@ -329,6 +331,18 @@ def main(argv=None) -> None:
         if os.path.isdir(args.index):
             if os.path.exists(os.path.join(args.index, "engine.json")):
                 engine = QragEngine.load(args.index)
+                if args.embedding_provider:
+                    # CLI override still applies on top of the bundle
+                    from dataclasses import replace as _replace
+
+                    from qrag_tpu.pipeline.embeddings import get_embedder
+
+                    engine.embedder = get_embedder(
+                        _replace(
+                            engine.config.embedding,
+                            provider=args.embedding_provider,
+                        )
+                    )
             else:
                 from qrag_tpu.index.flat_index import DeviceFlatIndex
 

@@ -125,3 +125,11 @@ def test_rerank_batching_grouped_and_correct(engine):
         ]
     finally:
         batcher.close()
+
+
+def test_close_fails_pending_and_rejects_new(engine):
+    eng, x = engine
+    batcher = SearchBatcher(eng)
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.search(x[0], k=1)

@@ -137,3 +137,21 @@ def test_engine_with_trained_embedder():
     )
     res = eng.search("advert sponsor podcast", k=1)
     assert res.metadata[0][0] == "d0"
+
+
+def test_trained_provider_respects_config_dim():
+    """Review regression: provider='trained' must emit config.dim-sized
+    vectors so the engine index and embedder agree."""
+    from qrag_tpu.config import EmbeddingConfig, QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.pipeline.embeddings import get_embedder
+
+    e = get_embedder(EmbeddingConfig(provider="trained", dim=64, model="none"))
+    assert e(["abc"]).shape == (1, 64)
+    eng = QragEngine(
+        config=QragConfig.from_dict(
+            {"embedding": {"provider": "trained", "dim": 64, "model": "none"}}
+        )
+    )
+    eng.add_texts(["hello world"], ["m/0"])
+    assert eng.search("hello world", k=1).metadata[0][0] == "m/0"
