@@ -16,25 +16,34 @@ from typing import List
 BREAK_WINDOW = 500
 
 
+_BREAK_CHARS = (".", "\n", " ")  # preference order
+
+
+def _find_break(text: str, lo: int, hi: int) -> int:
+    """Last occurrence of the most-preferred break char in [lo, hi),
+    -1 if none — the boundary-preference rule of the reference."""
+    for ch in _BREAK_CHARS:
+        pos = text.rfind(ch, lo, hi)
+        if pos != -1:
+            return pos
+    return -1
+
+
 def chunk_text(text: str, max_tokens: int = 8000) -> List[str]:
     """Split ``text`` into chunks of at most ``max_tokens * 4`` chars."""
-    max_chars = max_tokens * 4
-    if len(text) <= max_chars:
+    limit = max_tokens * 4
+    if len(text) <= limit:
         return [text]
 
-    chunks: List[str] = []
-    start = 0
-    while start < len(text):
-        end = start + max_chars
-        if end < len(text):
-            lo = start + max_chars - BREAK_WINDOW
-            break_point = text.rfind(".", lo, end)
-            if break_point == -1:
-                break_point = text.rfind("\n", lo, end)
-            if break_point == -1:
-                break_point = text.rfind(" ", lo, end)
-            if break_point > start:
-                end = break_point + 1
-        chunks.append(text[start:end].strip())
-        start = end
-    return chunks
+    pieces: List[str] = []
+    cursor = 0
+    n = len(text)
+    while cursor < n:
+        end = cursor + limit
+        if end < n:
+            brk = _find_break(text, end - BREAK_WINDOW, end)
+            if brk > cursor:
+                end = brk + 1
+        pieces.append(text[cursor:end].strip())
+        cursor = end
+    return pieces
