@@ -124,9 +124,32 @@ class RuleBasedOrchestrator:
             index_path = m.group(2) or self.default_index_path
             return self._process_show(show, index_path, max_steps)
 
+        m = re.search(
+            r"\b(?:search|find)\b\s+(?:for\s+)?(.+?)(?:\s+in\s+(\S+))?$",
+            q,
+            re.IGNORECASE,
+        )
+        if m:
+            query_text = m.group(1).strip().strip("'\"")
+            index_path = m.group(2) or self.default_index_path
+            ok, payload = self.client.call_tool(
+                "SearchIndex",
+                {"index_path": index_path, "query": query_text, "k": 5},
+            )
+            if not ok:
+                return f"Search failed: {payload.get('error', 'unknown')}"
+            hits = payload.get("hits", [])
+            if not hits:
+                return "No results."
+            lines = [
+                f"  {h.get('metadata') or h.get('index')} (score {h.get('score'):.4f})"
+                for h in hits
+            ]
+            return f"Top {len(hits)} for {query_text!r}:\n" + "\n".join(lines)
+
         return (
-            "I can 'list shows' or 'index <show> [into <path>]'. "
-            f"(got: {q!r})"
+            "I can 'list shows', 'index <show> [into <path>]', or "
+            f"'search <query> [in <path>]'. (got: {q!r})"
         )
 
     def _process_show(self, show: str, index_path: str, max_steps: int) -> str:

@@ -218,6 +218,106 @@ class StoreInFaissTool(Tool):
         )
 
 
+# --------------------------------------------------------------- SearchIndex
+
+
+class SearchIndexInput(BaseToolInput):
+    index_path: str
+    query: Optional[str] = None
+    embedding: Optional[List[float]] = None
+    k: int = 10
+    rerank: bool = False  # quantum-fidelity rerank of the hits
+
+
+class SearchIndexOutput(BaseModel):
+    hits: List[Dict[str, Any]]
+    count: int
+    total_vectors: int
+    reranked: bool
+
+
+class SearchIndexTool(Tool):
+    """Exact top-k retrieval over a stored index — the step the
+    reference's "RAG" pipeline never had (no ``index.search`` call
+    exists anywhere in it; SURVEY.md §0 gap 1).  Accepts a text query
+    (embedded with the configured provider) or a raw embedding;
+    optionally reranks the hits by quantum state fidelity."""
+
+    name = "SearchIndex"
+    description = (
+        "Searches a stored flat index for the top-k nearest documents "
+        "to a query (text or embedding), optionally reranking by "
+        "quantum state fidelity."
+    )
+    input_model = SearchIndexInput
+    output_model = SearchIndexOutput
+
+    def __init__(self, embedder: Optional[Embedder] = None,
+                 config: Optional[EmbeddingConfig] = None):
+        self.config = config or EmbeddingConfig(provider="hash")
+        self.embedder = embedder or get_embedder(self.config)
+        self._engines: Dict[str, Any] = {}  # index_path -> engine cache
+
+    def _engine_for(self, index_path: str):
+        import os
+
+        key = f"{index_path}:{os.path.getmtime(index_path)}"
+        engine = self._engines.get(key)
+        if engine is None:
+            from qrag_tpu.engine import QragEngine
+
+            engine = QragEngine.from_faiss(index_path)
+            engine.embedder = self.embedder
+            self._engines.clear()  # one cached engine (latest artifact)
+            self._engines[key] = engine
+        return engine
+
+    async def execute(self, input_data: SearchIndexInput) -> ToolResponse:
+        import os
+
+        import numpy as np
+
+        if not os.path.exists(input_data.index_path):
+            return ToolResponse.from_error(
+                f"index not found: {input_data.index_path}"
+            )
+        if input_data.query is None and input_data.embedding is None:
+            return ToolResponse.from_error("provide query or embedding")
+        try:
+            engine = self._engine_for(input_data.index_path)
+        except ValueError as e:
+            return ToolResponse.from_error(str(e))
+        if input_data.embedding is not None:
+            qv = np.asarray(input_data.embedding, np.float32)[None, :]
+            if qv.shape[1] != engine.index.d:
+                return ToolResponse.from_error(
+                    f"embedding dim {qv.shape[1]} != index d {engine.index.d}"
+                )
+            queries = qv
+        else:
+            queries = input_data.query
+        k = max(1, min(input_data.k, engine.index.ntotal))
+        if input_data.rerank:
+            out = engine.search_rerank(
+                queries, k=k, candidates=min(10 * k, engine.index.ntotal)
+            )
+            hits = out["results"][0]
+        else:
+            res = engine.search(queries, k=k)
+            hits = [
+                {"index": i, "score": s, "metadata": m}
+                for i, s, m in res.top(0)
+            ]
+        return ToolResponse.from_model(
+            SearchIndexOutput(
+                hits=hits,
+                count=len(hits),
+                total_vectors=engine.index.ntotal,
+                reranked=bool(input_data.rerank),
+            )
+        )
+
+
 # --------------------------------------- ProcessTranscriptsToEmbeddings
 
 
@@ -363,10 +463,12 @@ def default_tools(
     embedder: Optional[Embedder] = None,
     config: Optional[EmbeddingConfig] = None,
 ) -> List[Tool]:
-    """The four tools the MCP server registers (``server.py:16-31``)."""
+    """The reference's four tools (``server.py:16-31``) plus
+    SearchIndex — the retrieval step its pipeline was missing."""
     return [
         FetchEmbeddingsTool(embedder, config),
         ReadFromS3Tool(store),
         StoreInFaissTool(),
         ProcessTranscriptsToEmbeddingsTool(store, embedder, config),
+        SearchIndexTool(embedder, config),
     ]

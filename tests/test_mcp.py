@@ -46,6 +46,7 @@ def test_tools_list(mcp_setup):
         "ReadFromS3",
         "StoreInFaiss",
         "ProcessTranscriptsToEmbeddings",
+        "SearchIndex",
     ]
     assert "properties" in tools[0]["inputSchema"]
 
@@ -132,3 +133,11 @@ def test_resources_and_prompts_stubs(mcp_setup):
     client, _ = mcp_setup
     assert client._rpc("resources/list") == {"resources": []}
     assert client._rpc("prompts/list") == {"prompts": []}
+
+
+def test_orchestrator_search_intent(mcp_setup):
+    client, tmp = mcp_setup
+    orch = RuleBasedOrchestrator(client, index_path=f"{tmp}/s.faiss")
+    orch.run("index My_Show")
+    out = orch.run("search episode two talks in " + f"{tmp}/s.faiss")
+    assert "Top" in out and "My_Show/two_transcript" in out

@@ -67,6 +67,7 @@ def test_registry_and_schemas(service):
         "ReadFromS3",
         "StoreInFaiss",
         "ProcessTranscriptsToEmbeddings",
+        "SearchIndex",
     ]
     schema = service.tools[0].get_schema()
     assert schema["name"] == "FetchEmbeddings"
@@ -285,3 +286,44 @@ def test_pipeline_metadata_alignment_with_skips(tmp_path):
     assert resp.success, resp.error
     meta = faiss_io.read_metadata(path)
     assert meta == ["S/good1", "S/good2"]  # NOT ["S/bad", "S/good1"]
+
+
+def test_search_index_tool(tmp_path, service):
+    """SearchIndex closes the retrieval gap (SURVEY.md §0 gap 1):
+    ingest a show, then search it through the tool registry."""
+    path = str(tmp_path / "s.faiss")
+    r = service.execute_tool_sync(
+        "ProcessTranscriptsToEmbeddings",
+        {"show_name": "Piers_Morgan_Uncensored", "index_path": path},
+    )
+    assert r.success
+    out = service.execute_tool_sync(
+        "SearchIndex",
+        {"index_path": path, "query": "content of Piers_Morgan_Uncensored ep2 " * 20, "k": 2},
+    )
+    assert out.success, out.error
+    payload = out.first_json()
+    assert payload["count"] == 2
+    assert payload["hits"][0]["metadata"].startswith("Piers_Morgan_Uncensored/ep2")
+    # reranked variant
+    out2 = service.execute_tool_sync(
+        "SearchIndex", {"index_path": path, "query": "anything", "k": 1, "rerank": True}
+    )
+    assert out2.success and out2.first_json()["reranked"]
+
+
+def test_search_index_tool_errors(tmp_path, service):
+    out = service.execute_tool_sync(
+        "SearchIndex", {"index_path": str(tmp_path / "none.faiss"), "query": "x"}
+    )
+    assert not out.success and "not found" in out.error
+    # embedding dim mismatch
+    path = str(tmp_path / "d.faiss")
+    service.execute_tool_sync(
+        "ProcessTranscriptsToEmbeddings",
+        {"show_name": "Other_Show", "index_path": path},
+    )
+    out = service.execute_tool_sync(
+        "SearchIndex", {"index_path": path, "embedding": [0.1, 0.2]}
+    )
+    assert not out.success and "dim" in out.error
