@@ -327,3 +327,56 @@ def test_search_index_tool_errors(tmp_path, service):
         "SearchIndex", {"index_path": path, "embedding": [0.1, 0.2]}
     )
     assert not out.success and "dim" in out.error
+
+
+def test_fetch_embeddings_skip_on_error_reports_indices():
+    """A text whose every chunk fails embeds nothing and is reported in
+    skipped_indices (fetch_embeddings.py:153-155 skip contract)."""
+
+    class FlakyEmbedder:
+        dim = 8
+
+        def __call__(self, texts):
+            if any("poison" in t for t in texts):
+                raise RuntimeError("embed failure")
+            return np.ones((len(texts), 8), np.float32)
+
+    tool = FetchEmbeddingsTool(embedder=FlakyEmbedder())
+    resp = tool_run(tool, {"texts": ["ok one", "poison text", "ok two"]})
+    assert resp.success
+    out = resp.first_json()
+    assert out["count"] == 2
+    assert out["skipped_indices"] == [1]
+
+
+def tool_run(tool, args):
+    return asyncio.run(tool.execute(tool.input_model(**args)))
+
+
+def test_openai_embedder_gated_error():
+    from qrag_tpu.pipeline.embeddings import OpenAIEmbedder
+
+    emb = OpenAIEmbedder()
+    with pytest.raises(RuntimeError, match="openai|API key"):
+        emb(["text"])
+
+
+def test_unknown_provider_error():
+    from qrag_tpu.pipeline.embeddings import get_embedder
+
+    with pytest.raises(ValueError, match="unknown embedding provider"):
+        get_embedder(EmbeddingConfig(provider="bogus"))
+
+
+def test_tool_response_helpers():
+    from pydantic import BaseModel
+
+    class Out(BaseModel):
+        a: int
+
+    r = ToolResponse.from_model(Out(a=3))
+    assert r.success and r.first_json() == {"a": 3}
+    t = ToolResponse.from_text("hello")
+    assert t.content[0].type == "text" and t.first_json() is None
+    e = ToolResponse.from_error("bad", hint="x")
+    assert not e.success and e.first_json() == {"hint": "x"}
