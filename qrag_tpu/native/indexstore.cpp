@@ -26,6 +26,12 @@
 // had unguarded read-modify-write of its index file — SURVEY.md §5
 // "race detection"; here appends are in-place + a single ntotal header
 // store with release semantics, so readers never see torn rows).
+// A handle is NOT thread-safe: share the file across threads/processes
+// by giving each its own qidx_open handle.  Readers lazily remap when
+// the writer has grown the file past their mapping (ensure_mapped):
+// the writer's ftruncate happens-before its release-store of ntotal,
+// so any reader that observed the new ntotal will find the file large
+// enough when it re-stats.
 //
 // Build: make -C qrag_tpu/native   (g++ -O3 -shared; no deps)
 
@@ -126,6 +132,20 @@ Store* qidx_open(const char* path, uint32_t d, uint32_t metric,
   return s;
 }
 
+// Grow this handle's mapping to cover need_bytes of the (possibly
+// writer-grown) file.  Readers call this before dereferencing past
+// their original mapping — the round-1 reader-growth SIGSEGV fix: a
+// reader's map length was fixed at open while the writer published a
+// larger ntotal, so qidx_read bounds-checked against ntotal but then
+// dereferenced past map_bytes.
+static int ensure_mapped(Store* s, uint64_t need_bytes) {
+  if (need_bytes <= s->map_bytes) return 0;
+  struct stat st;
+  if (fstat(s->fd, &st) != 0) return -1;
+  if ((uint64_t)st.st_size < need_bytes) return -1;
+  return remap(s, (uint64_t)st.st_size);
+}
+
 uint32_t qidx_dim(Store* s) { return s->header->d; }
 uint32_t qidx_metric(Store* s) { return s->header->metric; }
 uint32_t qidx_normalized(Store* s) { return s->header->normalized; }
@@ -159,8 +179,10 @@ int64_t qidx_append(Store* s, const float* rows, uint64_t n) {
 int qidx_read(Store* s, uint64_t start, uint64_t n, float* out) {
   uint64_t ntotal = qidx_ntotal(s);
   if (start + n > ntotal) return -1;
-  std::memcpy(out, s->data + start * (uint64_t)s->header->d,
-              n * (uint64_t)s->header->d * sizeof(float));
+  uint32_t d = s->header->d;
+  if (ensure_mapped(s, file_bytes_for(d, start + n)) != 0) return -1;
+  std::memcpy(out, s->data + start * (uint64_t)d,
+              n * (uint64_t)d * sizeof(float));
   return 0;
 }
 
@@ -250,7 +272,14 @@ static void scan_topk(const float* x, uint64_t n, uint32_t d,
 
 void qidx_scan_topk(Store* s, const float* q, uint64_t b, uint32_t k,
                     float* out_scores, int64_t* out_idx) {
-  scan_topk(s->data, qidx_ntotal(s), s->header->d, q, b, k,
+  uint64_t ntotal = qidx_ntotal(s);
+  if (ensure_mapped(s, file_bytes_for(s->header->d, ntotal)) != 0) {
+    // unreachable under the single-writer contract; degrade to the
+    // rows this handle can still see rather than crash
+    ntotal = (s->map_bytes - HEADER_BYTES) /
+             ((uint64_t)s->header->d * sizeof(float));
+  }
+  scan_topk(s->data, ntotal, s->header->d, q, b, k,
             s->header->metric, out_scores, out_idx);
 }
 

@@ -147,6 +147,35 @@ def test_concurrent_append_and_scan(tmp_path, rng):
     assert not errors
 
 
+def test_reader_sees_growth_after_open(tmp_path, rng):
+    """Regression (round-1 SIGSEGV): a reader opened before the writer
+    grows the file must remap, not dereference past its old mapping."""
+    path = str(tmp_path / "grow.qidx")
+    d = 16
+    writer = NativeVectorStore(path, d=d, metric="ip")
+    first = rng.randn(1, d).astype(np.float32)
+    writer.append(first)
+    reader = NativeVectorStore(path, writable=False)
+    try:
+        np.testing.assert_array_equal(reader.read(0, 1), first)
+        # grow well past the initial 1024-row capacity -> ftruncate+remap
+        big = rng.randn(5000, d).astype(np.float32)
+        writer.append(big)
+        assert reader.ntotal == 5001
+        got = reader.read(0, 5001)  # segfaulted before the remap fix
+        np.testing.assert_array_equal(got[0], first[0])
+        np.testing.assert_array_equal(got[1:], big)
+        # scan path too: must cover rows beyond the original mapping
+        scores, idx = reader.scan_topk(big[4321], k=3)
+        all_rows = np.concatenate([first, big])
+        s_ref, i_ref = cpu_scan_topk(all_rows, big[4321], 3, metric="ip")
+        np.testing.assert_array_equal(idx, i_ref)
+        np.testing.assert_allclose(scores, s_ref, rtol=1e-5)
+    finally:
+        reader.close()
+        writer.close()
+
+
 def test_to_device_index(tmp_path, rng):
     path = str(tmp_path / "dev.qidx")
     x = rng.randn(50, 12).astype(np.float32)
