@@ -115,6 +115,12 @@ class IndexConfig:
     quantization: str = "none"
     # candidates = refine_factor * k for the quantized scan
     refine_factor: int = 4
+    # Shard corpus rows over the mesh "model" axis
+    # (parallel/sharded_index.py; BASELINE configs[4]).  Mesh geometry
+    # comes from the `mesh` config section; also via serve --sharded.
+    sharded: bool = False
+    # "allgather" | "ring" per-shard top-k merge strategy
+    shard_merge: str = "allgather"
 
 
 @dataclass

@@ -167,6 +167,21 @@ def fused_search_rerank_routed(
 def _index_cls_and_kwargs(config: QragConfig):
     """Single source of truth for building an index from config
     (used by __init__ / from_faiss / load)."""
+    if config.index.sharded:
+        from qrag_tpu.parallel.mesh import make_mesh
+        from qrag_tpu.parallel.sharded_index import ShardedFlatIndex
+
+        kw = dict(
+            mesh=make_mesh(config.mesh),
+            topk_mode=(
+                "approx"
+                if config.index.topk_mode in ("verified", "refined")
+                else config.index.topk_mode
+            ),
+            store_dtype=config.index.dtype,
+            merge=config.index.shard_merge,
+        )
+        return ShardedFlatIndex, kw
     kw = dict(
         row_pad_multiple=config.index.row_pad_multiple,
         use_pallas=config.index.use_pallas,
@@ -289,6 +304,13 @@ class QragEngine:
                 return {"queries": qv.shape[0], "results": [], "reranker_used": reranker_type}
             c_eff = min(candidates, n)
             k_eff = min(k, c_eff)
+            if not hasattr(self.index, "device_buffers"):
+                # sharded index (parallel/sharded_index.py): per-shard
+                # scan + ICI merge + distributed candidate gather — the
+                # served path of BASELINE configs[4]
+                return self._search_rerank_sharded(
+                    qv, query_texts, n, k_eff, c_eff, reranker_type
+                )
             snap = self.index.device_buffers()  # one atomic generation
             fused_mode = (
                 "approx"
@@ -345,12 +367,40 @@ class QragEngine:
                 )
                 scores, indices = np.asarray(fid), np.asarray(idx)
                 retr_scores = np.asarray(retr)
-            else:
+            elif reranker_type == "classical":
+                # a REAL classical rerank pass: the routed graph's
+                # cosine expert with an all-classical routing mask
+                # (round-1 returned raw retrieval scores under this
+                # label — the scores now match the "auto" path's
+                # classical branch exactly; tested on a non-normalized
+                # IP corpus where the orderings differ)
+                route = np.zeros((qv.shape[0],), dtype=bool)
+                fid, idx, retr = fused_search_rerank_routed(
+                    jnp.asarray(qv),
+                    jnp.asarray(route),
+                    snap.matrix,
+                    snap.sqnorms,
+                    snap.valid,
+                    k=k_eff,
+                    candidates=c_eff,
+                    n_qubits=self.config.quantum.n_qubits,
+                    metric=self.index.metric,
+                    topk_mode=fused_mode,
+                )
+                scores, indices = np.asarray(fid), np.asarray(idx)
+                retr_scores = np.asarray(retr)
+            elif reranker_type in ("none", "retrieval"):
                 retr_scores_j, idx = self.index.search_device(
                     jnp.asarray(qv), k_eff
                 )
                 scores, indices = np.asarray(retr_scores_j), np.asarray(idx)
                 retr_scores = scores
+                reranker_type = "none"  # honest label: no rerank ran
+            else:
+                raise ValueError(
+                    f"unknown reranker_type {reranker_type!r}; expected "
+                    "'auto', 'quantum', 'classical', or 'none'"
+                )
             results = []
             for qi in range(indices.shape[0]):
                 hits = []
@@ -367,6 +417,79 @@ class QragEngine:
                         }
                     )
                 results.append(hits)
+        self.metrics.incr("search_rerank_requests")
+        return {
+            "queries": indices.shape[0],
+            "results": results,
+            "reranker_used": reranker_type,
+        }
+
+    def _search_rerank_sharded(
+        self,
+        qv: np.ndarray,
+        query_texts: Optional[List[str]],
+        n: int,
+        k_eff: int,
+        c_eff: int,
+        reranker_type: str,
+    ) -> Dict[str, Any]:
+        """Sharded-index arm of `search_rerank` (same response shape,
+        same routing semantics, collectives over the mesh)."""
+        index = self.index
+        n_qubits = self.config.quantum.n_qubits
+        if reranker_type == "auto" and query_texts is None:
+            reranker_type = "quantum"
+        if reranker_type == "auto":
+            route = np.asarray(
+                [
+                    self.controller.select_reranker(t) == "quantum"
+                    for t in query_texts
+                ]
+            )
+            fid, idx, retr = index.search_rerank_routed_device(
+                jnp.asarray(qv), jnp.asarray(route), k_eff, c_eff, n_qubits
+            )
+        elif reranker_type == "quantum":
+            fid, idx, retr = index.search_rerank_device(
+                jnp.asarray(qv), k_eff, c_eff, n_qubits
+            )
+        elif reranker_type == "classical":
+            route = np.zeros((qv.shape[0],), dtype=bool)
+            fid, idx, retr = index.search_rerank_routed_device(
+                jnp.asarray(qv), jnp.asarray(route), k_eff, c_eff, n_qubits
+            )
+        elif reranker_type in ("none", "retrieval"):
+            retr_j, idx = index.search_device(jnp.asarray(qv), k_eff)
+            from qrag_tpu.ops.topk import _finalize
+
+            # sharded search_device returns raw goodness; finalize to
+            # API-edge scores (distances ascending for l2)
+            fid, idx = _finalize(retr_j, idx, index.metric)
+            retr = fid
+            reranker_type = "none"
+        else:
+            raise ValueError(
+                f"unknown reranker_type {reranker_type!r}; expected "
+                "'auto', 'quantum', 'classical', or 'none'"
+            )
+        scores, indices = np.asarray(fid), np.asarray(idx)
+        retr_scores = np.asarray(retr)
+        results = []
+        for qi in range(indices.shape[0]):
+            hits = []
+            for j in range(indices.shape[1]):
+                i = int(indices[qi, j])
+                if i < 0 or i >= n or not np.isfinite(scores[qi, j]):
+                    continue
+                hits.append(
+                    {
+                        "index": i,
+                        "score": float(scores[qi, j]),
+                        "retrieval_score": float(retr_scores[qi, j]),
+                        "metadata": index.metadata[i] or None,
+                    }
+                )
+            results.append(hits)
         self.metrics.incr("search_rerank_requests")
         return {
             "queries": indices.shape[0],
@@ -536,7 +659,7 @@ class QragEngine:
             return 0.0
         rng = np.random.RandomState(seed)
         rows = rng.choice(n, size=min(samples, n), replace=False)
-        base = self.index._host_vectors[rows]
+        base = self.index.sample_rows(rows)
         noise = 1e-3 * rng.randn(*base.shape).astype(np.float32)
         res = self.index.search(base + noise, k=min(k, n))
         hits = sum(
@@ -596,14 +719,17 @@ class QragEngine:
         return cls(config=config, index=index, **kwargs)
 
     def stats(self) -> Dict[str, Any]:
+        index_stats = {
+            "ntotal": self.index.ntotal,
+            "d": self.index.d,
+            "metric": self.index.metric,
+            "topk_mode": self.index.topk_mode,
+            "verified_fallback_rows": self.index.fallback_rows,
+        }
+        if hasattr(self.index, "layout"):
+            index_stats["layout"] = self.index.layout()
         return {
-            "index": {
-                "ntotal": self.index.ntotal,
-                "d": self.index.d,
-                "metric": self.index.metric,
-                "topk_mode": self.index.topk_mode,
-                "verified_fallback_rows": self.index.fallback_rows,
-            },
+            "index": index_stats,
             "backend": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
             "metrics": self.metrics.snapshot(),

@@ -129,6 +129,13 @@ class DeviceFlatIndex:
     def ntotal(self) -> int:
         return self._host_vectors.shape[0]
 
+    def sample_rows(self, rows: Sequence[int]) -> np.ndarray:
+        """Public row access for observability (recall sampling) and
+        tooling — the supported alternative to reaching into
+        ``_host_vectors``, so index types without a host master copy
+        (e.g. an mmap-store bridge) can override it."""
+        return np.asarray(self._host_vectors[np.asarray(rows, dtype=np.int64)])
+
     def add(
         self, vectors: np.ndarray, metadata: Optional[Sequence[str]] = None
     ) -> int:

@@ -68,10 +68,10 @@ def _window_stats_kernel(
     x_ref,  # (bn, d) tile
     rs_ref,  # (1, bn) f32 row_scale tile
     ra_ref,  # (1, bn) f32 row_add tile
-    wmax_ref,  # (bm, nw) f32 out
-    warg_ref,  # (bm, nw) i32 out
-    wsec_ref,  # (bm, nw) f32 out (or None)
-    warg2_ref,  # (bm, nw) i32 out (or None)
+    wmax_ref,  # (1, bm, nw) f32 out — leading tile axis: TPU block
+    warg_ref,  # (1, bm, nw) i32      shapes must span the minor dim,
+    wsec_ref,  # (1, bm, nw) f32/None so stats are laid out (J, B, nw)
+    warg2_ref,  # (1, bm, nw) i32/None and folded to (B, NW) outside
     *,
     alpha: float,
     bn: int,
@@ -103,16 +103,16 @@ def _window_stats_kernel(
     base = (
         jax.lax.broadcasted_iota(jnp.int32, (bm, nw), 1) * WINDOW + j * bn
     )
-    wmax_ref[:] = wmax
-    warg_ref[:] = argl + base
+    wmax_ref[:] = wmax[None]
+    warg_ref[:] = (argl + base)[None]
     if want_second:
         g2 = jnp.where(lane == argl[:, :, None], _NEG_INF, gw)
         wsec = jnp.max(g2, axis=2)
         argl2 = jnp.min(
             jnp.where(g2 >= wsec[:, :, None], lane, WINDOW), axis=2
         )
-        wsec_ref[:] = wsec
-        warg2_ref[:] = argl2 + base
+        wsec_ref[:] = wsec[None]
+        warg2_ref[:] = (argl2 + base)[None]
 
 
 @functools.partial(
@@ -144,26 +144,30 @@ def window_stats(
         )
     nw = bn // WINDOW
     nw_total = n // WINDOW
-    grid = (b // bm, n // bn)
+    n_tiles = n // bn
+    grid = (b // bm, n_tiles)
     acc_dtype = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
 
+    # stats come out (n_tiles, B, nw) — the minor dim must be spanned
+    # by the block (TPU lowering rule), so the tile axis leads and the
+    # caller folds to (B, NW) with one transpose+reshape (tiny: the
+    # planes are 128x smaller than the score matrix)
+    def spec(_=None):
+        return pl.BlockSpec(
+            (1, bm, nw), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+        )
+
     out_shape = [
-        jax.ShapeDtypeStruct((b, nw_total), jnp.float32),
-        jax.ShapeDtypeStruct((b, nw_total), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.int32),
     ]
-    out_specs = [
-        pl.BlockSpec((bm, nw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, nw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-    ]
+    out_specs = [spec(), spec()]
     if want_second:
         out_shape += [
-            jax.ShapeDtypeStruct((b, nw_total), jnp.float32),
-            jax.ShapeDtypeStruct((b, nw_total), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.int32),
         ]
-        out_specs += [
-            pl.BlockSpec((bm, nw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, nw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ]
+        out_specs += [spec(), spec()]
 
     kernel = functools.partial(
         _window_stats_kernel,
@@ -203,7 +207,11 @@ def window_stats(
         ),
         interpret=interpret,
     )(q, col_scale, col_add, x, row_scale, row_add)
-    return tuple(outs)
+    # fold (n_tiles, B, nw) -> (B, NW) keeping ascending global window
+    # order within each row
+    return tuple(
+        jnp.transpose(o, (1, 0, 2)).reshape(b, nw_total) for o in outs
+    )
 
 
 # --------------------------------------------------------------- wrappers

@@ -139,53 +139,142 @@ def _sharded_gather_rows(
 
 
 class ShardedFlatIndex:
-    """Row-sharded HBM-resident exact flat index over a device mesh."""
+    """Row-sharded HBM-resident exact flat index over a device mesh.
+
+    Engine-compatible: exposes the same ``add`` / ``search`` /
+    ``sample_rows`` / persistence surface as ``DeviceFlatIndex`` so
+    `QragEngine` (and the serve CLI's ``--sharded`` flag) can put a
+    sharded corpus behind the exact same HTTP API.  Appends keep a
+    host master copy and re-shard lazily on the next query (the
+    single-writer contract of the unsharded index applies)."""
 
     def __init__(
         self,
-        vectors: np.ndarray,
-        mesh: Mesh,
+        vectors: Optional[np.ndarray] = None,
+        mesh: Optional[Mesh] = None,
         metric: str = "l2",
         metadata: Optional[Sequence[str]] = None,
         topk_mode: str = "approx",
         store_dtype: str = "float32",
         merge: str = "allgather",
+        d: Optional[int] = None,
+        normalize: bool = False,
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
         if merge not in ("allgather", "ring"):
             raise ValueError(f"unknown merge strategy {merge!r}")
+        if mesh is None:
+            from qrag_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        if vectors is None:
+            if d is None:
+                raise ValueError("need vectors or d")
+            vectors = np.zeros((0, d), np.float32)
         self.merge = merge
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.mesh = mesh
         self.metric = metric
         self.topk_mode = topk_mode
-        self.d = vectors.shape[1]
-        self.ntotal = vectors.shape[0]
-        self.metadata: List[str] = (
-            [str(m) for m in metadata] if metadata is not None else [""] * self.ntotal
+        self.normalize = normalize
+        self.use_pallas = False
+        self.fallback_rows = 0  # stats-surface parity with DeviceFlatIndex
+        self.d = int(d if d is not None else vectors.shape[1])
+        self.store_dtype = (
+            jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
         )
-        mp = mesh.shape[MODEL_AXIS]
-        dp = mesh.shape[DATA_AXIS]
-        self._dp = dp
-        npad = _round_up(max(self.ntotal, mp), mp * 128)
-        padded = np.zeros((npad, self.d), np.float32)
-        padded[: self.ntotal] = vectors
-        valid = np.zeros((npad,), bool)
-        valid[: self.ntotal] = True
-        dtype = jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
-        self.store_dtype = dtype
-        row = NamedSharding(mesh, P(MODEL_AXIS, None))
-        vec = NamedSharding(mesh, P(MODEL_AXIS))
-        self._dev_matrix = jax.device_put(padded.astype(dtype), row)
-        self._dev_sqnorms = jax.device_put(
-            np.sum(padded * padded, axis=1, dtype=np.float32), vec
+        self._store_dtype_name = store_dtype
+        self._dp = mesh.shape[DATA_AXIS]
+        self._host_vectors = np.zeros((0, self.d), np.float32)
+        self.metadata: List[str] = []
+        self._dirty = True
+        self._dev_matrix = None
+        self._dev_sqnorms = None
+        self._dev_valid = None
+        import threading
+
+        self._write_lock = threading.Lock()
+        if vectors.shape[0]:
+            self.add(vectors, metadata)
+
+    @property
+    def ntotal(self) -> int:
+        return self._host_vectors.shape[0]
+
+    def add(
+        self, vectors: np.ndarray, metadata: Optional[Sequence[str]] = None
+    ) -> int:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.d:
+            raise ValueError(
+                f"expected (*, {self.d}) vectors, got {vectors.shape}"
+            )
+        if self.normalize:
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = np.where(norms > 0, vectors / np.where(norms > 0, norms, 1), vectors)
+        if metadata is not None and len(metadata) != vectors.shape[0]:
+            raise ValueError(
+                f"metadata length {len(metadata)} != vectors {vectors.shape[0]}"
+            )
+        with self._write_lock:
+            self._host_vectors = np.concatenate(
+                [self._host_vectors, vectors], axis=0
+            )
+            if metadata is not None:
+                self.metadata.extend(str(m) for m in metadata)
+            else:
+                self.metadata.extend([""] * vectors.shape[0])
+            self._dirty = True
+        return self.ntotal
+
+    def sample_rows(self, rows: Sequence[int]) -> np.ndarray:
+        return np.asarray(
+            self._host_vectors[np.asarray(rows, dtype=np.int64)]
         )
-        self._dev_valid = jax.device_put(valid, vec)
+
+    def layout(self) -> dict:
+        """Shard layout for observability (/stats)."""
+        if self.ntotal:
+            self._ensure_device()
+        mp = self.mesh.shape[MODEL_AXIS]
+        npad = self._dev_matrix.shape[0] if self._dev_matrix is not None else 0
+        return {
+            "sharded": True,
+            "mesh": {DATA_AXIS: self._dp, MODEL_AXIS: mp},
+            "merge": self.merge,
+            "rows_per_shard": npad // mp if mp else 0,
+            "devices": self.mesh.devices.size,
+        }
+
+    def _ensure_device(self) -> None:
+        if not self._dirty and self._dev_matrix is not None:
+            return
+        with self._write_lock:
+            if not self._dirty and self._dev_matrix is not None:
+                return
+            mp = self.mesh.shape[MODEL_AXIS]
+            n = self.ntotal
+            npad = _round_up(max(n, mp), mp * 128)
+            padded = np.zeros((npad, self.d), np.float32)
+            padded[:n] = self._host_vectors
+            valid = np.zeros((npad,), bool)
+            valid[:n] = True
+            row = NamedSharding(self.mesh, P(MODEL_AXIS, None))
+            vec = NamedSharding(self.mesh, P(MODEL_AXIS))
+            self._dev_matrix = jax.device_put(
+                padded.astype(self.store_dtype), row
+            )
+            self._dev_sqnorms = jax.device_put(
+                np.sum(padded * padded, axis=1, dtype=np.float32), vec
+            )
+            self._dev_valid = jax.device_put(valid, vec)
+            self._dirty = False
 
     def search_device(
         self, queries: jnp.ndarray, k: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        self._ensure_device()
         return _sharded_search(
             queries.astype(self.store_dtype),
             self._dev_matrix,
@@ -212,6 +301,7 @@ class ShardedFlatIndex:
         """Gather corpus rows by global index across shards: each shard
         contributes the rows it owns (masked local take), one psum over
         the model axis combines them.  (B, k) int32 → (B, k, d) f32."""
+        self._ensure_device()
         return _sharded_gather_rows(idx, self._dev_matrix, self.mesh)
 
     def search_rerank_device(
@@ -238,6 +328,74 @@ class ShardedFlatIndex:
             jnp.take_along_axis(retr, sel, axis=1),
         )
 
+    def search_rerank_routed_device(
+        self,
+        queries: jnp.ndarray,
+        route_quantum: jnp.ndarray,  # (B,) bool
+        k: int,
+        candidates: int,
+        n_qubits: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Sharded retrieval → per-query expert-routed rerank: the
+        sharded counterpart of ``engine.fused_search_rerank_routed``
+        (quantum fidelity vs classical cosine, branchless select)."""
+        retr, idx = self.search_device(queries, candidates)
+        cand = self.gather_rows_device(idx)  # (B, C, d) f32 replicated
+        from qrag_tpu.ops.statevector import fidelity_analytic
+
+        q32 = queries.astype(jnp.float32)
+        fid = jax.vmap(lambda q, c: fidelity_analytic(q, c, n_qubits))(
+            q32, cand
+        )
+        qn = q32 / jnp.clip(jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
+        cn = cand / jnp.clip(
+            jnp.linalg.norm(cand, axis=-1, keepdims=True), 1e-12
+        )
+        cos = jnp.einsum("bd,bcd->bc", qn, cn)
+        scores = jnp.where(route_quantum[:, None], fid, cos)
+        scores = jnp.where(jnp.isneginf(retr), -jnp.inf, scores)
+        top, sel = jax.lax.top_k(scores, k)
+        return (
+            top,
+            jnp.take_along_axis(idx, sel, axis=1),
+            jnp.take_along_axis(retr, sel, axis=1),
+        )
+
+    # ------------------------------------------------------- persistence
+
+    def save_native(self, directory: str) -> None:
+        """Same manifest format as DeviceFlatIndex (shard layout is a
+        runtime property, not part of the checkpoint — a bundle saved
+        sharded restores on any mesh, or unsharded)."""
+        from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+        DeviceFlatIndex.save_native(self, directory)  # type: ignore[arg-type]
+
+    row_pad_multiple = 128  # manifest field parity
+
+    @classmethod
+    def load_native(
+        cls, directory: str, mesh: Optional[Mesh] = None, **kwargs
+    ) -> "ShardedFlatIndex":
+        from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+        host = DeviceFlatIndex.load_native(directory)
+        kwargs.pop("row_pad_multiple", None)
+        idx = cls(
+            host._host_vectors,
+            mesh,
+            metric=host.metric,
+            metadata=host.metadata,
+            normalize=host.normalize,
+            **kwargs,
+        )
+        return idx
+
+    def save_faiss(self, path: str) -> None:
+        from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+        DeviceFlatIndex.save_faiss(self, path)  # type: ignore[arg-type]
+
     def search(self, queries: np.ndarray, k: int = 10):
         """Host-level sharded search (pads the batch to the data axis)."""
         from qrag_tpu.index.flat_index import SearchResult
@@ -246,6 +404,10 @@ class ShardedFlatIndex:
         queries = np.ascontiguousarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
+        if queries.shape[1] != self.d:
+            raise ValueError(
+                f"expected (*, {self.d}) queries, got {queries.shape}"
+            )
         b = queries.shape[0]
         bp = _round_up(b, self._dp)
         if bp != b:

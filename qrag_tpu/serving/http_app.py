@@ -312,10 +312,39 @@ def main(argv=None) -> None:
         action="store_true",
         help="coalesce concurrent /search requests into device batches",
     )
+    parser.add_argument(
+        "--sharded",
+        action="store_true",
+        help="shard corpus rows over all devices (mesh from QRAG_MESH_* "
+        "env / config; parallel/sharded_index.py)",
+    )
+    parser.add_argument(
+        "--shard-merge",
+        default=None,
+        choices=["allgather", "ring"],
+        help="per-shard top-k merge strategy (with --sharded)",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
     config = QragConfig().with_env_overrides()
+    if args.sharded or args.shard_merge:
+        from dataclasses import replace as _r
+
+        config = _r(
+            config,
+            index=_r(
+                config.index,
+                sharded=True,
+                shard_merge=args.shard_merge or config.index.shard_merge,
+            ),
+        )
+        # bundles re-read config with env overrides (QragEngine.load),
+        # so propagate the CLI choice through the env channel too
+        import os as _os
+
+        _os.environ["QRAG_INDEX_SHARDED"] = "1"
+        _os.environ["QRAG_INDEX_SHARD_MERGE"] = config.index.shard_merge
     if args.embedding_provider:
         from dataclasses import replace
 
@@ -344,11 +373,22 @@ def main(argv=None) -> None:
                         )
                     )
             else:
-                from qrag_tpu.index.flat_index import DeviceFlatIndex
+                if config.index.sharded:
+                    from qrag_tpu.parallel.mesh import make_mesh
+                    from qrag_tpu.parallel.sharded_index import (
+                        ShardedFlatIndex,
+                    )
 
-                engine = QragEngine(
-                    config=config, index=DeviceFlatIndex.load_native(args.index)
-                )
+                    index = ShardedFlatIndex.load_native(
+                        args.index,
+                        mesh=make_mesh(config.mesh),
+                        merge=config.index.shard_merge,
+                    )
+                else:
+                    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+                    index = DeviceFlatIndex.load_native(args.index)
+                engine = QragEngine(config=config, index=index)
         else:
             engine = QragEngine.from_faiss(args.index, config=config)
     else:

@@ -7,6 +7,7 @@ Methodology per docs/PERFORMANCE.md: iterations inside ONE jit
 tiny dependent output.  Run variants one at a time (one TPU process!).
 """
 import argparse, functools, sys, time
+sys.path.insert(0, "/root/repo")
 import numpy as np
 from qrag_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache()
@@ -15,7 +16,6 @@ from qrag_tpu.ops.topk import _goodness, goodness_topk
 from qrag_tpu.ops.quantize import quantize_rows
 from qrag_tpu.ops.pallas.fused_scan import fused_scan_topk, window_stats
 
-sys.path.insert(0, ".")
 from bench import make_corpus  # reuse on-device corpus gen
 
 

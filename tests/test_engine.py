@@ -71,6 +71,54 @@ def test_search_rerank_classical_type(rng):
     assert out["results"][0][0]["index"] == 3
 
 
+def test_search_rerank_classical_actually_reranks(rng):
+    """Round-2 regression (VERDICT weak #4): on a NON-normalized IP
+    corpus the cosine rerank ordering differs from raw IP retrieval —
+    the "classical" label must mean a real cosine pass whose scores
+    match the routed path's classical expert."""
+    x = rng.randn(64, 32).astype(np.float32)
+    x *= rng.uniform(0.2, 5.0, size=(64, 1)).astype(np.float32)  # wild norms
+    eng = QragEngine(
+        config=QragConfig.from_dict(
+            {"embedding": {"provider": "hash", "dim": 32},
+             "index": {"metric": "ip", "normalize": False}}
+        )
+    )
+    eng.index.add(x)
+    q = rng.randn(3, 32).astype(np.float32)
+    out = eng.search_rerank(q, k=5, candidates=20, reranker_type="classical")
+    # oracle: top-20 by IP, then cosine rerank, top-5
+    for qi in range(3):
+        ip = x @ q[qi]
+        cand = np.argsort(-ip, kind="stable")[:20]
+        cn = x[cand] / np.linalg.norm(x[cand], axis=1, keepdims=True)
+        qn = q[qi] / np.linalg.norm(q[qi])
+        cos = cn @ qn
+        want = cand[np.argsort(-cos, kind="stable")[:5]]
+        got = [h["index"] for h in out["results"][qi]]
+        assert set(got) == set(int(i) for i in want)
+        got_scores = [h["score"] for h in out["results"][qi]]
+        np.testing.assert_allclose(
+            got_scores, np.sort(cos)[::-1][:5], atol=1e-5
+        )
+        # the raw-retrieval ordering must actually differ somewhere,
+        # otherwise this test proves nothing
+    assert any(
+        [h["index"] for h in out["results"][qi]]
+        != list(np.argsort(-(x @ q[qi]), kind="stable")[:5])
+        for qi in range(3)
+    )
+
+
+def test_search_rerank_none_and_unknown(rng):
+    eng, x = _engine(rng)
+    out = eng.search_rerank(x[2][None, :], k=3, candidates=8, reranker_type="none")
+    assert out["reranker_used"] == "none"
+    assert out["results"][0][0]["index"] == 2
+    with pytest.raises(ValueError, match="reranker_type"):
+        eng.search_rerank(x[2][None, :], k=3, reranker_type="bogus")
+
+
 def test_search_rerank_candidates_capped_by_ntotal(rng):
     eng, x = _engine(rng, n=12)
     out = eng.search_rerank(x[0][None, :], k=5, candidates=100)
