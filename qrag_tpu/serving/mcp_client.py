@@ -29,10 +29,26 @@ from typing import Any, Dict, List, Optional, Tuple
 
 
 class McpClient:
-    """Minimal MCP HTTP client."""
+    """MCP streamable-HTTP client (stdlib).
 
-    def __init__(self, url: str = "http://127.0.0.1:6969/mcp"):
+    Speaks the same transport as the reference's HTTP-stream client
+    (``mcp/client/main.py:54``): requests advertise
+    ``Accept: application/json, text/event-stream``; when the server
+    streams, SSE ``notifications/progress`` events are surfaced through
+    ``on_progress`` and the final ``message`` event is the response.
+    Plain-JSON servers keep working unchanged.
+    """
+
+    def __init__(
+        self,
+        url: str = "http://127.0.0.1:6969/mcp",
+        stream: bool = True,
+        on_progress=None,
+    ):
         self.url = url
+        self.stream = stream
+        self.on_progress = on_progress  # fn(progress, total, message)
+        self.session_id: Optional[str] = None
         self._id = 0
 
     def _rpc(self, method: str, params: Optional[Dict[str, Any]] = None):
@@ -43,17 +59,61 @@ class McpClient:
             "method": method,
             "params": params or {},
         }
+        if self.stream and method == "tools/call":
+            payload["params"].setdefault("_meta", {})[
+                "progressToken"
+            ] = self._id
+        headers = {"Content-Type": "application/json"}
+        if self.stream:
+            headers["Accept"] = "application/json, text/event-stream"
+        if self.session_id:
+            headers["Mcp-Session-Id"] = self.session_id
         req = urllib.request.Request(
             self.url,
             data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"},
+            headers=headers,
             method="POST",
         )
         with urllib.request.urlopen(req) as resp:
-            body = json.loads(resp.read())
+            sid = resp.headers.get("Mcp-Session-Id")
+            if sid:
+                self.session_id = sid
+            ctype = resp.headers.get("Content-Type", "")
+            if "text/event-stream" in ctype:
+                body = self._consume_sse(resp)
+            else:
+                body = json.loads(resp.read())
+        if body is None:
+            raise RuntimeError("stream ended without a response")
         if "error" in body:
             raise RuntimeError(f"rpc error: {body['error']}")
         return body["result"]
+
+    def _consume_sse(self, resp) -> Optional[Dict[str, Any]]:
+        """Read SSE events; forward progress notifications; return the
+        final JSON-RPC response (the event carrying our request id)."""
+        final = None
+        data_lines: List[str] = []
+        for raw in resp:  # http.client un-chunks transparently
+            line = raw.decode("utf-8").rstrip("\r\n")
+            if line.startswith("data:"):
+                data_lines.append(line[len("data:"):].strip())
+                continue
+            if line:  # event:/id:/retry: fields — no dispatch needed
+                continue
+            if not data_lines:  # blank line, empty event
+                continue
+            msg = json.loads("\n".join(data_lines))
+            data_lines = []
+            if msg.get("method") == "notifications/progress":
+                if self.on_progress is not None:
+                    p = msg.get("params") or {}
+                    self.on_progress(
+                        p.get("progress"), p.get("total"), p.get("message")
+                    )
+            elif "id" in msg:
+                final = msg
+        return final
 
     def initialize(self) -> Dict[str, Any]:
         return self._rpc("initialize")

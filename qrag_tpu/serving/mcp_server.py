@@ -1,15 +1,26 @@
-"""MCP server — JSON-RPC 2.0 over HTTP, stdlib only.
+"""MCP server — JSON-RPC 2.0 over streamable HTTP, stdlib only.
 
 The reference wraps FastMCP's streamable-HTTP app around its four
-tools on port 6969 (``mcp/server/server.py:16-71``).  FastMCP isn't
+tools on port 6969 (``mcp/server/server.py:16-71``); its client speaks
+the HTTP-stream transport (``mcp/client/main.py:54``).  FastMCP isn't
 available here, so this is a from-scratch implementation of the MCP
-wire surface the reference's clients actually use:
+wire surface those clients use:
 
   POST /mcp   JSON-RPC 2.0:
-    initialize      → protocol + server info + tool capability
+    initialize      → protocol + server info + capability; assigns an
+                      ``Mcp-Session-Id`` response header
     tools/list      → [{name, description, inputSchema}]
     tools/call      → {content: [{type: "text", text}], isError}
     ping            → {}
+
+  Transport negotiation (streamable HTTP): when the request's Accept
+  header includes ``text/event-stream``, the response is a chunked SSE
+  stream — ``notifications/progress`` events (if the request carried a
+  ``params._meta.progressToken`` and the tool reports progress via
+  ``tools.progress``) followed by one final ``message`` event holding
+  the JSON-RPC response.  Plain JSON stays the fallback.  GET /mcp
+  returns 405 (no server-initiated streams), which the spec permits.
+
   GET /tools        → convenience schema listing (non-MCP)
 
 Tool dispatch goes through the typed ``ToolService`` (closures, not
@@ -21,12 +32,15 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import queue
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 from qrag_tpu.tools import ToolService, default_tools
 from qrag_tpu.tools.interface import ToolResponse
+from qrag_tpu.tools.progress import progress_scope
 from qrag_tpu.utils.logging_util import configure_logging
 
 logger = logging.getLogger(__name__)
@@ -58,12 +72,16 @@ def _tool_result(resp: ToolResponse) -> Dict[str, Any]:
 def _make_handler(service: ToolService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        _new_session_id: Optional[str] = None  # set by initialize
 
         def _send(self, payload: Dict[str, Any], status: int = 200) -> None:
             body = json.dumps(payload).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self._new_session_id:
+                self.send_header("Mcp-Session-Id", self._new_session_id)
+                self._new_session_id = None
             self.send_header("Access-Control-Allow-Origin", "*")
             self.send_header("Access-Control-Allow-Methods", "*")
             self.send_header("Access-Control-Allow-Headers", "*")
@@ -84,8 +102,38 @@ def _make_handler(service: ToolService):
         def do_GET(self):
             if self.path == "/tools":
                 self._send({"tools": service.list_schemas()})
+            elif self.path in ("/mcp", "/mcp/"):
+                # no server-initiated streams; 405 is spec-conformant
+                self.send_response(405)
+                self.send_header("Allow", "POST, OPTIONS")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
             else:
                 self._send({"error": f"not found: {self.path}"}, 404)
+
+        # ----------------------------------------------- SSE framing
+
+        def _start_sse(self, session_id: Optional[str] = None) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            if session_id:
+                self.send_header("Mcp-Session-Id", session_id)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _sse_event(self, data: Dict[str, Any], event: str = "message") -> None:
+            payload = (
+                f"event: {event}\r\ndata: {json.dumps(data)}\r\n\r\n".encode()
+            )
+            self.wfile.write(f"{len(payload):X}\r\n".encode())
+            self.wfile.write(payload + b"\r\n")
+            self.wfile.flush()
+
+        def _end_chunked(self) -> None:
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
 
         def do_POST(self):
             if self.path not in ("/mcp", "/mcp/"):
@@ -104,7 +152,70 @@ def _make_handler(service: ToolService):
                     400,
                 )
                 return
-            self._send(self._dispatch(req))
+            wants_stream = "text/event-stream" in (
+                self.headers.get("Accept") or ""
+            )
+            if wants_stream and isinstance(req, dict):
+                self._stream_response(req)
+            else:
+                self._send(self._dispatch(req))
+
+        def _stream_response(self, req: Dict[str, Any]) -> None:
+            """Streamable-HTTP arm: progress notifications (when the
+            request carries a progressToken and the tool reports) then
+            the final JSON-RPC response, as SSE ``message`` events."""
+            params = req.get("params") or {}
+            token = (params.get("_meta") or {}).get("progressToken")
+            # the session header must go out before the body; assign it
+            # here for streamed initialize (the JSON arm assigns in
+            # _dispatch, whose header hasn't been sent yet there)
+            sid = uuid.uuid4().hex if req.get("method") == "initialize" else None
+            self._start_sse(session_id=sid)
+            events: "queue.Queue[Optional[Dict[str, Any]]]" = queue.Queue()
+
+            def on_progress(progress, total, message):
+                note = {
+                    "jsonrpc": "2.0",
+                    "method": "notifications/progress",
+                    "params": {
+                        "progressToken": token,
+                        "progress": progress,
+                        **({"total": total} if total is not None else {}),
+                        **({"message": message} if message else {}),
+                    },
+                }
+                events.put(note)
+
+            result: Dict[str, Any] = {}
+
+            def work():
+                try:
+                    if token is not None:
+                        with progress_scope(on_progress):
+                            result.update(self._dispatch(req))
+                    else:
+                        result.update(self._dispatch(req))
+                finally:
+                    events.put(None)  # sentinel: dispatch finished
+
+            t = threading.Thread(target=work, daemon=True)
+            t.start()
+            try:
+                while True:
+                    item = events.get()
+                    if item is None:
+                        break
+                    self._sse_event(item)
+                t.join()
+                self._sse_event(result)
+                self._end_chunked()
+            except (BrokenPipeError, ConnectionResetError):
+                logger.debug("SSE client disconnected mid-stream")
+            finally:
+                # keep-alive connections reuse this handler instance:
+                # don't leak a dispatch-assigned session id into the
+                # next response's headers
+                self._new_session_id = None
 
         def _dispatch(self, req: Dict[str, Any]) -> Dict[str, Any]:
             rpc_id = req.get("id")
@@ -122,6 +233,9 @@ def _make_handler(service: ToolService):
                 }
 
             if method == "initialize":
+                # streamable-HTTP session handshake: assign an id the
+                # client echoes in Mcp-Session-Id on later requests
+                self._new_session_id = uuid.uuid4().hex
                 return ok(
                     {
                         "protocolVersion": PROTOCOL_VERSION,

@@ -21,6 +21,7 @@ from qrag_tpu.pipeline.chunker import chunk_text
 from qrag_tpu.pipeline.embeddings import Embedder, get_embedder
 from qrag_tpu.pipeline.storage import TranscriptStore, get_store
 from qrag_tpu.tools.interface import BaseToolInput, Tool, ToolResponse
+from qrag_tpu.tools.progress import nested_progress, report_progress
 
 logger = logging.getLogger(__name__)
 
@@ -68,7 +69,9 @@ class FetchEmbeddingsTool(Tool):
 
         out: List[List[float]] = []
         skipped: List[int] = []
+        n_texts = len(input_data.texts)
         for pos, text in enumerate(input_data.texts):
+            report_progress(pos, n_texts, f"embedding text {pos + 1}/{n_texts}")
             chunks = chunk_text(text, self.config.max_tokens_per_chunk)
             vecs = []
             for chunk in chunks:
@@ -395,6 +398,7 @@ class ProcessTranscriptsToEmbeddingsTool(Tool):
 
     async def execute(self, input_data: ProcessTranscriptsInput) -> ToolResponse:
         show = input_data.show_name
+        report_progress(0, 3, f"reading transcripts for {show!r}")
         read = await self.reader.execute(ReadFromS3Input(show_name=show))
         if not read.success:
             # case-insensitive retry (process_embeddings_index.py:214-223)
@@ -421,9 +425,11 @@ class ProcessTranscriptsToEmbeddingsTool(Tool):
             return ToolResponse.from_error(
                 f"no extractable text in {len(transcripts)} transcripts"
             )
-        emb = await self.embedder_tool.execute(
-            FetchEmbeddingsInput(texts=texts)
-        )
+        report_progress(1, 3, f"embedding {len(texts)} texts")
+        with nested_progress(base=1.0, span=1.0, total=3):
+            emb = await self.embedder_tool.execute(
+                FetchEmbeddingsInput(texts=texts)
+            )
         if not emb.success:
             return emb
         emb_out = emb.first_json() or {}
@@ -437,6 +443,7 @@ class ProcessTranscriptsToEmbeddingsTool(Tool):
             f"{transcripts[s]['show_name']}/{transcripts[s]['episode_id']}"
             for s in kept_sources
         ]
+        report_progress(2, 3, "storing vectors in index")
         store_resp = await StoreInFaissTool().execute(
             StoreInFaissInput(
                 embeddings=embeddings,
