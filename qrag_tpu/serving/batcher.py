@@ -16,22 +16,45 @@ trimmed per caller.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
 
 @dataclass
 class _Pending:
-    vectors: np.ndarray  # (n, d)
+    vectors: Optional[np.ndarray]  # (n, d); None for doc-list reranks
     k: int
     future: Future = field(default_factory=Future)
     params: tuple = ()  # extra grouping key (rerank candidates/type)
+    payload: Any = None  # (query, documents, top_k) for doc-list reranks
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_fidelity_fn(n_qubits: int, analytic: bool, encoding: str):
+    """One jitted (R, D)-shaped fidelity graph per config — the
+    device op that coalesces concurrent /rerank requests."""
+    import jax
+    import jax.numpy as jnp
+
+    if encoding == "amplitude":
+        from qrag_tpu.ops.statevector import amplitude_fidelity
+
+        def one(q, d):
+            return amplitude_fidelity(q, d, n_qubits)
+    else:
+        from qrag_tpu.ops.statevector import batched_fidelity
+
+        def one(q, d):
+            return batched_fidelity(q, d, n_qubits=n_qubits, analytic=analytic)
+
+    return jax.jit(jax.vmap(one))
 
 
 class SearchBatcher:
@@ -94,6 +117,41 @@ class SearchBatcher:
             )
         )
 
+    def rerank_documents(
+        self,
+        query: str,
+        documents: list,
+        top_k: Optional[int] = None,
+        reranker_type: str = "auto",
+    ) -> dict:
+        """Blocking document-list rerank (the reference's POST /rerank
+        hot path, ``classical.py:281-284``) through the batcher.
+
+        Routing resolves on the host first (the controller truth
+        table), then requests group by (expert, doc-count bucket):
+        quantum groups coalesce into ONE (R, D)-shaped device fidelity
+        call; classical requests keep the single-request path (its
+        score cache + neutral-degradation semantics are per-request
+        state, and its scorer already mini-batches pairs).
+        Returns the controller-shaped result dict."""
+        expert = (
+            self.engine.controller.select_reranker(query)
+            if reranker_type == "auto"
+            else reranker_type
+        )
+        n = max(1, len(documents))
+        bucket = self.bucket_floor
+        while bucket < n:
+            bucket *= 2
+        return self._submit(
+            _Pending(
+                vectors=None,
+                k=top_k if top_k is not None else -1,
+                params=("docrr", expert, bucket),
+                payload=(query, documents, top_k),
+            )
+        )
+
     def close(self) -> None:
         """Stop the worker and FAIL any still-pending requests so no
         caller blocks forever on a dead queue."""
@@ -125,8 +183,13 @@ class SearchBatcher:
             first = self._queue.get(timeout=0.05)
         except queue.Empty:
             return []
+        def size(it: _Pending) -> int:
+            if it.vectors is not None:
+                return it.vectors.shape[0]
+            return max(1, len(it.payload[1]))  # doc-list rerank
+
         items = [first]
-        total = first.vectors.shape[0]
+        total = size(first)
         deadline = time.time() + self.max_wait_s
         while total < self.max_batch:
             remaining = deadline - time.time()
@@ -137,7 +200,7 @@ class SearchBatcher:
             except queue.Empty:
                 break
             items.append(nxt)
-            total += nxt.vectors.shape[0]
+            total += size(nxt)
         return items
 
     def _run(self) -> None:
@@ -159,6 +222,9 @@ class SearchBatcher:
                             it.future.set_exception(e)
 
     def _serve(self, items: List[_Pending]) -> None:
+        if items[0].params and items[0].params[0] == "docrr":
+            self._serve_doc_rerank(items)
+            return
         if items[0].params and items[0].params[0] == "rerank":
             self._serve_rerank(items)
             return
@@ -188,6 +254,97 @@ class SearchBatcher:
                 )
             )
             off += n
+
+    def _serve_doc_rerank(self, items: List[_Pending]) -> None:
+        _, expert, bucket = items[0].params
+        if expert != "quantum":
+            # classical: per-request path (cache/neutral semantics);
+            # the scorer itself mini-batches pairs (classical.py:281)
+            for it in items:
+                query, documents, top_k = it.payload
+                out = self.engine.controller.rerank(
+                    query, documents, top_k, reranker_type=expert
+                )
+                it.future.set_result(out)
+            return
+        qr = self.engine.controller.quantum_reranker
+        from qrag_tpu.documents import validate_documents
+
+        # requests that fail validation (or empty) keep the fallback
+        # contract via the single-request path
+        coalesced: List[_Pending] = []
+        for it in items:
+            query, documents, top_k = it.payload
+            if (
+                not documents
+                or not validate_documents(query, documents)
+                or qr.config.method != "state_fidelity"
+            ):
+                out = self.engine.controller.rerank(
+                    query, documents, top_k, reranker_type="quantum"
+                )
+                it.future.set_result(out)
+            else:
+                coalesced.append(it)
+        if not coalesced:
+            return
+        try:
+            # ONE embedder call + ONE device fidelity call for the
+            # whole group (R requests x bucket docs)
+            texts: List[str] = []
+            for it in coalesced:
+                query, documents, _ = it.payload
+                texts.append(query)
+                texts.extend(d.content for d in documents)
+            embeds = np.asarray(qr.embedder(texts), dtype=np.float32)
+            dim = embeds.shape[1]
+            r = len(coalesced)
+            q_vecs = np.zeros((r, dim), np.float32)
+            doc_vecs = np.zeros((r, bucket, dim), np.float32)
+            off = 0
+            for ri, it in enumerate(coalesced):
+                _, documents, _ = it.payload
+                q_vecs[ri] = embeds[off]
+                nd = len(documents)
+                doc_vecs[ri, :nd] = embeds[off + 1 : off + 1 + nd]
+                off += 1 + nd
+            fid_fn = _multi_fidelity_fn(
+                qr.n_qubits,
+                bool(qr.config.use_analytic_fidelity),
+                qr.config.encoding,
+            )
+            scores = np.asarray(fid_fn(q_vecs, doc_vecs), dtype=np.float32)
+            self.batches += 1
+            self.batched_queries += r
+            for ri, it in enumerate(coalesced):
+                query, documents, top_k = it.payload
+                scored = [
+                    (doc, float(s))
+                    for doc, s in zip(documents, scores[ri])
+                ]
+                reranked = sorted(scored, key=lambda x: x[1], reverse=True)
+                if top_k is not None:
+                    reranked = reranked[:top_k]
+                it.future.set_result(
+                    {
+                        "documents": reranked,
+                        "reranker_used": "quantum",
+                        "query": query,
+                    }
+                )
+        except Exception as e:  # noqa: BLE001 - per-request fallback
+            for it in coalesced:
+                if it.future.done():
+                    continue
+                query, documents, top_k = it.payload
+                try:
+                    it.future.set_result(
+                        self.engine.controller.rerank(
+                            query, documents, top_k, reranker_type="quantum"
+                        )
+                    )
+                except Exception:  # noqa: BLE001
+                    it.future.set_exception(e)
 
     def _serve_rerank(self, items: List[_Pending]) -> None:
         _, k, candidates, reranker_type = items[0].params

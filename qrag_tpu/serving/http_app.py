@@ -188,12 +188,24 @@ def _make_handler(engine: QragEngine, batcher=None):
                 )
                 for i, d in enumerate(raw_docs)
             ]
-            result = engine.rerank(
-                query=query,
-                documents=documents,
-                top_k=body.get("top_k", engine.config.serving.default_top_k),
-                reranker_type=body.get("reranker_type", "auto"),
-            )
+            top_k = body.get("top_k", engine.config.serving.default_top_k)
+            rtype = body.get("reranker_type", "auto")
+            if batcher is not None:
+                # coalesce concurrent document-list reranks into one
+                # (R, D)-shaped device fidelity call (grouped by
+                # routed expert + doc-count bucket)
+                result = batcher.rerank_documents(
+                    query, documents, top_k=top_k, reranker_type=rtype
+                )
+                engine.metrics.incr("rerank_requests")
+                engine.metrics.incr(f"rerank_{result['reranker_used']}")
+            else:
+                result = engine.rerank(
+                    query=query,
+                    documents=documents,
+                    top_k=top_k,
+                    reranker_type=rtype,
+                )
             return rerank_response_dict(result)
 
         def _handle_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
@@ -274,12 +286,13 @@ def create_server(
     host: str = "0.0.0.0",
     port: int = 8000,
     batching: bool = False,
+    **batcher_kwargs,
 ) -> ThreadingHTTPServer:
     batcher = None
     if batching:
         from qrag_tpu.serving.batcher import SearchBatcher
 
-        batcher = SearchBatcher(engine)
+        batcher = SearchBatcher(engine, **batcher_kwargs)
     return ThreadingHTTPServer((host, port), _make_handler(engine, batcher))
 
 
@@ -288,9 +301,10 @@ def serve_in_thread(
     host: str = "127.0.0.1",
     port: int = 0,
     batching: bool = False,
+    **batcher_kwargs,
 ) -> ThreadingHTTPServer:
     """Start serving on a background thread (tests / embedding)."""
-    server = create_server(engine, host, port, batching=batching)
+    server = create_server(engine, host, port, batching=batching, **batcher_kwargs)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

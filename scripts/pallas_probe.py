@@ -21,13 +21,15 @@ from bench import make_corpus
 NEG = float(np.finfo(np.float32).min)
 
 
-def make_kernel(variant, bm, bn, nw):
+def make_kernel(variant, bm, bn, nw, acc=jnp.float32):
     def kernel(q_ref, x_ref, out_ref):
         j = pl.program_id(1)
         dots = jax.lax.dot_general(
             q_ref[:], x_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc)
+        if acc != jnp.float32:
+            dots = dots.astype(jnp.float32)
         if variant == "matmul":
             out_ref[:] = dots[None, :, :128]
         elif variant == "rowmax":
@@ -50,6 +52,35 @@ def make_kernel(variant, bm, bn, nw):
                 arg = jnp.min(jnp.where(seg >= m, lane, 128), axis=1, keepdims=True)
                 outs.append(m + arg.astype(jnp.float32) * 0.0)
             out_ref[:] = jnp.concatenate(outs, axis=1)[None]
+    return kernel
+
+
+def make_int_kernel(variant, bm, bn, nw):
+    """Int8-input variants that keep the tile in int32 end-to-end:
+    value+lane packed into one int32, ONE max per window."""
+    def kernel(q_ref, x_ref, out_ref):
+        dots = jax.lax.dot_general(
+            q_ref[:], x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # |dots| < 127*127*768 < 2^24
+        lane = jax.lax.broadcasted_iota(jnp.int32, dots.shape, 1)
+        packed = (dots << 7) | (127 - (lane & 127))  # ties -> lower lane wins
+        if variant == "win_packed_slice":
+            outs = [
+                jnp.max(packed[:, w * 128:(w + 1) * 128], axis=1, keepdims=True)
+                for w in range(nw)
+            ]
+            out_ref[:] = jnp.concatenate(outs, axis=1)[None].astype(jnp.float32)
+        elif variant == "win_packed_reshape":
+            out_ref[:] = jnp.max(
+                packed.reshape(bm, nw, 128), axis=2
+            )[None].astype(jnp.float32)
+        elif variant == "win_int_slice":  # max only, no packing
+            outs = [
+                jnp.max(dots[:, w * 128:(w + 1) * 128], axis=1, keepdims=True)
+                for w in range(nw)
+            ]
+            out_ref[:] = jnp.concatenate(outs, axis=1)[None].astype(jnp.float32)
     return kernel
 
 
@@ -78,7 +109,13 @@ def main():
     q0 = q0.astype(jnp.int8) if args.dtype == "int8" else q0.astype(jnp.bfloat16)
     np.asarray(corpus[0, 0].astype(jnp.float32))
 
-    kern = make_kernel(args.variant, bm, bn, nw)
+    if args.variant.startswith("win_packed") or args.variant == "win_int_slice":
+        kern = make_int_kernel(args.variant, bm, bn, nw)
+    else:
+        kern = make_kernel(
+            args.variant, bm, bn, nw,
+            acc=jnp.int32 if args.dtype == "int8" else jnp.float32,
+        )
     n_tiles = n // bn
     grid = (b // bm, n_tiles)
 
