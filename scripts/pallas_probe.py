@@ -84,6 +84,23 @@ def make_int_kernel(variant, bm, bn, nw):
     return kernel
 
 
+def make_int_kernel_xt(variant, bm, bn, nw):
+    """x pre-transposed (d, bn) tiles: natural MXU operand order."""
+    def kernel(q_ref, x_ref, out_ref):
+        dots = jax.lax.dot_general(
+            q_ref[:], x_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, dots.shape, 1)
+        packed = (dots << 7) | (127 - (lane & 127))
+        outs = [
+            jnp.max(packed[:, w * 128:(w + 1) * 128], axis=1, keepdims=True)
+            for w in range(nw)
+        ]
+        out_ref[:] = jnp.concatenate(outs, axis=1)[None].astype(jnp.float32)
+    return kernel
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", required=True)
@@ -109,7 +126,9 @@ def main():
     q0 = q0.astype(jnp.int8) if args.dtype == "int8" else q0.astype(jnp.bfloat16)
     np.asarray(corpus[0, 0].astype(jnp.float32))
 
-    if args.variant.startswith("win_packed") or args.variant == "win_int_slice":
+    if args.variant == "win_packed_xt":
+        kern = make_int_kernel_xt(args.variant, bm, bn, nw)
+    elif args.variant.startswith("win_packed") or args.variant == "win_int_slice":
         kern = make_int_kernel(args.variant, bm, bn, nw)
     else:
         kern = make_kernel(
@@ -119,6 +138,17 @@ def main():
     n_tiles = n // bn
     grid = (b // bm, n_tiles)
 
+    if args.variant == "win_packed_xt":
+        corpus = corpus.T  # (d, n) layout
+        x_spec = pl.BlockSpec(
+            (d, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        )
+    np.asarray(corpus[0, 0].astype(jnp.float32))
+
     @jax.jit
     def run(q, x):
         out = pl.pallas_call(
@@ -126,7 +156,7 @@ def main():
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                x_spec,
             ],
             out_specs=pl.BlockSpec(
                 (1, bm, out_w), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
