@@ -77,6 +77,12 @@ class ClassicalReranker:
         self._scorer_override = scorer
         self.score_cache: Dict[str, float] = {}
         self._cross_encoder = None  # lazily built JAX model
+        # scorer fallback chain (the reference fell back across three
+        # cross-encoder models on load failure, classical.py:134-153,
+        # before neutral scores; here the chain is cross-encoder →
+        # cosine → neutral).  Sticky: once a scorer fails out, later
+        # requests use the fallback directly.
+        self._active_method = self.config.method
 
     # ------------------------------------------------------------------
 
@@ -123,12 +129,13 @@ class ClassicalReranker:
     def _score_batch(self, query: str, contents: List[str]) -> np.ndarray:
         if self._scorer_override is not None:
             return np.asarray(self._scorer_override(query, contents))
-        if self.config.method == "cross-encoder":
+        if self._active_method == "cross-encoder":
             return self._score_cross_encoder(query, contents)
         return self._score_cosine(query, contents)
 
-    def _predict_with_retries(self, query: str, contents: List[str]) -> np.ndarray:
-        """Retry with linear backoff (``classical.py:193-216``)."""
+    def _retry_once_through(self, query: str, contents: List[str]) -> np.ndarray:
+        """One scorer, max_retries attempts with linear backoff
+        (``classical.py:193-216``)."""
         last_err: Optional[Exception] = None
         for attempt in range(self.config.max_retries):
             try:
@@ -146,6 +153,26 @@ class ClassicalReranker:
                 if attempt < self.config.max_retries - 1:
                     time.sleep(0.5 * (attempt + 1))
         raise RuntimeError("all retry attempts failed") from last_err
+
+    def _predict_with_retries(self, query: str, contents: List[str]) -> np.ndarray:
+        """Retries, then the scorer FALLBACK CHAIN: cross-encoder →
+        cosine → (caller's) neutral scores — the rebuild's counterpart
+        of the reference's three-model fallback
+        (``classical.py:134-153``)."""
+        try:
+            return self._retry_once_through(query, contents)
+        except RuntimeError:
+            if (
+                self._scorer_override is not None
+                or self._active_method != "cross-encoder"
+            ):
+                raise  # no further scorer to fall back to
+            logger.warning(
+                "cross-encoder scorer failed out; falling back to the "
+                "cosine scorer (sticky)"
+            )
+            self._active_method = "cosine"
+            return self._retry_once_through(query, contents)
 
     def _neutral(self, documents: List[Document]) -> List[Tuple[Document, float]]:
         """Original order, neutral scores (``classical.py:218-229``)."""

@@ -322,6 +322,11 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--no-warmup", action="store_true")
     parser.add_argument(
+        "--reload",
+        action="store_true",
+        help="dev auto-reload: re-exec on source change (server.py:56-62 parity)",
+    )
+    parser.add_argument(
         "--batching",
         action="store_true",
         help="coalesce concurrent /search requests into device batches",
@@ -412,6 +417,10 @@ def main(argv=None) -> None:
     # compiles the hot graphs concurrently (first queries that race it
     # simply compile on demand).
     server = create_server(engine, host, port, batching=args.batching)
+    if args.reload:
+        from qrag_tpu.serving.devreload import start_reloader
+
+        start_reloader()
     if not args.no_warmup:
         threading.Thread(target=engine.warmup, daemon=True).start()
     logger.info("serving on %s:%d (index ntotal=%d)", host, port, engine.index.ntotal)

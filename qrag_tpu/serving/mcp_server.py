@@ -305,8 +305,17 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--embedding-provider", default="hash", choices=["mock", "hash", "openai"]
     )
+    parser.add_argument(
+        "--reload",
+        action="store_true",
+        help="dev auto-reload: re-exec on source change (server.py:56-62 parity)",
+    )
     args = parser.parse_args(argv)
     configure_logging()
+    if args.reload:
+        from qrag_tpu.serving.devreload import start_reloader
+
+        start_reloader()
 
     from qrag_tpu.config import EmbeddingConfig
     from qrag_tpu.pipeline.storage import LocalTranscriptStore
