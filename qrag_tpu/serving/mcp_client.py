@@ -261,22 +261,66 @@ def make_orchestrator(client: McpClient, kind: str = "auto", **kwargs):
     return RuleBasedOrchestrator(client, **kwargs)
 
 
+def render_tool_table(tools: List[Dict[str, Any]], width: int = 100) -> str:
+    """Box-drawn tool table (the reference renders a rich.Table of
+    discovered tools, ``mcp/client/main.py:60-67``; stdlib here)."""
+    name_w = max([len(t["name"]) for t in tools] + [4])
+    desc_w = max(20, width - name_w - 7)
+    top = f"┌─{'─' * name_w}─┬─{'─' * desc_w}─┐"
+    mid = f"├─{'─' * name_w}─┼─{'─' * desc_w}─┤"
+    bot = f"└─{'─' * name_w}─┴─{'─' * desc_w}─┘"
+    rows = [top, f"│ {'Tool':<{name_w}} │ {'Description':<{desc_w}} │", mid]
+    for t in tools:
+        desc = " ".join(str(t.get("description", "")).split())
+        first = True
+        while desc or first:
+            line, desc = desc[:desc_w], desc[desc_w:]
+            rows.append(
+                f"│ {(t['name'] if first else ''):<{name_w}} │ {line:<{desc_w}} │"
+            )
+            first = False
+    rows.append(bot)
+    return "\n".join(rows)
+
+
+def _progress_printer(progress, total, message):
+    """Stream tool progress to the terminal as it arrives (the
+    reference streams agent turns live, ``main.py:163``)."""
+    if total:
+        bar_n = int(20 * min(progress / total, 1.0))
+        bar = "█" * bar_n + "░" * (20 - bar_n)
+        pct = f"{100 * progress / total:3.0f}%"
+    else:
+        bar, pct = "░" * 20, " ..."
+    msg = f" {message}" if message else ""
+    print(f"\r  [{bar}] {pct}{msg:<50.50s}", end="", flush=True)
+
+
 def main(argv=None) -> None:  # pragma: no cover - interactive
     parser = argparse.ArgumentParser(description="qrag_tpu MCP client")
     parser.add_argument("--url", default="http://127.0.0.1:6969/mcp")
     parser.add_argument(
         "--orchestrator", default="auto", choices=["auto", "rules", "openai"]
     )
+    parser.add_argument(
+        "--no-stream", action="store_true", help="plain JSON transport"
+    )
     args = parser.parse_args(argv)
 
-    client = McpClient(args.url)
+    client = McpClient(
+        args.url,
+        stream=not args.no_stream,
+        on_progress=None if args.no_stream else _progress_printer,
+    )
     info = client.initialize()
     tools = client.list_tools()
-    print(f"connected to {info['serverInfo']['name']} — tools:")
-    for t in tools:
-        print(f"  {t['name']:36s} {t['description'][:70]}")
+    name = info["serverInfo"]["name"]
+    transport = "streamable-http" if client.stream else "json"
+    print(f"connected to {name} ({transport}, session "
+          f"{(client.session_id or 'n/a')[:8]}) — {len(tools)} tools:")
+    print(render_tool_table(tools))
     orchestrator = make_orchestrator(client, args.orchestrator)
-    print("type a request ('list shows', 'index <show>'), or 'quit'")
+    print("type a request ('list shows', 'index <show>', 'search <q>'), or 'quit'")
     while True:
         try:
             query = input("> ").strip()
@@ -286,7 +330,9 @@ def main(argv=None) -> None:  # pragma: no cover - interactive
             break
         if not query:
             continue
-        print(orchestrator.run(query))
+        answer = orchestrator.run(query)
+        print()  # end the progress line
+        print(answer)
 
 
 if __name__ == "__main__":
