@@ -115,6 +115,9 @@ class IndexConfig:
     quantization: str = "none"
     # candidates = refine_factor * k for the quantized scan
     refine_factor: int = 4
+    # quantized scan backend: "window" (fused packed window-argmax,
+    # ops/window_scan.py) or "row" (per-row scales + approx_max_k)
+    quant_scan: str = "window"
     # Shard corpus rows over the mesh "model" axis
     # (parallel/sharded_index.py; BASELINE configs[4]).  Mesh geometry
     # comes from the `mesh` config section; also via serve --sharded.

@@ -192,6 +192,7 @@ def _index_cls_and_kwargs(config: QragConfig):
         from qrag_tpu.index.quantized_index import QuantizedFlatIndex
 
         kw["refine_factor"] = config.index.refine_factor
+        kw["scan"] = config.index.quant_scan
         return QuantizedFlatIndex, kw
     return DeviceFlatIndex, kw
 

@@ -1,0 +1,238 @@
+"""Windowed scan + selection: the production retrieval pipeline.
+
+Round-2 redesign of the scan/selection stage (VERDICT items 2-3).  The
+round-1 pipeline's wall was selection traffic: the (B, N) score matrix
+round-tripped HBM between the matmul and `approx_max_k` (~4 GB at
+1M x 768 / B=1024 — ~8 of 10.3 ms).  The fix: reduce each 128-lane
+window to ONE int32 carrying (score, lane) packed together, *inside the
+matmul's fused epilogue*, so the score matrix never reaches HBM:
+
+    dots   = Q @ X^T                      (MXU, int8 x int8 -> int32
+                                           or bf16 -> f32)
+    key    = order-preserving int32 of the score  (int: dots << 7;
+             f32: sign-fold bitcast with the low 7 mantissa bits
+             sacrificed — refinement restores exact scores)
+    packed = (key & ~127) | (127 - lane)  (ties -> LOWER lane wins)
+    wstat  = max over each 128-lane window -> (B, N/128) int32
+
+XLA fuses the elementwise ops + windowed reduce into the matmul
+epilogue (measured: the int8 scan runs at the MXU's int8 peak —
+~430 TOPS eff, vs ~142 TOPS when the score matrix materializes).
+Selection then works on planes 128x smaller: top-C windows per query
+(`approx_max_k` or `top_k`), unpack (window, lane) -> global row ids,
+and exactly re-score the C gathered candidates
+(``ops.quantize.refine_candidates``) — returned scores are EXACT;
+recall is the approx class (window collisions), controlled by C.
+
+Int8 corpora use PER-WINDOW (128-row block) scales so raw int32 dots
+order correctly within a window; the scale rejoins at the plane level.
+The same windows serve both quantization groups and selection units.
+
+The Pallas kernel (`ops.pallas.fused_scan`) implements the same
+contract for cases XLA can't fuse (and as the from-scratch reference);
+this module is the default backend because the measured XLA epilogue
+fusion is ~2x faster than the hand-written Mosaic matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WINDOW = 128
+_I32_MIN = jnp.int32(-(2 ** 31))
+
+
+def _float_sort_key(x_f32: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving f32 -> int32 (IEEE sign-fold)."""
+    u = jax.lax.bitcast_convert_type(x_f32, jnp.int32)
+    return jnp.where(u < 0, _I32_MIN - u, u)
+
+
+def _float_from_key(key: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `_float_sort_key` (low bits already cleared)."""
+    u = jnp.where(key < 0, _I32_MIN - key, key)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+_INT_CLAMP = (1 << 23) - 1  # |key| <= 2^23 so << 7 never overflows
+
+
+def packed_window_scan(
+    queries: jnp.ndarray,  # (B, d) int8 or bf16/f32
+    corpus: jnp.ndarray,  # (N, d) same family; N % 128 == 0
+    lane_rank: jnp.ndarray,  # (1, N) int32: 127 - (col % 128), precomputed
+    row_add: Optional[jnp.ndarray] = None,  # (1, N) f32 (float domain only)
+    col_add: Optional[jnp.ndarray] = None,  # (B, 1) f32 (float domain only)
+    alpha: float = 1.0,  # float-domain dots multiplier (2.0 for l2)
+) -> jnp.ndarray:
+    """(B, N/128) packed int32 window stats; the (B, N) score matrix
+    lives only inside the fused matmul epilogue.
+
+    Float domain scores ``alpha*dots + row_add + col_add`` (covers the
+    exact -d^2 l2 goodness); the int domain packs raw int32 dots
+    (clamped to 24 bits — beyond that, d*127^2 overflows the shifted
+    key; clamped scores tie at the extreme and refinement still
+    re-scores exactly)."""
+    b = queries.shape[0]
+    n = corpus.shape[0]
+    nw = n // WINDOW
+    if corpus.dtype == jnp.int8:
+        dots = jax.lax.dot_general(
+            queries,
+            corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        key = jnp.clip(dots, -_INT_CLAMP, _INT_CLAMP) << 7
+    else:
+        dots = jax.lax.dot_general(
+            queries,
+            corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if alpha != 1.0:
+            dots = dots * alpha
+        if row_add is not None:
+            dots = dots + row_add
+        if col_add is not None:
+            dots = dots + col_add
+        key = _float_sort_key(dots) & ~jnp.int32(127)
+    packed = key | lane_rank
+    return jnp.max(packed.reshape(b, nw, WINDOW), axis=2)
+
+
+def make_lane_rank(n: int) -> np.ndarray:
+    """(1, N) int32 lane-rank plane: 127 - (col % 128), so packed ties
+    resolve to the LOWER global index (lax.top_k parity)."""
+    return (127 - (np.arange(n, dtype=np.int32) % WINDOW))[None, :]
+
+
+def unpack_stats(
+    wstat: jnp.ndarray, int_domain: bool, int_shift: int = 7
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, NW) packed -> (approx score f32/int32-scaled, lane idx)."""
+    lane = WINDOW - 1 - (wstat & (WINDOW - 1))
+    key = wstat & ~jnp.int32(WINDOW - 1)
+    if int_domain:
+        return (wstat >> int_shift).astype(jnp.float32), lane
+    return _float_from_key(key), lane
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "refine_factor", "selector"),
+)
+def windowed_scan_topk(
+    queries: jnp.ndarray,  # (B, d) f32 true queries
+    corpus_scan: jnp.ndarray,  # (N, d) int8 / bf16 / f32 scan form
+    corpus_f: jnp.ndarray,  # (N, d) true-precision rows for refinement
+    lane_rank: jnp.ndarray,  # (1, N) from make_lane_rank
+    k: int,
+    metric: str = "l2",
+    corpus_sqnorms: Optional[jnp.ndarray] = None,
+    window_scale: Optional[jnp.ndarray] = None,  # (NW,) int8 block scales
+    q_scale: Optional[jnp.ndarray] = None,  # (B,) int8 query scales
+    ntotal: Optional[jnp.ndarray] = None,  # scalar; rows >= are padding
+    refine_factor: int = 8,
+    selector: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused scan -> top-C windows -> exact re-score -> top-k.
+
+    Returns (goodness desc, indices) like ``_scan_topk_device`` —
+    finalize to distances at the API edge.  Selection ranks by dot
+    product (for l2 this equals the true order on constant-norm rows,
+    e.g. normalized corpora; refinement applies the exact metric either
+    way, so returned SCORES are always exact).
+    """
+    n = corpus_scan.shape[0]
+    nw = n // WINDOW
+    int_domain = corpus_scan.dtype == jnp.int8
+    if int_domain:
+        from qrag_tpu.ops.quantize import quantize_rows
+
+        if q_scale is None:
+            q8, q_scale = quantize_rows(queries.astype(jnp.float32))
+        else:
+            q8 = queries
+        wstat = packed_window_scan(q8, corpus_scan, lane_rank)
+        raw, lanes = unpack_stats(wstat, int_domain=True)
+        # rejoin scales at the PLANE level (per-window corpus scale x
+        # per-query scale) — ordering within a window was already
+        # correct because rows in a window share one scale
+        wvals = raw * (window_scale[None, :] * q_scale[:, None])
+    else:
+        wstat = packed_window_scan(
+            queries.astype(corpus_scan.dtype), corpus_scan, lane_rank
+        )
+        wvals, lanes = unpack_stats(wstat, int_domain=False)
+
+    window_base = (jnp.arange(nw, dtype=jnp.int32) * WINDOW)[None, :]
+    wind_idx = window_base + lanes  # (B, NW) global row of each window max
+
+    if ntotal is not None:
+        # windows fully past ntotal can never contribute
+        valid_w = (window_base[0] < ntotal)[None, :]
+        wvals = jnp.where(valid_w, wvals, -jnp.inf)
+
+    c = min(refine_factor * k, nw)
+    use_approx = selector == "approx" or (
+        selector == "auto" and nw >= 4096 and c * 8 < nw
+    )
+    if use_approx:
+        sv, si = jax.lax.approx_max_k(wvals, c, recall_target=0.99)
+    else:
+        sv, si = jax.lax.top_k(wvals, c)
+    cand_idx = jnp.take_along_axis(wind_idx, si, axis=1)
+    cand_ok = jnp.isfinite(sv)
+    if ntotal is not None:
+        # the boundary window's argmax may be a padding row
+        cand_ok = cand_ok & (cand_idx < ntotal)
+    cand_goodness = jnp.where(cand_ok, 0.0, -jnp.inf)
+
+    from qrag_tpu.ops.quantize import refine_candidates
+
+    return refine_candidates(
+        queries.astype(jnp.float32),
+        corpus_f,
+        cand_idx,
+        cand_goodness,
+        k,
+        metric=metric,
+        corpus_sqnorms=corpus_sqnorms,
+    )
+
+
+def quantize_block_rows(
+    x: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-128-row-block symmetric int8 quantization (host-side; the
+    blocks coincide with selection windows so raw int32 dots order
+    correctly within each window)."""
+    n, d = x.shape
+    if n % WINDOW:
+        raise ValueError(f"N={n} must be a multiple of {WINDOW}")
+    xb = x.reshape(n // WINDOW, WINDOW, d)
+    absmax = np.abs(xb).max(axis=(1, 2))
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(
+        np.round(xb / scale[:, None, None]), -127, 127
+    ).astype(np.int8)
+    return q.reshape(n, d), scale
+
+
+def quantize_block_rows_device(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side per-block quantization (jit-friendly)."""
+    n, d = x.shape
+    xb = x.reshape(n // WINDOW, WINDOW, d)
+    absmax = jnp.max(jnp.abs(xb), axis=(1, 2))
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(xb / scale[:, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q.reshape(n, d), scale

@@ -1,0 +1,162 @@
+"""Windowed packed scan (ops/window_scan.py): key transforms, packing
+tie-break, end-to-end recall vs the exact oracle, int8 block scales."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qrag_tpu.ops.topk import _goodness
+from qrag_tpu.ops.window_scan import (
+    WINDOW,
+    _float_from_key,
+    _float_sort_key,
+    make_lane_rank,
+    packed_window_scan,
+    quantize_block_rows,
+    quantize_block_rows_device,
+    unpack_stats,
+    windowed_scan_topk,
+)
+
+
+def test_float_sort_key_monotone():
+    xs = np.asarray(
+        [-1e30, -5.5, -1.0, -0.0, 0.0, 1e-20, 1.0, 3.25, 1e30], np.float32
+    )
+    keys = np.asarray(_float_sort_key(jnp.asarray(xs)))
+    assert (np.diff(keys) >= 0).all()
+    # roundtrip after clearing low bits stays within 2^-16 relative
+    cleared = jnp.asarray(keys) & ~jnp.int32(127)
+    back = np.asarray(_float_from_key(cleared))
+    nz = np.abs(xs) > 0
+    assert np.all(np.abs(back[nz] - xs[nz]) <= np.abs(xs[nz]) * 2e-5 + 1e-30)
+
+
+def test_packed_scan_matches_numpy_window_argmax(rng):
+    n, d, b = 1024, 128, 8
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    lane_rank = jnp.asarray(make_lane_rank(n))
+    wstat = packed_window_scan(jnp.asarray(q), jnp.asarray(x), lane_rank)
+    vals, lanes = unpack_stats(wstat, int_domain=False)
+    g = q @ x.T
+    gw = g.reshape(b, n // WINDOW, WINDOW)
+    np.testing.assert_array_equal(np.asarray(lanes), gw.argmax(-1))
+    np.testing.assert_allclose(
+        np.asarray(vals), gw.max(-1), rtol=3e-5, atol=1e-6
+    )
+
+
+def test_packed_tie_break_lower_lane(rng):
+    # identical rows within a window -> argmax must be the FIRST lane
+    n, d = 256, 64
+    row = rng.randn(1, d).astype(np.float32)
+    x = np.repeat(row, n, axis=0)
+    q = rng.randn(2, d).astype(np.float32)
+    lane_rank = jnp.asarray(make_lane_rank(n))
+    wstat = packed_window_scan(jnp.asarray(q), jnp.asarray(x), lane_rank)
+    _, lanes = unpack_stats(wstat, int_domain=False)
+    assert (np.asarray(lanes) == 0).all()
+
+
+def test_int8_packed_scan_window_argmax(rng):
+    n, d, b = 512, 64, 4
+    x = rng.randn(n, d).astype(np.float32)
+    x8, bscale = quantize_block_rows(x)
+    q = rng.randn(b, d).astype(np.float32)
+    q8 = np.clip(np.round(q * 30), -127, 127).astype(np.int8)
+    lane_rank = jnp.asarray(make_lane_rank(n))
+    wstat = packed_window_scan(jnp.asarray(q8), jnp.asarray(x8), lane_rank)
+    raw, lanes = unpack_stats(wstat, int_domain=True)
+    dots = q8.astype(np.int32) @ x8.astype(np.int32).T
+    dw = dots.reshape(b, n // WINDOW, WINDOW)
+    np.testing.assert_array_equal(np.asarray(lanes), dw.argmax(-1))
+    np.testing.assert_array_equal(np.asarray(raw), dw.max(-1))
+
+
+def test_block_quantize_host_equals_device(rng):
+    x = rng.randn(384, 32).astype(np.float32)
+    qh, sh = quantize_block_rows(x)
+    qd, sd = jax.jit(quantize_block_rows_device)(jnp.asarray(x))
+    np.testing.assert_array_equal(qh, np.asarray(qd))
+    np.testing.assert_allclose(sh, np.asarray(sd), rtol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_windowed_topk_recall_and_exact_scores(rng, metric):
+    n, d, b, k = 131072, 128, 16, 10
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    sq = (x * x).sum(1)
+    x8, bscale = quantize_block_rows(x)
+    vals, idx = windowed_scan_topk(
+        jnp.asarray(q),
+        jnp.asarray(x8),
+        jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)),
+        k,
+        metric=metric,
+        corpus_sqnorms=jnp.asarray(sq),
+        window_scale=jnp.asarray(bscale),
+        refine_factor=8,
+        selector="top_k",
+    )
+    g = np.asarray(
+        _goodness(jnp.asarray(q), jnp.asarray(x), metric, jnp.asarray(sq), None)
+    )
+    ref_idx = np.argsort(-g, axis=1, kind="stable")[:, :k]
+    recall = np.mean(
+        [len(set(map(int, idx[i])) & set(ref_idx[i])) / k for i in range(b)]
+    )
+    assert recall >= 0.95, recall
+    # returned scores are EXACT for the rows returned (refinement)
+    got_g = np.take_along_axis(g, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), got_g, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_topk_bf16_float_domain(rng):
+    n, d, b, k = 65536, 128, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    sq = (x * x).sum(1)
+    vals, idx = windowed_scan_topk(
+        jnp.asarray(q),
+        jnp.asarray(x),  # f32 float-domain scan
+        jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)),
+        k,
+        metric="ip",
+        corpus_sqnorms=jnp.asarray(sq),
+        refine_factor=8,
+        selector="top_k",
+    )
+    g = q @ x.T
+    ref_idx = np.argsort(-g, axis=1, kind="stable")[:, :k]
+    recall = np.mean(
+        [len(set(map(int, idx[i])) & set(ref_idx[i])) / k for i in range(b)]
+    )
+    assert recall >= 0.95, recall
+
+
+def test_windowed_topk_padding_rows_never_surface(rng):
+    n, ntotal, d, k = 512, 400, 32, 3
+    x = np.zeros((n, d), np.float32)
+    x[:ntotal] = rng.randn(ntotal, d) * 0.1 - 2.0  # all-negative scores
+    x8, bscale = quantize_block_rows(x)
+    q = np.abs(rng.randn(3, d)).astype(np.float32)  # positive queries
+    vals, idx = windowed_scan_topk(
+        jnp.asarray(q),
+        jnp.asarray(x8),
+        jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)),
+        k,
+        metric="ip",
+        window_scale=jnp.asarray(bscale),
+        ntotal=jnp.asarray(ntotal),
+        refine_factor=8,
+        selector="top_k",
+    )
+    assert (np.asarray(idx) < ntotal).all()
+    assert np.isfinite(np.asarray(vals)).all()
