@@ -368,6 +368,95 @@ def pallas_ready(n: int, d: int, bn: int = 512) -> bool:
     return n >= bn and n % bn == 0 and d % WINDOW == 0
 
 
+# ------------------------------------------------- packed window scan
+
+_INT_CLAMP = (1 << 23) - 1
+
+
+def _packed_kernel(q_ref, x_ref, out_ref, *, bn: int, acc_dtype):
+    """Matmul + packed (score, lane) window-argmax epilogue — the
+    Pallas twin of ``ops.window_scan.packed_window_scan`` (same packed
+    int32 contract; measured 8.6 ms at 1M x 768 int8 / B=1024 on v5e
+    vs 10.3 ms for the round-1 approx pipeline).  Strided 128-lane
+    slices, not reshapes: Mosaic reshapes of the lane dim relayout
+    (~30% of the matmul); slices are free."""
+    nw = bn // WINDOW
+    bm = q_ref.shape[0]
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+    if acc_dtype == jnp.int32:
+        key = jnp.clip(dots, -_INT_CLAMP, _INT_CLAMP) << 7
+    else:
+        u = jax.lax.bitcast_convert_type(dots.astype(jnp.float32), jnp.int32)
+        mono = jnp.where(u < 0, jnp.int32(-(2 ** 31)) - u, u)
+        key = mono & ~jnp.int32(127)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    packed = key | (127 - (lane & 127))
+    parts = [
+        jnp.max(packed[:, w * WINDOW : (w + 1) * WINDOW], axis=1, keepdims=True)
+        for w in range(nw)
+    ]
+    out_ref[:] = jnp.concatenate(parts, axis=1)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+def pallas_packed_window_scan(
+    queries: jnp.ndarray,  # (B, d) int8 or bf16/f32; B % bm == 0
+    corpus: jnp.ndarray,  # (N, d); N % bn == 0, d % 128 == 0
+    bm: int = 0,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N/128) packed int32 window stats (window_scan contract)."""
+    b, d = queries.shape
+    n = corpus.shape[0]
+    bm = bm or _pick_bm_packed(b)
+    if b % bm or n % bn or d % WINDOW:
+        raise ValueError(
+            f"shapes must tile: B={b}%{bm}, N={n}%{bn}, d={d}%{WINDOW}"
+        )
+    nw = bn // WINDOW
+    n_tiles = n // bn
+    acc_dtype = jnp.int32 if queries.dtype == jnp.int8 else jnp.float32
+    itemsize = 1 if queries.dtype == jnp.int8 else queries.dtype.itemsize
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, bn=bn, acc_dtype=acc_dtype),
+        grid=(b // bm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, nw), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * itemsize + b * d * itemsize
+            + b * (n // WINDOW) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus)
+    return jnp.transpose(out, (1, 0, 2)).reshape(b, n // WINDOW)
+
+
+def _pick_bm_packed(b: int) -> int:
+    """Largest power-of-two block <= min(b, 1024) dividing b (bm=1024
+    measured ~30% faster than 256: the Q block stays MXU-resident)."""
+    bm = 1
+    while bm * 2 <= min(b, 1024) and b % (bm * 2) == 0:
+        bm *= 2
+    return bm
+
+
 def certify_rows(
     wmax: jnp.ndarray, wsec: jnp.ndarray, kth_vals: jnp.ndarray, k: int
 ) -> jnp.ndarray:

@@ -126,7 +126,7 @@ def unpack_stats(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "refine_factor", "selector"),
+    static_argnames=("k", "metric", "refine_factor", "selector", "backend"),
 )
 def windowed_scan_topk(
     queries: jnp.ndarray,  # (B, d) f32 true queries
@@ -141,6 +141,7 @@ def windowed_scan_topk(
     ntotal: Optional[jnp.ndarray] = None,  # scalar; rows >= are padding
     refine_factor: int = 8,
     selector: str = "auto",
+    backend: str = "xla",  # "xla" (fused epilogue) | "pallas" (Mosaic)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan -> top-C windows -> exact re-score -> top-k.
 
@@ -153,6 +154,19 @@ def windowed_scan_topk(
     n = corpus_scan.shape[0]
     nw = n // WINDOW
     int_domain = corpus_scan.dtype == jnp.int8
+
+    def scan(q_in):
+        if backend == "pallas":
+            from qrag_tpu.ops.pallas.fused_scan import (
+                pallas_packed_window_scan,
+            )
+
+            return pallas_packed_window_scan(
+                q_in, corpus_scan,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return packed_window_scan(q_in, corpus_scan, lane_rank)
+
     if int_domain:
         from qrag_tpu.ops.quantize import quantize_rows
 
@@ -160,16 +174,14 @@ def windowed_scan_topk(
             q8, q_scale = quantize_rows(queries.astype(jnp.float32))
         else:
             q8 = queries
-        wstat = packed_window_scan(q8, corpus_scan, lane_rank)
+        wstat = scan(q8)
         raw, lanes = unpack_stats(wstat, int_domain=True)
         # rejoin scales at the PLANE level (per-window corpus scale x
         # per-query scale) — ordering within a window was already
         # correct because rows in a window share one scale
         wvals = raw * (window_scale[None, :] * q_scale[:, None])
     else:
-        wstat = packed_window_scan(
-            queries.astype(corpus_scan.dtype), corpus_scan, lane_rank
-        )
+        wstat = scan(queries.astype(corpus_scan.dtype))
         wvals, lanes = unpack_stats(wstat, int_domain=False)
 
     window_base = (jnp.arange(nw, dtype=jnp.int32) * WINDOW)[None, :]

@@ -160,3 +160,50 @@ def test_windowed_topk_padding_rows_never_surface(rng):
     )
     assert (np.asarray(idx) < ntotal).all()
     assert np.isfinite(np.asarray(vals)).all()
+
+
+def test_pallas_packed_scan_matches_xla(rng):
+    """The Mosaic packed kernel and the XLA fused-epilogue scan emit
+    bit-identical packed planes (same downstream glue serves both)."""
+    from qrag_tpu.ops.pallas.fused_scan import pallas_packed_window_scan
+
+    n, d, b = 1024, 128, 16
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    lane_rank = jnp.asarray(make_lane_rank(n))
+    ref = packed_window_scan(jnp.asarray(q), jnp.asarray(x), lane_rank)
+    got = pallas_packed_window_scan(
+        jnp.asarray(q), jnp.asarray(x), bn=512, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # int8 domain
+    x8, _ = quantize_block_rows(x)
+    q8 = np.clip(np.round(q * 30), -127, 127).astype(np.int8)
+    ref = packed_window_scan(jnp.asarray(q8), jnp.asarray(x8), lane_rank)
+    got = pallas_packed_window_scan(
+        jnp.asarray(q8), jnp.asarray(x8), bn=512, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_windowed_topk_pallas_backend_end_to_end(rng):
+    n, d, b, k = 131072, 128, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    sq = (x * x).sum(1)
+    x8, bscale = quantize_block_rows(x)
+    vx, ix = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x8), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), k, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq), window_scale=jnp.asarray(bscale),
+        refine_factor=8, selector="top_k", backend="xla",
+    )
+    vp, ip_ = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x8), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), k, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq), window_scale=jnp.asarray(bscale),
+        refine_factor=8, selector="top_k", backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip_))
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vp), rtol=1e-5)
