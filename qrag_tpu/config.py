@@ -115,9 +115,10 @@ class IndexConfig:
     quantization: str = "none"
     # candidates = refine_factor * k for the quantized scan
     refine_factor: int = 4
-    # quantized scan backend: "window" (fused packed window-argmax,
-    # ops/window_scan.py) or "row" (per-row scales + approx_max_k)
-    quant_scan: str = "window"
+    # quantized scan backend: "row" (per-row scales + approx_max_k;
+    # fastest on v5e) or "window" (packed window-argmax Pallas scan,
+    # ops/window_scan.py — the score matrix never exists: memory-lean)
+    quant_scan: str = "row"
     # Shard corpus rows over the mesh "model" axis
     # (parallel/sharded_index.py; BASELINE configs[4]).  Mesh geometry
     # comes from the `mesh` config section; also via serve --sharded.

@@ -7,14 +7,17 @@ top candidates.  Returned scores are therefore exact; only candidate
 recall depends on quantization, controlled by ``refine_factor``
 (candidates = refine_factor × k).
 
-Two scan modes:
+Two scan modes (honest v5e numbers at 1M x 768 / B=1024):
 
-* ``scan="window"`` (default): the fused windowed packed-argmax scan
-  (``ops/window_scan.py``) — per-128-row-BLOCK scales (blocks coincide
-  with selection windows), score matrix never reaches HBM, ~6.6 ms at
-  1M x 768 / B=1024 on v5e vs ~10.3 ms for the round-1 pipeline.
-* ``scan="row"``: the round-1 path — per-row scales, rescaled f32
-  scores through ``approx_max_k`` (``ops.quantize.int8_scan_topk``).
+* ``scan="row"`` (default): per-row scales, rescaled f32 scores
+  through ``approx_max_k`` (``ops.quantize.int8_scan_topk``) — ~13 ms.
+* ``scan="window"``: the windowed packed-argmax scan
+  (``ops/window_scan.py``, Pallas backend) — per-128-row-BLOCK scales
+  aligned with selection windows; the (B, N) score matrix NEVER
+  exists (in HBM or at all), so peak memory is corpus-only: the mode
+  for B*N-too-big-for-HBM and memory-constrained serving.  ~18 ms
+  end-to-end (the exact-rescore row gather dominates; see
+  docs/PERFORMANCE.md).
 
 Memory for 1M×768: 0.77 GB int8 + 1.5 GB bf16 ≈ 2.3 GB; the scan
 reads only the int8 half.  The quantized buffers live inside the
@@ -48,7 +51,7 @@ class QuantizedFlatIndex(DeviceFlatIndex):
     """DeviceFlatIndex whose scan runs on int8 with exact refinement."""
 
     def __init__(
-        self, *args, refine_factor: int = 4, scan: str = "window", **kwargs
+        self, *args, refine_factor: int = 4, scan: str = "row", **kwargs
     ):
         kwargs.setdefault("store_dtype", "bfloat16")
         # the quantized scan is pre-refinement approximate; "verified"
@@ -113,6 +116,10 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 window_scale=bscales,
                 ntotal=jnp.asarray(snap.ntotal),
                 refine_factor=self.refine_factor,
+                # Mosaic kernel on TPU (XLA won't fuse the epilogue
+                # there); plain XLA elsewhere (fast enough on CPU and
+                # avoids interpret-mode overhead in tests)
+                backend="pallas" if jax.default_backend() == "tpu" else "xla",
             )
             return _finalize(vals, final_idx, self.metric)
         x8, scales = snap.extras["int8"]

@@ -15,9 +15,6 @@ matmul's fused epilogue*, so the score matrix never reaches HBM:
     packed = (key & ~127) | (127 - lane)  (ties -> LOWER lane wins)
     wstat  = max over each 128-lane window -> (B, N/128) int32
 
-XLA fuses the elementwise ops + windowed reduce into the matmul
-epilogue (measured: the int8 scan runs at the MXU's int8 peak —
-~430 TOPS eff, vs ~142 TOPS when the score matrix materializes).
 Selection then works on planes 128x smaller: top-C windows per query
 (`approx_max_k` or `top_k`), unpack (window, lane) -> global row ids,
 and exactly re-score the C gathered candidates
@@ -28,10 +25,24 @@ Int8 corpora use PER-WINDOW (128-row block) scales so raw int32 dots
 order correctly within a window; the scale rejoins at the plane level.
 The same windows serve both quantization groups and selection units.
 
-The Pallas kernel (`ops.pallas.fused_scan`) implements the same
-contract for cases XLA can't fuse (and as the from-scratch reference);
-this module is the default backend because the measured XLA epilogue
-fusion is ~2x faster than the hand-written Mosaic matmul.
+Backends (honest v5e measurements, 1M x 768 / B=1024, full-column
+dependence so nothing constant-folds or slice-propagates away):
+
+  * backend="pallas" (`ops.pallas.fused_scan._packed_kernel`): the
+    Mosaic matmul+epilogue runs the int8 scan in 8.6 ms (pre-quantized
+    queries; ~11 ms with per-call query quantization) — the (B, N)
+    score matrix never exists anywhere.
+  * backend="xla" (`packed_window_scan` here): XLA does NOT fuse the
+    packed epilogue into the matmul on this toolchain (~30 ms — it
+    materializes); kept as the portable reference implementation and
+    for interpret-free CPU tests.
+
+End-to-end the windowed pipeline adds plane selection (~2 ms) and an
+exact candidate re-score whose random row GATHER costs ~4 ms at C=40 —
+on v5e this lands behind the plain bf16 approx_max_k pipeline (10.3
+ms), whose matmul already runs at ~97% of the bf16 MXU peak.  The
+windowed path therefore ships as the MEMORY-LEAN option (score matrix
+never in HBM; int8 corpus is the only big read), not the default.
 """
 
 from __future__ import annotations
