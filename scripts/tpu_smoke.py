@@ -102,6 +102,27 @@ def main() -> None:
         idx = QuantizedFlatIndex.from_numpy(x, metric="l2")
         assert idx.search(x[77], k=1).indices[0, 0] == 77
 
+    @check("packed window scan: Mosaic kernel == XLA reference on chip")
+    def _packed_window():
+        from qrag_tpu.ops.pallas.fused_scan import pallas_packed_window_scan
+        from qrag_tpu.ops.window_scan import make_lane_rank, packed_window_scan
+
+        q = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+        x = jnp.asarray(rng.randn(8192, 128).astype(np.float32))
+        ref = packed_window_scan(q, x, jnp.asarray(make_lane_rank(8192)))
+        got = pallas_packed_window_scan(q, x)
+        assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+    @check("windowed quantized search (memory-lean mode)")
+    def _window_mode():
+        from qrag_tpu.index.quantized_index import QuantizedFlatIndex
+
+        x = rng.randn(65536, 64).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        idx = QuantizedFlatIndex.from_numpy(x, metric="l2", scan="window")
+        res = idx.search(x[4242], k=3)
+        assert res.indices[0, 0] == 4242
+
     @check("bundled reference artifact")
     def _bundled():
         if not os.path.exists(REFERENCE_INDEX):
