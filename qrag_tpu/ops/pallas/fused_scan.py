@@ -1,385 +1,51 @@
-"""Pallas fused matmul scan + windowed-selection epilogue.
+"""Pallas packed window-scan kernel (Mosaic matmul + fused epilogue).
 
-The production TPU retrieval kernel (round-2 redesign of the running-
-buffer kernel in ``scan_topk.py``).  The reference outsourced its flat
-scan to faiss-cpu's C++ (``mcp/server/tools/store_in_faiss.py:105``);
-this is the TPU-native equivalent, designed around the two walls the
-XLA pipeline hits at 1M x 768 / B=1024 (docs/PERFORMANCE.md):
+The production form of the round-2 scan redesign (the shared
+selection/refinement glue and the packing contract live in
+``qrag_tpu.ops.window_scan``; this file is the TPU kernel).  The
+reference outsourced its flat scan to faiss-cpu's C++
+(``mcp/server/tools/store_in_faiss.py:105``); this is the TPU-native
+hot path for the cases where the (B, N) score matrix must never exist:
 
-  1. the (B, N) score matrix round-trips HBM between the matmul and
-     the selector (~4 GB at f32 — the ~8 ms "selection wall");
-  2. int8 can double the MXU rate, but not behind wall 1 (the int32
-     score matrix still round-trips).
+  per (bm, bn) grid step (stateless — Mosaic double-buffers at full
+  matmul speed; the round-1 running-buffer kernel's cross-tile carry
+  serialized the pipeline and ran 7x slower):
 
-Design: a *stateless parallel-grid* kernel.  Each grid step computes
-one (bm, bn) goodness tile on the MXU and reduces it on the VPU to
-per-128-lane-window statistics — max, first-argmax (global column
-index), and optionally second-max — writing only (bm, bn/128) planes
-to HBM.  Selection traffic drops 128x (f32) and the score matrix never
-exists.  No cross-step carry → Mosaic double-buffers tiles at full
-matmul speed (the round-1 kernel's running top-k buffer serialized the
-pipeline; that kernel survives for the B*N-too-big-for-HBM memory
-case).
+    dots   = Q_block @ X_tile^T      (MXU; int8 -> int32 or bf16 -> f32)
+    key    = order-preserving int32 of the score
+    packed = (key & ~127) | (127 - lane)     ties -> LOWER index wins
+    out    = max over each 128-lane window   (strided slices: Mosaic
+             lane-dim reshapes relayout ~+30%, slices are free)
 
-The goodness epilogue is the affine form
+Output: (B, N/128) packed int32 planes — 128x smaller than the score
+matrix, decoded by ``window_scan.unpack_stats``.
 
-    g = alpha * dots * col_scale * row_scale + col_add + row_add
+Honest v5e numbers (1M x 768 / B=1024, full-column dependence): int8
+scan 8.6 ms raw; the XLA approx pipeline (10.5-12.5 ms depending on
+chip session) remains the default because it needs no candidate-row
+gather — see docs/PERFORMANCE.md for the full decomposition.
 
-which covers every scan variant with per-row/per-query operands:
-  * bf16/f32 ip : alpha=1, scales=1, adds = row validity bias
-  * bf16/f32 l2 : alpha=2, col_add=-|q|^2, row_add=-|x|^2+bias
-  * int8     ip : alpha=1, col_scale=q_scale, row_scale=x_scale
-  * int8     l2 : alpha=2, scales as above, adds = true sqnorms
-
-Downstream (outside the kernel, plain XLA): top-C window selection
-over the (B, N/128) maxima + exact re-scoring of the C gathered
-candidate rows (``ops.quantize.refine_candidates``) → exact final
-scores; recall is governed by C exactly like the approx_max_k
-pipeline (the hardware PartialReduce computes the same window-max
-internally).  The optional second-max plane supports (a) doubling
-candidate coverage per window and (b) a conservative per-row
-exactness certificate (no window may hide an element better than the
-returned k-th: wsec <= t for all unselected windows).
+On non-TPU backends the kernel runs in interpreter mode so tests
+exercise the identical code path (bit-identical to the XLA reference
+implementation — tested).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINDOW = 128  # one VPU lane row per window
-_NEG_INF = float(np.finfo(np.float32).min)
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _window_stats_kernel(
-    q_ref,  # (bm, d)
-    cs_ref,  # (bm, 1) f32 col_scale
-    ca_ref,  # (bm, 1) f32 col_add
-    x_ref,  # (bn, d) tile
-    rs_ref,  # (1, bn) f32 row_scale tile
-    ra_ref,  # (1, bn) f32 row_add tile
-    wmax_ref,  # (1, bm, nw) f32 out — leading tile axis: TPU block
-    warg_ref,  # (1, bm, nw) i32      shapes must span the minor dim,
-    wsec_ref,  # (1, bm, nw) f32/None so stats are laid out (J, B, nw)
-    warg2_ref,  # (1, bm, nw) i32/None and folded to (B, NW) outside
-    *,
-    alpha: float,
-    bn: int,
-    acc_dtype,
-    want_second: bool,
-):
-    j = pl.program_id(1)
-    bm = q_ref.shape[0]
-    nw = bn // WINDOW
-
-    dots = jax.lax.dot_general(
-        q_ref[:],
-        x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=acc_dtype,
-    )  # (bm, bn) f32 or i32
-    g = dots.astype(jnp.float32)
-    if alpha != 1.0:
-        g = g * alpha
-    g = g * (cs_ref[:] * rs_ref[:]) + (ca_ref[:] + ra_ref[:])
-
-    gw = g.reshape(bm, nw, WINDOW)
-    wmax = jnp.max(gw, axis=2)  # (bm, nw)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, nw, WINDOW), 2)
-    # first occurrence of the max (lower lane -> lower global index)
-    argl = jnp.min(
-        jnp.where(gw >= wmax[:, :, None], lane, WINDOW), axis=2
-    )  # (bm, nw)
-    base = (
-        jax.lax.broadcasted_iota(jnp.int32, (bm, nw), 1) * WINDOW + j * bn
-    )
-    wmax_ref[:] = wmax[None]
-    warg_ref[:] = (argl + base)[None]
-    if want_second:
-        g2 = jnp.where(lane == argl[:, :, None], _NEG_INF, gw)
-        wsec = jnp.max(g2, axis=2)
-        argl2 = jnp.min(
-            jnp.where(g2 >= wsec[:, :, None], lane, WINDOW), axis=2
-        )
-        wsec_ref[:] = wsec[None]
-        warg2_ref[:] = (argl2 + base)[None]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "alpha", "bm", "bn", "want_second", "interpret",
-    ),
-)
-def window_stats(
-    q: jnp.ndarray,  # (B, d) — B % bm == 0, d % 128 == 0
-    col_scale: jnp.ndarray,  # (B, 1) f32
-    col_add: jnp.ndarray,  # (B, 1) f32
-    x: jnp.ndarray,  # (N, d) — N % bn == 0
-    row_scale: jnp.ndarray,  # (1, N) f32
-    row_add: jnp.ndarray,  # (1, N) f32
-    alpha: float = 1.0,
-    bm: int = 256,
-    bn: int = 512,
-    want_second: bool = False,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, ...]:
-    """Fused scan → per-window stats (B, N/128): max, global argmax
-    [, second-max].  The (B, N) goodness matrix never leaves VMEM."""
-    b, d = q.shape
-    n = x.shape[0]
-    if b % bm or n % bn or d % WINDOW or bn % WINDOW:
-        raise ValueError(
-            f"shapes must tile: B={b}%{bm}, N={n}%{bn}, d={d}%{WINDOW}"
-        )
-    nw = bn // WINDOW
-    nw_total = n // WINDOW
-    n_tiles = n // bn
-    grid = (b // bm, n_tiles)
-    acc_dtype = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
-
-    # stats come out (n_tiles, B, nw) — the minor dim must be spanned
-    # by the block (TPU lowering rule), so the tile axis leads and the
-    # caller folds to (B, NW) with one transpose+reshape (tiny: the
-    # planes are 128x smaller than the score matrix)
-    def spec(_=None):
-        return pl.BlockSpec(
-            (1, bm, nw), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
-        )
-
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.int32),
-    ]
-    out_specs = [spec(), spec()]
-    if want_second:
-        out_shape += [
-            jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.int32),
-        ]
-        out_specs += [spec(), spec()]
-
-    kernel = functools.partial(
-        _window_stats_kernel,
-        alpha=alpha,
-        bn=bn,
-        acc_dtype=acc_dtype,
-        want_second=want_second,
-    )
-    if not want_second:
-        # drop the unused trailing refs from the kernel signature
-        kernel = functools.partial(
-            lambda f, *refs: f(*refs, None, None), kernel
-        )
-
-    itemsize = 1 if q.dtype == jnp.int8 else q.dtype.itemsize
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d * itemsize + b * d * itemsize
-            + (3 if want_second else 2) * b * nw_total * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(q, col_scale, col_add, x, row_scale, row_add)
-    # fold (n_tiles, B, nw) -> (B, NW) keeping ascending global window
-    # order within each row
-    return tuple(
-        jnp.transpose(o, (1, 0, 2)).reshape(b, nw_total) for o in outs
-    )
-
-
-# --------------------------------------------------------------- wrappers
-
-
-def _pick_bm(b: int) -> int:
-    for bm in (512, 256, 128, 64, 32, 16, 8):
-        if b % bm == 0:
-            return bm
-    return b
-
-
-def _affine_operands(
-    queries32: jnp.ndarray,
-    metric: str,
-    corpus_sqnorms: Optional[jnp.ndarray],
-    n: int,
-    valid_rows: Optional[jnp.ndarray],
-    q_scale: Optional[jnp.ndarray] = None,
-    x_scale: Optional[jnp.ndarray] = None,
-):
-    """Build (alpha, col_scale, col_add, row_scale, row_add) for the
-    affine goodness epilogue.  `n` is the padded row count."""
-    b = queries32.shape[0]
-    ones_c = jnp.ones((b, 1), jnp.float32)
-    col_scale = q_scale[:, None] if q_scale is not None else ones_c
-    row_scale = (
-        x_scale[None, :] if x_scale is not None else jnp.ones((1, n), jnp.float32)
-    )
-    if metric == "l2":
-        alpha = 2.0
-        qsq = jnp.sum(queries32 * queries32, axis=-1, keepdims=True)
-        col_add = -qsq
-        if corpus_sqnorms is None:
-            raise ValueError("l2 window scan needs corpus_sqnorms")
-        row_add = -corpus_sqnorms[None, :].astype(jnp.float32)
-    else:
-        alpha = 1.0
-        col_add = jnp.zeros((b, 1), jnp.float32)
-        row_add = jnp.zeros((1, n), jnp.float32)
-    # validity bias: padding rows (and explicitly invalidated rows)
-    # must never win a window
-    if valid_rows is not None:
-        bias = jnp.where(valid_rows.astype(bool), 0.0, _NEG_INF)[None, :]
-        row_add = row_add + bias
-    return alpha, col_scale, col_add, row_scale, row_add
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "refine_factor", "bm", "bn",
-                     "use_second", "interpret"),
-)
-def fused_scan_topk(
-    queries: jnp.ndarray,  # (B, d) f32/bf16 true queries
-    corpus: jnp.ndarray,  # (N, d) scan-precision corpus (bf16/f32/int8)
-    corpus_f: jnp.ndarray,  # (N, d) true-precision corpus for refinement
-    k: int,
-    metric: str = "l2",
-    corpus_sqnorms: Optional[jnp.ndarray] = None,
-    valid_rows: Optional[jnp.ndarray] = None,
-    x_scale: Optional[jnp.ndarray] = None,  # (N,) int8 per-row scales
-    refine_factor: int = 8,
-    bm: int = 0,
-    bn: int = 512,
-    use_second: bool = True,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full retrieval: fused window scan → top-C windows → exact
-    re-score → top-k.  Returns ("goodness" desc, indices) like
-    `_scan_topk_device` (finalize to distances at the API edge).
-
-    Shape contract: N % bn == 0 and d % 128 == 0 (the index pads its
-    device buffers; `pallas_ready` checks).  B is padded here.
-    """
-    from qrag_tpu.ops.quantize import quantize_rows, refine_candidates
-
-    b, d = queries.shape
-    n = corpus.shape[0]
-    bm = bm or _pick_bm(b)
-    bp = _cdiv(b, bm) * bm
-    q32 = queries.astype(jnp.float32)
-    qp = jnp.zeros((bp, d), jnp.float32).at[:b].set(q32) if bp != b else q32
-
-    if corpus.dtype == jnp.int8:
-        if x_scale is None:
-            raise ValueError("int8 corpus needs x_scale")
-        q8, q_scale = quantize_rows(qp)
-        q_in = q8
-    else:
-        q_scale = None
-        q_in = qp.astype(corpus.dtype)
-
-    alpha, cs, ca, rs, ra = _affine_operands(
-        qp, metric, corpus_sqnorms, n, valid_rows,
-        q_scale=q_scale, x_scale=x_scale,
-    )
-    stats = window_stats(
-        q_in, cs, ca, corpus, rs, ra,
-        alpha=alpha, bm=bm, bn=bn, want_second=use_second,
-        interpret=interpret,
-    )
-    wmax, warg = stats[0], stats[1]
-    nw_total = wmax.shape[1]
-
-    c = min(refine_factor * k, nw_total)
-    if use_second:
-        # widen the candidate pool with each hot window's SECOND-best
-        # element (its own global index via warg2) — recovers the
-        # two-top-k-rows-in-one-window collisions that are the approx
-        # pipeline's dominant loss mode
-        wsec, warg2 = stats[2], stats[3]
-        c2 = min(max(c // 2, k), nw_total)
-        sv1, si1 = _select_windows(wmax, c)
-        sv2, si2 = _select_windows(wsec, c2)
-        cand_idx = jnp.concatenate(
-            [
-                jnp.take_along_axis(warg, si1, axis=1),
-                jnp.take_along_axis(warg2, si2, axis=1),
-            ],
-            axis=1,
-        )
-        sv = jnp.concatenate([sv1, sv2], axis=1)
-    else:
-        sv, si = _select_windows(wmax, c)
-        cand_idx = jnp.take_along_axis(warg, si, axis=1)
-    # invalid/padded windows carry the _NEG_INF bias (finite): mask to
-    # -inf so the exact re-score drops them
-    cand_goodness = jnp.where(sv <= _NEG_INF / 2, -jnp.inf, sv)
-    vals, idx = refine_candidates(
-        q32 if bp == b else qp[:b],
-        corpus_f,
-        cand_idx[:b],
-        cand_goodness[:b],
-        k,
-        metric=metric,
-        corpus_sqnorms=corpus_sqnorms,
-    )
-    return vals, idx
-
-
-def _select_windows(wvals: jnp.ndarray, c: int):
-    """Top-C windows per row (descending).  PartialReduce for large
-    window counts, sort-based for small."""
-    nw = wvals.shape[1]
-    if nw >= 4096 and c * 8 < nw:
-        sv, si = jax.lax.approx_max_k(wvals, c, recall_target=0.99)
-        return sv, si
-    return jax.lax.top_k(wvals, c)
-
-
-def pallas_ready(n: int, d: int, bn: int = 512) -> bool:
-    """Do these corpus buffer shapes satisfy the kernel tiling?"""
-    return n >= bn and n % bn == 0 and d % WINDOW == 0
-
-
-# ------------------------------------------------- packed window scan
-
-_INT_CLAMP = (1 << 23) - 1
+WINDOW = 128
+_INT_CLAMP = (1 << 23) - 1  # |key| <= 2^23 so << 7 never overflows
 
 
 def _packed_kernel(q_ref, x_ref, out_ref, *, bn: int, acc_dtype):
     """Matmul + packed (score, lane) window-argmax epilogue — the
-    Pallas twin of ``ops.window_scan.packed_window_scan`` (same packed
-    int32 contract; measured 8.6 ms at 1M x 768 int8 / B=1024 on v5e
-    vs 10.3 ms for the round-1 approx pipeline).  Strided 128-lane
-    slices, not reshapes: Mosaic reshapes of the lane dim relayout
-    (~30% of the matmul); slices are free."""
+    Pallas twin of ``ops.window_scan.packed_window_scan``."""
     nw = bn // WINDOW
     bm = q_ref.shape[0]
     dots = jax.lax.dot_general(
@@ -430,6 +96,8 @@ def pallas_packed_window_scan(
             pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
+        # the tile axis leads (TPU block shapes must span the minor
+        # dim); the caller folds (n_tiles, B, nw) -> (B, NW)
         out_specs=pl.BlockSpec(
             (1, bm, nw), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
         ),
@@ -457,21 +125,6 @@ def _pick_bm_packed(b: int) -> int:
     return bm
 
 
-def certify_rows(
-    wmax: jnp.ndarray, wsec: jnp.ndarray, kth_vals: jnp.ndarray, k: int
-) -> jnp.ndarray:
-    """Conservative per-row exactness certificate (the window-stats
-    analog of ``ops.topk._exactness_deficit``): with t = the returned
-    k-th value, the returned top-k *values* are provably exact when
-
-      (a) every window's second-best is <= t  — then any element
-          strictly better than t must be a window max, so
-      (b) #{windows with max > t} counts ALL elements > t exactly,
-          and that count must be <= k-1.
-
-    Independent of how windows were selected (works under approx
-    selection).  Rows failing either condition get an exact re-run."""
-    t = kth_vals[:, None]
-    hidden_ok = jnp.all(wsec <= t, axis=1)
-    cnt = jnp.sum(wmax > t, axis=1)
-    return hidden_ok & (cnt <= k - 1)
+def pallas_ready(n: int, d: int, bn: int = 512) -> bool:
+    """Do these corpus buffer shapes satisfy the kernel tiling?"""
+    return n >= bn and n % bn == 0 and d % WINDOW == 0
