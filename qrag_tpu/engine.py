@@ -171,13 +171,21 @@ def _index_cls_and_kwargs(config: QragConfig):
         from qrag_tpu.parallel.mesh import make_mesh
         from qrag_tpu.parallel.sharded_index import ShardedFlatIndex
 
+        mode = config.index.topk_mode
+        if mode in ("verified", "refined"):
+            # the sharded scan has no host patch-up stage; make the
+            # downgrade loud (stats surfaces the effective topk_mode)
+            logger.warning(
+                "sharded index does not support topk_mode=%r; "
+                "serving with 'approx' (per-shard partial-reduce + "
+                "exact merge) — set index.topk_mode='exact' for "
+                "provably exact sharded results",
+                mode,
+            )
+            mode = "approx"
         kw = dict(
             mesh=make_mesh(config.mesh),
-            topk_mode=(
-                "approx"
-                if config.index.topk_mode in ("verified", "refined")
-                else config.index.topk_mode
-            ),
+            topk_mode=mode,
             store_dtype=config.index.dtype,
             merge=config.index.shard_merge,
         )
@@ -402,22 +410,7 @@ class QragEngine:
                     f"unknown reranker_type {reranker_type!r}; expected "
                     "'auto', 'quantum', 'classical', or 'none'"
                 )
-            results = []
-            for qi in range(indices.shape[0]):
-                hits = []
-                for j in range(indices.shape[1]):
-                    i = int(indices[qi, j])
-                    if i < 0 or i >= n or not np.isfinite(scores[qi, j]):
-                        continue
-                    hits.append(
-                        {
-                            "index": i,
-                            "score": float(scores[qi, j]),
-                            "retrieval_score": float(retr_scores[qi, j]),
-                            "metadata": self.index.metadata[i] or None,
-                        }
-                    )
-                results.append(hits)
+            results = self._build_hits(scores, indices, retr_scores, n)
         self.metrics.incr("search_rerank_requests")
         return {
             "queries": indices.shape[0],
@@ -436,17 +429,24 @@ class QragEngine:
     ) -> Dict[str, Any]:
         """Sharded-index arm of `search_rerank` (same response shape,
         same routing semantics, collectives over the mesh)."""
+        from qrag_tpu.ops.topk import _finalize
+
         index = self.index
         n_qubits = self.config.quantum.n_qubits
+        # the shard_map'd scan needs B divisible by the mesh data axis
+        b = qv.shape[0]
+        dp = getattr(index, "_dp", 1)
+        bp = -(-b // dp) * dp
+        if bp != b:
+            qv = np.pad(qv, ((0, bp - b), (0, 0)))
         if reranker_type == "auto" and query_texts is None:
             reranker_type = "quantum"
         if reranker_type == "auto":
-            route = np.asarray(
-                [
-                    self.controller.select_reranker(t) == "quantum"
-                    for t in query_texts
-                ]
-            )
+            route = np.zeros((bp,), dtype=bool)
+            route[:b] = [
+                self.controller.select_reranker(t) == "quantum"
+                for t in query_texts
+            ]
             fid, idx, retr = index.search_rerank_routed_device(
                 jnp.asarray(qv), jnp.asarray(route), k_eff, c_eff, n_qubits
             )
@@ -455,26 +455,43 @@ class QragEngine:
                 jnp.asarray(qv), k_eff, c_eff, n_qubits
             )
         elif reranker_type == "classical":
-            route = np.zeros((qv.shape[0],), dtype=bool)
+            route = np.zeros((bp,), dtype=bool)
             fid, idx, retr = index.search_rerank_routed_device(
                 jnp.asarray(qv), jnp.asarray(route), k_eff, c_eff, n_qubits
             )
         elif reranker_type in ("none", "retrieval"):
             retr_j, idx = index.search_device(jnp.asarray(qv), k_eff)
-            from qrag_tpu.ops.topk import _finalize
-
-            # sharded search_device returns raw goodness; finalize to
-            # API-edge scores (distances ascending for l2)
             fid, idx = _finalize(retr_j, idx, index.metric)
-            retr = fid
+            retr = retr_j
             reranker_type = "none"
         else:
             raise ValueError(
                 f"unknown reranker_type {reranker_type!r}; expected "
                 "'auto', 'quantum', 'classical', or 'none'"
             )
-        scores, indices = np.asarray(fid), np.asarray(idx)
-        retr_scores = np.asarray(retr)
+        # the sharded scans return RAW goodness; finalize retrieval
+        # scores to API-edge semantics (distances ascending for l2 —
+        # parity with the unsharded arm, CLAUDE.md invariant)
+        retr = _finalize(retr, idx, index.metric)[0]
+        results = self._build_hits(
+            np.asarray(fid)[:b], np.asarray(idx)[:b], np.asarray(retr)[:b], n
+        )
+        self.metrics.incr("search_rerank_requests")
+        return {
+            "queries": b,
+            "results": results,
+            "reranker_used": reranker_type,
+        }
+
+    def _build_hits(
+        self,
+        scores: np.ndarray,
+        indices: np.ndarray,
+        retr_scores: np.ndarray,
+        n: int,
+    ) -> List[List[Dict[str, Any]]]:
+        """Shared response assembly for both search_rerank arms: drop
+        invalid/out-of-range slots, resolve metadata."""
         results = []
         for qi in range(indices.shape[0]):
             hits = []
@@ -487,16 +504,11 @@ class QragEngine:
                         "index": i,
                         "score": float(scores[qi, j]),
                         "retrieval_score": float(retr_scores[qi, j]),
-                        "metadata": index.metadata[i] or None,
+                        "metadata": self.index.metadata[i] or None,
                     }
                 )
             results.append(hits)
-        self.metrics.incr("search_rerank_requests")
-        return {
-            "queries": indices.shape[0],
-            "results": results,
-            "reranker_used": reranker_type,
-        }
+        return results
 
     def search_rerank_pipelined(
         self,

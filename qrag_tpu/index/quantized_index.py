@@ -66,6 +66,11 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 "window scan needs row_pad_multiple % 128 == 0 "
                 f"(got {self.row_pad_multiple})"
             )
+        if scan == "window":
+            # round device-buffer capacity to the Mosaic kernel's tile
+            # (bn=512) so the Pallas backend is eligible whenever the
+            # feature dim allows it
+            self.row_pad_multiple = -(-self.row_pad_multiple // 512) * 512
         self.refine_factor = max(1, int(refine_factor))
         self.scan = scan
 
@@ -104,7 +109,17 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 mode="exact",
             )
         if self.scan == "window":
+            from qrag_tpu.ops.pallas.fused_scan import pallas_ready
+
             x8, bscales, lane_rank = snap.extras["int8w"]
+            # Mosaic kernel on TPU (XLA won't fuse the epilogue there)
+            # WHEN the buffer shapes satisfy its tiling (d % 128,
+            # padded-N % 512); otherwise the XLA backend, which only
+            # needs the N % 128 the index padding already guarantees
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and pallas_ready(x8.shape[0], x8.shape[1])
+            )
             vals, final_idx = windowed_scan_topk(
                 q32,
                 x8,
@@ -116,10 +131,7 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 window_scale=bscales,
                 ntotal=jnp.asarray(snap.ntotal),
                 refine_factor=self.refine_factor,
-                # Mosaic kernel on TPU (XLA won't fuse the epilogue
-                # there); plain XLA elsewhere (fast enough on CPU and
-                # avoids interpret-mode overhead in tests)
-                backend="pallas" if jax.default_backend() == "tpu" else "xla",
+                backend="pallas" if use_pallas else "xla",
             )
             return _finalize(vals, final_idx, self.metric)
         x8, scales = snap.extras["int8"]

@@ -234,11 +234,11 @@ class ShardedFlatIndex:
         )
 
     def layout(self) -> dict:
-        """Shard layout for observability (/stats)."""
-        if self.ntotal:
-            self._ensure_device()
+        """Shard layout for observability (/stats) — computed from the
+        padding formula, NOT by touching device buffers (an
+        observability call must never trigger a corpus upload)."""
         mp = self.mesh.shape[MODEL_AXIS]
-        npad = self._dev_matrix.shape[0] if self._dev_matrix is not None else 0
+        npad = _round_up(max(self.ntotal, mp), mp * 128) if self.ntotal else 0
         return {
             "sharded": True,
             "mesh": {DATA_AXIS: self._dp, MODEL_AXIS: mp},

@@ -193,13 +193,6 @@ class ClassicalReranker:
 
         query_s = sanitize_text(query, self.config.max_sequence_length)
         try:
-            # score into position slots so the stable descending sort
-            # below sees documents in THEIR ORIGINAL ORDER regardless
-            # of cache-hit/miss interleaving (ties keep input order —
-            # the reference's contract, classical.py:301-308)
-            scores_by_pos: List[Optional[float]] = [None] * len(documents)
-            uncached_pos: List[int] = []
-            uncached_contents: List[str] = []
             # chunk_pool keeps full content (windows are cut at scoring
             # time); truncate mode applies the reference's limit here
             sanitize_limit = (
@@ -207,30 +200,57 @@ class ClassicalReranker:
                 if self.config.long_doc_strategy != "chunk_pool"
                 else 1 << 24
             )
-            for pos, doc in enumerate(documents):
-                content_s = sanitize_text(doc.content, sanitize_limit)
-                key = _stable_key(query_s, content_s)
-                if self.config.enable_cache and key in self.score_cache:
-                    scores_by_pos[pos] = self.score_cache[key]
-                else:
-                    uncached_pos.append(pos)
-                    uncached_contents.append(content_s)
+            # Up to 2 passes: if the scorer FALLS BACK mid-request
+            # (cross-encoder -> cosine), the two scorers' score scales
+            # are incomparable, so the cache (old-scale scores) is
+            # cleared and the WHOLE request rescored on the fallback —
+            # one request always ranks on one scale.
+            for _pass in range(2):
+                method_before = self._active_method
+                # score into position slots so the stable descending
+                # sort below sees documents in THEIR ORIGINAL ORDER
+                # regardless of cache-hit/miss interleaving (ties keep
+                # input order — the reference's contract,
+                # classical.py:301-308)
+                scores_by_pos: List[Optional[float]] = [None] * len(documents)
+                uncached_pos: List[int] = []
+                uncached_contents: List[str] = []
+                for pos, doc in enumerate(documents):
+                    content_s = sanitize_text(doc.content, sanitize_limit)
+                    key = _stable_key(query_s, content_s)
+                    if self.config.enable_cache and key in self.score_cache:
+                        scores_by_pos[pos] = self.score_cache[key]
+                    else:
+                        uncached_pos.append(pos)
+                        uncached_contents.append(content_s)
 
-            if uncached_contents:
-                all_scores: List[float] = []
-                bs = self.config.batch_size
-                for i in range(0, len(uncached_contents), bs):
-                    batch = uncached_contents[i : i + bs]
-                    all_scores.extend(
-                        float(s)
-                        for s in self._predict_with_retries(query_s, batch)
-                    )
-                for pos, content_s, score in zip(
-                    uncached_pos, uncached_contents, all_scores
-                ):
-                    if self.config.enable_cache:
-                        self.score_cache[_stable_key(query_s, content_s)] = score
-                    scores_by_pos[pos] = score
+                if uncached_contents:
+                    all_scores: List[float] = []
+                    bs = self.config.batch_size
+                    for i in range(0, len(uncached_contents), bs):
+                        batch = uncached_contents[i : i + bs]
+                        all_scores.extend(
+                            float(s)
+                            for s in self._predict_with_retries(query_s, batch)
+                        )
+                    for pos, content_s, score in zip(
+                        uncached_pos, uncached_contents, all_scores
+                    ):
+                        if self.config.enable_cache:
+                            self.score_cache[
+                                _stable_key(query_s, content_s)
+                            ] = score
+                        scores_by_pos[pos] = score
+                if self._active_method == method_before:
+                    break
+                logger.warning(
+                    "scorer fell back mid-request (%s -> %s): clearing "
+                    "the score cache and rescoring the request on one "
+                    "scale",
+                    method_before,
+                    self._active_method,
+                )
+                self.score_cache.clear()
             scored = [
                 (doc, float(s)) for doc, s in zip(documents, scores_by_pos)
             ]

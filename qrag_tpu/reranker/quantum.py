@@ -68,9 +68,11 @@ class QuantumReranker:
         q_vec, doc_vecs = embeds[0], embeds[1:]
         # pad the candidate count to a power-of-two bucket so serving
         # traffic with varying doc counts reuses compiled graphs
-        # (XLA static shapes; SURVEY.md §7 hard part 5)
+        # (same buckets as the batcher's grouping — utils/buckets.py)
+        from qrag_tpu.utils.buckets import pow2_bucket
+
         n = doc_vecs.shape[0]
-        bucket = 1 << max(3, (n - 1).bit_length())
+        bucket = pow2_bucket(n)
         if bucket != n:
             doc_vecs = np.pad(doc_vecs, ((0, bucket - n), (0, 0)))
         if self.config.encoding == "amplitude":

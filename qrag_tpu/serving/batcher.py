@@ -26,6 +26,8 @@ from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
+from qrag_tpu.utils.buckets import pow2_bucket
+
 
 @dataclass
 class _Pending:
@@ -139,10 +141,7 @@ class SearchBatcher:
             if reranker_type == "auto"
             else reranker_type
         )
-        n = max(1, len(documents))
-        bucket = self.bucket_floor
-        while bucket < n:
-            bucket *= 2
+        bucket = pow2_bucket(len(documents), self.bucket_floor)
         return self._submit(
             _Pending(
                 vectors=None,
@@ -232,9 +231,7 @@ class SearchBatcher:
         k = max(it.k for it in items)
         b = vecs.shape[0]
         # pad to a power-of-two bucket → few compiled shapes
-        bucket = self.bucket_floor
-        while bucket < b:
-            bucket *= 2
+        bucket = pow2_bucket(b, self.bucket_floor)
         if bucket != b:
             vecs = np.pad(vecs, ((0, bucket - b), (0, 0)))
         res = self.engine.search(vecs, k=k)
@@ -350,9 +347,7 @@ class SearchBatcher:
         _, k, candidates, reranker_type = items[0].params
         vecs = np.concatenate([it.vectors for it in items], axis=0)
         b = vecs.shape[0]
-        bucket = self.bucket_floor
-        while bucket < b:
-            bucket *= 2
+        bucket = pow2_bucket(b, self.bucket_floor)
         if bucket != b:
             vecs = np.pad(vecs, ((0, bucket - b), (0, 0)))
         out = self.engine.search_rerank(

@@ -347,7 +347,9 @@ def main(argv=None) -> None:
 
     configure_logging()
     config = QragConfig().with_env_overrides()
-    if args.sharded or args.shard_merge:
+    if args.shard_merge and not args.sharded:
+        parser.error("--shard-merge requires --sharded")
+    if args.sharded:
         from dataclasses import replace as _r
 
         config = _r(

@@ -165,6 +165,8 @@ def _make_handler(service: ToolService):
             request carries a progressToken and the tool reports) then
             the final JSON-RPC response, as SSE ``message`` events."""
             params = req.get("params") or {}
+            if not isinstance(params, dict):
+                params = {}  # malformed params still get a response
             token = (params.get("_meta") or {}).get("progressToken")
             # the session header must go out before the body; assign it
             # here for streamed initialize (the JSON arm assigns in
@@ -195,6 +197,19 @@ def _make_handler(service: ToolService):
                             result.update(self._dispatch(req))
                     else:
                         result.update(self._dispatch(req))
+                except Exception as e:  # noqa: BLE001 - keep the
+                    # JSON-RPC error contract on the streaming arm too
+                    logger.exception("streamed dispatch failed")
+                    result.update(
+                        {
+                            "jsonrpc": "2.0",
+                            "id": req.get("id"),
+                            "error": {
+                                "code": -32603,
+                                "message": f"internal error: {e}",
+                            },
+                        }
+                    )
                 finally:
                     events.put(None)  # sentinel: dispatch finished
 

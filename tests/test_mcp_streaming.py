@@ -155,3 +155,20 @@ def test_nonstream_client_against_streaming_server(mcp_url):
     client = McpClient(url, stream=False)
     ok, payload = client.call_tool("ReadFromS3", {})
     assert ok and payload["available_shows"] == ["My_Show"]
+
+
+def test_streamed_dispatch_error_keeps_jsonrpc_contract(mcp_url):
+    """A dispatch exception on the SSE arm must surface as a JSON-RPC
+    error event, not an empty final message (regression)."""
+    url, _ = mcp_url
+    payload = {
+        "jsonrpc": "2.0",
+        "id": 9,
+        "method": "tools/call",
+        "params": ["not", "a", "dict"],  # params.get(...) will raise
+    }
+    resp = _raw_post(url, payload, "text/event-stream")
+    msgs = _parse_sse(resp)
+    final = msgs[-1]
+    assert final["id"] == 9
+    assert final["error"]["code"] == -32603

@@ -274,3 +274,39 @@ def test_classical_fallback_exhausted_goes_neutral(rng):
     out = rr.rerank("query", docs, top_k=2)
     # original order, neutral 0.5 (classical.py:218-229 contract)
     assert [(d.id, s) for d, s in out] == [("a", 0.5), ("b", 0.5)]
+
+
+def test_fallback_rescores_whole_request_on_one_scale(rng):
+    """A mid-request cross-encoder failure must not mix score scales:
+    the request rescorest entirely on the fallback scorer and stale
+    cached cross-encoder-scale scores are dropped (regression)."""
+    from qrag_tpu.config import ClassicalConfig
+    from qrag_tpu.reranker.classical import (
+        ClassicalReranker,
+        _stable_key,
+        sanitize_text,
+    )
+
+    cfg = ClassicalConfig(
+        method="cross-encoder", max_retries=1, batch_size=2, enable_cache=True
+    )
+    rr = ClassicalReranker(config=cfg)
+    rr._score_cross_encoder = lambda q, c: (_ for _ in ()).throw(
+        RuntimeError("down")
+    )
+    docs = [
+        Document(id=str(i), content=f"words number {i} " * (i + 1))
+        for i in range(5)
+    ]
+    # poison the cache with a cross-encoder-scale score for doc 0
+    q_s = sanitize_text("the query", cfg.max_sequence_length)
+    d_s = sanitize_text(docs[0].content, cfg.max_sequence_length)
+    rr.score_cache[_stable_key(q_s, d_s)] = 9.99
+    out = rr.rerank("the query", docs, top_k=5)
+    pure = ClassicalReranker(
+        config=ClassicalConfig(method="cosine", enable_cache=False)
+    ).rerank("the query", docs, top_k=5)
+    assert [(d.id, round(s, 6)) for d, s in out] == [
+        (d.id, round(s, 6)) for d, s in pure
+    ]
+    assert all(s <= 1.0 for _, s in out)  # no 9.99-scale leftovers

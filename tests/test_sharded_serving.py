@@ -80,6 +80,14 @@ def test_sharded_search_rerank_matches_unsharded(engines, rtype):
             rtol=1e-5,
             atol=1e-6,
         )
+        # retrieval_score must be API-edge finalized on BOTH arms
+        # (distances ascending for l2, not raw goodness)
+        np.testing.assert_allclose(
+            [h["retrieval_score"] for h in hs],
+            [h["retrieval_score"] for h in hu],
+            rtol=1e-4,
+            atol=1e-5,
+        )
 
 
 def test_sharded_ring_merge_matches(bundled_index_path, rng):
@@ -170,3 +178,37 @@ def test_sharded_bundle_roundtrip(engines, tmp_path):
     np.testing.assert_array_equal(
         eng2.search(q, k=4).indices, sharded.search(q, k=4).indices
     )
+
+
+def test_sharded_single_query_on_dp_mesh(bundled_index_path):
+    """A 1-query request against a data-parallel mesh must pad the
+    batch to the data axis (regression: shard_map rejects B=1 on
+    dp=2)."""
+    cfg = QragConfig.from_dict(
+        {
+            "embedding": {"provider": "hash", "dim": 1536},
+            "index": {"sharded": True},
+            "mesh": {"data_parallel": 2, "model_parallel": 4},
+        }
+    )
+    eng = QragEngine.from_faiss(bundled_index_path, config=cfg)
+    out = eng.search_rerank("single query on a dp mesh", k=3, candidates=10)
+    assert len(out["results"]) == 1 and len(out["results"][0]) == 3
+    out = eng.search_rerank(
+        ["a", "b", "c"], k=2, candidates=8, reranker_type="classical"
+    )
+    assert len(out["results"]) == 3
+
+
+def test_verified_downgrade_is_logged(bundled_index_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="qrag_tpu.engine"):
+        QragEngine.from_faiss(
+            bundled_index_path,
+            config=QragConfig.from_dict(
+                {"embedding": {"provider": "hash", "dim": 1536},
+                 "index": {"sharded": True, "topk_mode": "verified"}}
+            ),
+        )
+    assert any("does not support topk_mode" in r.message for r in caplog.records)
