@@ -123,6 +123,9 @@ class IndexConfig:
     # (parallel/sharded_index.py; BASELINE configs[4]).  Mesh geometry
     # comes from the `mesh` config section; also via serve --sharded.
     sharded: bool = False
+    # With sharded: wrap in ElasticShardedIndex (parallel/elastic.py) —
+    # device-loss detection + re-shard over survivors on failure.
+    elastic: bool = False
     # "allgather" | "ring" per-shard top-k merge strategy
     shard_merge: str = "allgather"
 

@@ -184,11 +184,16 @@ def _index_cls_and_kwargs(config: QragConfig):
             )
             mode = "approx"
         kw = dict(
-            mesh=make_mesh(config.mesh),
             topk_mode=mode,
             store_dtype=config.index.dtype,
             merge=config.index.shard_merge,
         )
+        if config.index.elastic:
+            from qrag_tpu.parallel.elastic import ElasticShardedIndex
+
+            # elastic owns its device set/mesh (re-sharding shrinks it)
+            return ElasticShardedIndex, kw
+        kw["mesh"] = make_mesh(config.mesh)
         return ShardedFlatIndex, kw
     kw = dict(
         row_pad_multiple=config.index.row_pad_multiple,

@@ -37,12 +37,24 @@ class ElasticShardedIndex:
 
     def __init__(
         self,
-        vectors: np.ndarray,
+        vectors: Optional[np.ndarray] = None,
         devices: Optional[Sequence[jax.Device]] = None,
         probe_timeout_s: float = 30.0,
+        d: Optional[int] = None,
+        metadata: Optional[Sequence[str]] = None,
         **index_kwargs,
     ):
+        if vectors is None:
+            if d is None:
+                raise ValueError("need vectors or d")
+            vectors = np.zeros((0, d), np.float32)
         self._vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self._metadata: List[str] = (
+            [str(m) for m in metadata]
+            if metadata is not None
+            else [""] * self._vectors.shape[0]
+        )
+        index_kwargs.pop("mesh", None)  # elastic owns its mesh
         self._index_kwargs = index_kwargs
         self.probe_timeout_s = probe_timeout_s
         self.devices: List[jax.Device] = list(
@@ -51,6 +63,14 @@ class ElasticShardedIndex:
         self._failure_injector: Optional[Callable[[], None]] = None
         self._rebuilds = 0
         self._build(self.devices)
+
+    def __getattr__(self, name):
+        # engine-surface delegation (metadata, d, metric, topk_mode,
+        # fallback_rows, sample_rows, save_*, ...) to the live shard
+        # generation; only fires for attributes not defined here
+        if name == "index":  # not yet built: avoid recursion
+            raise AttributeError(name)
+        return getattr(self.index, name)
 
     # ------------------------------------------------------------ lifecycle
 
@@ -61,13 +81,54 @@ class ElasticShardedIndex:
         )
         self.mesh = mesh
         self.index = ShardedFlatIndex(
-            self._vectors, mesh, **self._index_kwargs
+            self._vectors if self._vectors.shape[0] else None,
+            mesh,
+            d=self._vectors.shape[1],
+            metadata=self._metadata if self._vectors.shape[0] else None,
+            **self._index_kwargs,
         )
         logger.info(
             "elastic index sharded over %d devices (rebuild #%d)",
             len(devices),
             self._rebuilds,
         )
+
+    def add(
+        self, vectors: np.ndarray, metadata: Optional[Sequence[str]] = None
+    ) -> int:
+        """Append to the master copy AND the live index (the master is
+        what re-shards after a failure)."""
+        n = self.index.add(vectors, metadata)
+        # the live index applied validation/normalization; mirror its
+        # canonical rows so a rebuild reproduces them exactly
+        self._vectors = np.array(self.index._host_vectors)
+        self._metadata = list(self.index.metadata)
+        return n
+
+    @classmethod
+    def load_faiss(cls, path: str, **kwargs) -> "ElasticShardedIndex":
+        from qrag_tpu.index import faiss_io
+
+        data, meta = faiss_io.read_flat_with_metadata(path)
+        kwargs.setdefault("metric", data.metric)
+        return cls(data.vectors, metadata=meta, **kwargs)
+
+    @classmethod
+    def load_native(cls, directory: str, **kwargs) -> "ElasticShardedIndex":
+        from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+        host = DeviceFlatIndex.load_native(directory)
+        kwargs.setdefault("metric", host.metric)
+        kwargs.pop("row_pad_multiple", None)
+        idx = cls(host._host_vectors, metadata=host.metadata, **kwargs)
+        idx.index.normalize = host.normalize
+        return idx
+
+    def layout(self) -> dict:
+        lay = self.index.layout()
+        lay["elastic"] = True
+        lay["rebuilds"] = self._rebuilds
+        return lay
 
     @property
     def rebuilds(self) -> int:
@@ -119,10 +180,10 @@ class ElasticShardedIndex:
 
     # --------------------------------------------------------------- search
 
-    def search(self, queries: np.ndarray, k: int = 10, max_retries: int = 2):
-        """Search with failure-triggered recovery: on error, probe the
-        mesh, drop the tail device (or all unhealthy state), re-shard,
-        and retry — degraded capacity, same results."""
+    def _with_recovery(self, call: Callable[[], object], max_retries: int = 2):
+        """Failure-triggered recovery around any device entry point:
+        on error, probe the mesh, drop the tail device, re-shard over
+        the survivors, and retry — degraded capacity, same results."""
         last_err: Optional[Exception] = None
         for attempt in range(max_retries + 1):
             try:
@@ -132,11 +193,11 @@ class ElasticShardedIndex:
                         None,
                     )
                     injector()
-                return self.index.search(queries, k=k)
+                return call()
             except Exception as e:  # noqa: BLE001 - recovery contract
                 last_err = e
                 logger.warning(
-                    "sharded search failed (attempt %d): %s", attempt + 1, e
+                    "sharded call failed (attempt %d): %s", attempt + 1, e
                 )
                 if len(self.devices) <= 1:
                     break
@@ -144,5 +205,29 @@ class ElasticShardedIndex:
                     logger.warning("mesh unhealthy; shrinking by one device")
                 self.remove_devices([self.devices[-1]])
         raise RuntimeError(
-            f"sharded search failed after recovery attempts"
+            "sharded call failed after recovery attempts"
         ) from last_err
+
+    def search(self, queries: np.ndarray, k: int = 10, max_retries: int = 2):
+        return self._with_recovery(
+            lambda: self.index.search(queries, k=k), max_retries
+        )
+
+    def search_device(self, queries, k: int):
+        return self._with_recovery(
+            lambda: self.index.search_device(queries, k)
+        )
+
+    def search_rerank_device(self, queries, k, candidates, n_qubits):
+        return self._with_recovery(
+            lambda: self.index.search_rerank_device(
+                queries, k, candidates, n_qubits
+            )
+        )
+
+    def search_rerank_routed_device(self, queries, route, k, candidates, n_qubits):
+        return self._with_recovery(
+            lambda: self.index.search_rerank_routed_device(
+                queries, route, k, candidates, n_qubits
+            )
+        )

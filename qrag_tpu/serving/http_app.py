@@ -343,12 +343,18 @@ def main(argv=None) -> None:
         choices=["allgather", "ring"],
         help="per-shard top-k merge strategy (with --sharded)",
     )
+    parser.add_argument(
+        "--elastic",
+        action="store_true",
+        help="with --sharded: survive device loss by re-sharding over "
+        "the remaining devices (parallel/elastic.py)",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
     config = QragConfig().with_env_overrides()
-    if args.shard_merge and not args.sharded:
-        parser.error("--shard-merge requires --sharded")
+    if (args.shard_merge or args.elastic) and not args.sharded:
+        parser.error("--shard-merge/--elastic require --sharded")
     if args.sharded:
         from dataclasses import replace as _r
 
@@ -357,6 +363,7 @@ def main(argv=None) -> None:
             index=_r(
                 config.index,
                 sharded=True,
+                elastic=args.elastic or config.index.elastic,
                 shard_merge=args.shard_merge or config.index.shard_merge,
             ),
         )
@@ -366,6 +373,8 @@ def main(argv=None) -> None:
 
         _os.environ["QRAG_INDEX_SHARDED"] = "1"
         _os.environ["QRAG_INDEX_SHARD_MERGE"] = config.index.shard_merge
+        if config.index.elastic:
+            _os.environ["QRAG_INDEX_ELASTIC"] = "1"
     if args.embedding_provider:
         from dataclasses import replace
 

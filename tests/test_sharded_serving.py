@@ -212,3 +212,42 @@ def test_verified_downgrade_is_logged(bundled_index_path, caplog):
             ),
         )
     assert any("does not support topk_mode" in r.message for r in caplog.records)
+
+
+def test_elastic_engine_survives_injected_failure(bundled_index_path):
+    """config index.elastic builds ElasticShardedIndex behind the
+    engine; an injected device failure re-shards over survivors and
+    the request still succeeds (same results, fewer devices)."""
+    from qrag_tpu.parallel.elastic import ElasticShardedIndex
+
+    cfg = QragConfig.from_dict(
+        {
+            "embedding": {"provider": "hash", "dim": 1536},
+            "index": {"sharded": True, "elastic": True},
+        }
+    )
+    eng = QragEngine.from_faiss(bundled_index_path, config=cfg)
+    assert isinstance(eng.index, ElasticShardedIndex)
+    assert eng.index.layout()["elastic"] is True
+    baseline = eng.search_rerank("celebrity interview", k=4, candidates=12)
+
+    def boom():
+        raise RuntimeError("injected device loss")
+
+    eng.index.inject_search_failure(boom)
+    out = eng.search_rerank("celebrity interview", k=4, candidates=12)
+    assert eng.index.rebuilds == 1
+    assert eng.index.layout()["mesh"]["model"] == 7  # one device dropped
+    assert [h["index"] for h in out["results"][0]] == [
+        h["index"] for h in baseline["results"][0]
+    ]
+    # /stats through the engine surfaces the elastic layout
+    stats = eng.stats()
+    assert stats["index"]["layout"]["rebuilds"] == 1
+    # appends survive re-sharding (master copy mirrors the live index)
+    n0 = eng.index.ntotal
+    eng.index.add(eng.index.sample_rows([0]) + 0.5)
+    eng.index.inject_search_failure(boom)
+    res = eng.search(eng.index.sample_rows([n0]), k=1)
+    assert res.indices[0, 0] == n0
+    assert eng.index.rebuilds == 2
