@@ -79,6 +79,17 @@ def load_library() -> ctypes.CDLL:
             c.POINTER(c.c_float), c.c_uint64, c.c_uint32, c.c_uint32,
             c.POINTER(c.c_float), c.POINTER(c.c_int64),
         ]
+        lib.qidx_raw_scan_topk_mt.restype = None
+        lib.qidx_raw_scan_topk_mt.argtypes = [
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32,
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32, c.c_uint32,
+            c.c_uint32, c.POINTER(c.c_float), c.POINTER(c.c_int64),
+        ]
+        lib.qidx_scan_topk_mt.restype = None
+        lib.qidx_scan_topk_mt.argtypes = [
+            c.c_void_p, c.POINTER(c.c_float), c.c_uint64, c.c_uint32,
+            c.c_uint32, c.POINTER(c.c_float), c.POINTER(c.c_int64),
+        ]
         _LIB = lib
     return _LIB
 
@@ -151,24 +162,29 @@ class NativeVectorStore:
         self._lib.qidx_flush(self._handle)
 
     def scan_topk(
-        self, queries: np.ndarray, k: int
+        self, queries: np.ndarray, k: int, threads: int = 1
     ) -> Tuple[np.ndarray, np.ndarray]:
         """C++ exact scan: (scores, indices); L2 distances ascending /
-        IP descending, -1 indices when ntotal < k."""
+        IP descending, -1 indices when ntotal < k.  ``threads``: 1 =
+        the deterministic single-thread oracle; 0 = all cores; >1 =
+        exactly that many (query-parallel for batches, corpus-split +
+        merge for small batches — results identical either way)."""
         queries = np.ascontiguousarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
         b = queries.shape[0]
         scores = np.empty((b, k), np.float32)
         idx = np.empty((b, k), np.int64)
-        self._lib.qidx_scan_topk(
-            self._handle,
-            _fptr(queries),
-            b,
-            k,
-            _fptr(scores),
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
+        out_i = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if threads == 1:
+            self._lib.qidx_scan_topk(
+                self._handle, _fptr(queries), b, k, _fptr(scores), out_i
+            )
+        else:
+            self._lib.qidx_scan_topk_mt(
+                self._handle, _fptr(queries), b, k, threads,
+                _fptr(scores), out_i,
+            )
         return scores, idx
 
     def close(self) -> None:
@@ -195,9 +211,15 @@ class NativeVectorStore:
 
 
 def cpu_scan_topk(
-    x: np.ndarray, queries: np.ndarray, k: int, metric: str = "l2"
+    x: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    metric: str = "l2",
+    threads: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """C++ exact scan over a raw matrix (no store) — the CPU oracle."""
+    """C++ exact scan over a raw matrix (no store) — the CPU oracle
+    (threads=1) and its parallel serving variant (threads=0 → all
+    cores; identical results, tie order included)."""
     lib = load_library()
     x = np.ascontiguousarray(x, dtype=np.float32)
     queries = np.ascontiguousarray(queries, dtype=np.float32)
@@ -206,15 +228,16 @@ def cpu_scan_topk(
     b = queries.shape[0]
     scores = np.empty((b, k), np.float32)
     idx = np.empty((b, k), np.int64)
-    lib.qidx_raw_scan_topk(
-        _fptr(x),
-        x.shape[0],
-        x.shape[1],
-        _fptr(queries),
-        b,
-        k,
-        METRIC_L2 if metric == "l2" else METRIC_IP,
-        _fptr(scores),
-        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
+    out_i = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    metric_code = METRIC_L2 if metric == "l2" else METRIC_IP
+    if threads == 1:
+        lib.qidx_raw_scan_topk(
+            _fptr(x), x.shape[0], x.shape[1], _fptr(queries), b, k,
+            metric_code, _fptr(scores), out_i,
+        )
+    else:
+        lib.qidx_raw_scan_topk_mt(
+            _fptr(x), x.shape[0], x.shape[1], _fptr(queries), b, k,
+            metric_code, threads, _fptr(scores), out_i,
+        )
     return scores, idx

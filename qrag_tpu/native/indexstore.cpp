@@ -40,6 +40,7 @@
 #include <cstdio>
 #include <cstring>
 #include <algorithm>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -203,11 +204,12 @@ void qidx_close(Store* s) {
 // metric: 0=ip (descending), 1=l2 (ascending squared distances).
 // Results are written as (b, k) scores + int64 indices, sorted, padded
 // with score=+-inf / idx=-1 when ntotal < k.  Tie-break: lower index
-// first (matches lax.top_k / the Pallas kernel).
+// first (matches lax.top_k / the Pallas kernel).  `base` offsets the
+// emitted indices (corpus-split threading scans sub-ranges).
 static void scan_topk(const float* x, uint64_t n, uint32_t d,
                       const float* q, uint64_t b, uint32_t k,
                       uint32_t metric, float* out_scores,
-                      int64_t* out_idx) {
+                      int64_t* out_idx, uint64_t base = 0) {
   std::vector<float> xsq;
   if (metric == 1) {
     xsq.resize(n);
@@ -244,7 +246,7 @@ static void scan_topk(const float* x, uint64_t n, uint32_t d,
       dot = a0 + a1 + a2 + a3;
       for (; j < d; ++j) dot += row[j] * qq[j];
       float g = (metric == 1) ? (2.f * dot - qsq - xsq[i]) : dot;
-      Entry e(g, -(int64_t)i);
+      Entry e(g, -(int64_t)(base + i));
       if (heap.size() < k) {
         heap.push_back(e);
         std::push_heap(heap.begin(), heap.end(), cmp);
@@ -288,6 +290,120 @@ void qidx_raw_scan_topk(const float* x, uint64_t n, uint32_t d,
                         uint32_t metric, float* out_scores,
                         int64_t* out_idx) {
   scan_topk(x, n, d, q, b, k, metric, out_scores, out_idx);
+}
+
+// ------------------------------------------------------ threaded scan
+
+// Merge T per-thread (k) candidate lists for one query into the final
+// (k).  Scores are already finalized (l2: ascending distances); the
+// comparator mirrors scan_topk's ordering incl. the lower-index
+// tie-break, and padding slots (idx = -1) sort last naturally.
+static void merge_candidates(const float* scores, const int64_t* idx,
+                             uint32_t t, uint32_t k, uint32_t metric,
+                             float* out_scores, int64_t* out_idx) {
+  std::vector<std::pair<float, int64_t>> all;
+  all.reserve((size_t)t * k);
+  for (uint32_t ti = 0; ti < t; ++ti)
+    for (uint32_t r = 0; r < k; ++r)
+      all.emplace_back(scores[ti * k + r], idx[ti * k + r]);
+  auto better = [metric](const std::pair<float, int64_t>& a,
+                         const std::pair<float, int64_t>& b_) {
+    bool a_pad = a.second < 0, b_pad = b_.second < 0;
+    if (a_pad != b_pad) return b_pad;  // real entries first
+    if (a.first != b_.first)
+      return metric == 1 ? a.first < b_.first : a.first > b_.first;
+    return a.second < b_.second;  // lower index wins ties
+  };
+  std::sort(all.begin(), all.end(), better);
+  for (uint32_t r = 0; r < k; ++r) {
+    out_scores[r] = all[r].first;
+    out_idx[r] = all[r].second;
+  }
+}
+
+// Multithreaded exact scan: query-parallel when b >= threads (each
+// thread owns a query slice — zero synchronization), otherwise
+// corpus-split (each thread scans a row range with globalized indices,
+// per-query k-way merge at the end).  The single-threaded path stays
+// the deterministic oracle; this is the serving-scale variant of the
+// host runtime (the role faiss-cpu's OpenMP scan played).
+void qidx_raw_scan_topk_mt(const float* x, uint64_t n, uint32_t d,
+                           const float* q, uint64_t b, uint32_t k,
+                           uint32_t metric, uint32_t n_threads,
+                           float* out_scores, int64_t* out_idx) {
+  if (n_threads == 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  // never more threads than useful work units in the chosen mode
+  uint64_t max_units = std::max<uint64_t>(b, n / 4096);
+  n_threads = (uint32_t)std::min<uint64_t>(n_threads,
+                                           std::max<uint64_t>(max_units, 1));
+  if (n_threads <= 1 || n == 0) {
+    scan_topk(x, n, d, q, b, k, metric, out_scores, out_idx);
+    return;
+  }
+  if (b >= n_threads) {
+    std::vector<std::thread> pool;
+    uint64_t per = (b + n_threads - 1) / n_threads;
+    for (uint32_t ti = 0; ti < n_threads; ++ti) {
+      uint64_t s = ti * per, e = std::min(b, s + per);
+      if (s >= e) break;
+      pool.emplace_back([=] {
+        scan_topk(x, n, d, q + s * d, e - s, k, metric,
+                  out_scores + s * k, out_idx + s * k);
+      });
+    }
+    for (auto& th : pool) th.join();
+    return;
+  }
+  // corpus-split: T threads over row ranges, then per-query merge
+  uint32_t t = n_threads;
+  std::vector<float> part_scores((size_t)t * b * k);
+  std::vector<int64_t> part_idx((size_t)t * b * k);
+  std::vector<std::thread> pool;
+  uint64_t per = (n + t - 1) / t;
+  for (uint32_t ti = 0; ti < t; ++ti) {
+    uint64_t s = ti * per, e = std::min(n, s + per);
+    pool.emplace_back([=, &part_scores, &part_idx] {
+      if (s < e)
+        scan_topk(x + s * d, e - s, d, q, b, k, metric,
+                  part_scores.data() + (size_t)ti * b * k,
+                  part_idx.data() + (size_t)ti * b * k, s);
+      else
+        for (uint64_t j = 0; j < b * (uint64_t)k; ++j) {
+          part_scores[(size_t)ti * b * k + j] =
+              (metric == 1) ? __builtin_inff() : -__builtin_inff();
+          part_idx[(size_t)ti * b * k + j] = -1;
+        }
+    });
+  }
+  for (auto& th : pool) th.join();
+  // gather each query's t candidate lists (strided by b*k per thread)
+  std::vector<float> qs((size_t)t * k);
+  std::vector<int64_t> qi((size_t)t * k);
+  for (uint64_t bi = 0; bi < b; ++bi) {
+    for (uint32_t ti = 0; ti < t; ++ti) {
+      std::memcpy(qs.data() + (size_t)ti * k,
+                  part_scores.data() + ((size_t)ti * b + bi) * k,
+                  k * sizeof(float));
+      std::memcpy(qi.data() + (size_t)ti * k,
+                  part_idx.data() + ((size_t)ti * b + bi) * k,
+                  k * sizeof(int64_t));
+    }
+    merge_candidates(qs.data(), qi.data(), t, k, metric,
+                     out_scores + bi * k, out_idx + bi * k);
+  }
+}
+
+void qidx_scan_topk_mt(Store* s, const float* q, uint64_t b, uint32_t k,
+                       uint32_t n_threads, float* out_scores,
+                       int64_t* out_idx) {
+  uint64_t ntotal = qidx_ntotal(s);
+  if (ensure_mapped(s, file_bytes_for(s->header->d, ntotal)) != 0) {
+    ntotal = (s->map_bytes - HEADER_BYTES) /
+             ((uint64_t)s->header->d * sizeof(float));
+  }
+  qidx_raw_scan_topk_mt(s->data, ntotal, s->header->d, q, b, k,
+                        s->header->metric, n_threads, out_scores, out_idx);
 }
 
 }  // extern "C"

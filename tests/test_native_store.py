@@ -184,3 +184,45 @@ def test_to_device_index(tmp_path, rng):
         idx = s.to_device_index()
     res = idx.search(x[5], k=1)
     assert res.indices[0, 0] == 5
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_threaded_scan_matches_single_thread(rng, metric):
+    """Query-parallel (b >= threads) AND corpus-split (b < threads)
+    modes must match the single-thread oracle exactly, tie order
+    included."""
+    x = rng.randn(20000, 32).astype(np.float32)
+    x[1000:1004] = x[999]  # exact ties across a thread boundary region
+    # query-parallel mode
+    qb = rng.randn(16, 32).astype(np.float32)
+    s1, i1 = cpu_scan_topk(x, qb, 10, metric=metric, threads=1)
+    s4, i4 = cpu_scan_topk(x, qb, 10, metric=metric, threads=4)
+    np.testing.assert_array_equal(i1, i4)
+    np.testing.assert_array_equal(s1, s4)
+    # corpus-split mode (single query, ties included)
+    q1 = x[999:1000] + 0.0
+    s1, i1 = cpu_scan_topk(x, q1, 10, metric=metric, threads=1)
+    s4, i4 = cpu_scan_topk(x, q1, 10, metric=metric, threads=6)
+    np.testing.assert_array_equal(i1, i4)
+    np.testing.assert_allclose(s1, s4, rtol=1e-6, atol=1e-6)
+    assert i1[0, 0] == 999 if metric == "l2" else True
+
+
+def test_threaded_scan_k_exceeds_ntotal(rng):
+    x = rng.randn(5, 8).astype(np.float32)
+    q = rng.randn(1, 8).astype(np.float32)
+    s, i = cpu_scan_topk(x, q, 9, metric="ip", threads=3)
+    assert (i[0, 5:] == -1).all()
+    assert np.isneginf(s[0, 5:]).all()
+
+
+def test_store_threaded_scan(tmp_path, rng):
+    path = str(tmp_path / "mt.qidx")
+    x = rng.randn(3000, 16).astype(np.float32)
+    with NativeVectorStore(path, d=16, metric="l2") as s:
+        s.append(x)
+        s1, i1 = s.scan_topk(x[:8], k=5, threads=1)
+        s4, i4 = s.scan_topk(x[:8], k=5, threads=4)
+        np.testing.assert_array_equal(i1, i4)
+        np.testing.assert_array_equal(s1, s4)
+        assert (i1[:, 0] == np.arange(8)).all()
