@@ -190,10 +190,11 @@ def bench_matmul_floor(n, d, b, iters, dtype=jnp.bfloat16):
     return (time.time() - t0) / iters
 
 
-def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
+def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16, cands=100):
     """Quantum-rerank overhead (north star: 10-qubit fidelity over the
     candidates at <5%% added query latency): retrieval of C candidates
     vs retrieval + feature-gather fidelity + final top-k, same C.
+    cands=1000 covers BASELINE configs[3] (1k candidates/query).
     Returns (base_ms, fused_ms, overhead_pct)."""
     from qrag_tpu.ops.statevector import (
         fidelity_from_features,
@@ -206,7 +207,7 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16):
     )
     q0 = jax.random.normal(jax.random.PRNGKey(3), (b, d), dtype=jnp.float32)
     q0 = (q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)).astype(dtype)
-    iters, k, cands, n_qubits = 8, 10, 100, 10
+    iters, k, n_qubits = 8, 10, 10
     feats = jax.jit(rotation_features, static_argnames="n_qubits")(
         corpus.astype(jnp.float32), n_qubits, sqnorms=sq
     )
@@ -276,6 +277,8 @@ def main() -> None:
         qps_e, _ = run(n, d, b, 10, max(2, iters // 4), "exact")
         print(f"# exact mode: {qps_e:,.0f} QPS", file=sys.stderr)
         bench_int8(n, d, b, iters)
+        # BASELINE configs[3]: 10-qubit fidelity over 1k candidates/query
+        bench_fused_rerank(n, d, b, args.mode, cands=1000)
     print(
         f"# bf16 matmul+rowmax reference: {floor_ms*1e3:.2f} ms/batch{b} "
         f"({b/floor_ms:,.0f} QPS at this session's clock)",
