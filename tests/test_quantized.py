@@ -58,13 +58,20 @@ def test_quantized_self_query(rng):
     assert res.indices[0, 0] == 123
 
 
-def test_quantized_incremental_add(rng):
+def test_quantized_incremental_add():
+    # own seed + unit-norm rows: self-query top-1 under IP is then
+    # unambiguous (x.x = 1 >= x.y), so the approx int8 scan cannot
+    # legitimately flip it — decoupled from the suite-order-dependent
+    # shared rng stream, which made this flake on near-ties
+    rng = np.random.RandomState(1234)
     quant = QuantizedFlatIndex(d=16, metric="ip")
     a = rng.randn(50, 16).astype(np.float32)
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
     quant.add(a, metadata=[f"a/{i}" for i in range(50)])
     res = quant.search(a[7], k=1)
     assert res.indices[0, 0] == 7
     b = rng.randn(30, 16).astype(np.float32)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
     quant.add(b)
     res = quant.search(b[4], k=1)
     assert res.indices[0, 0] == 54  # re-quantized after append
