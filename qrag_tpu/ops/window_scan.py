@@ -137,7 +137,9 @@ def unpack_stats(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "refine_factor", "selector", "backend"),
+    static_argnames=(
+        "k", "metric", "refine_factor", "selector", "backend", "exact_scores",
+    ),
 )
 def windowed_scan_topk(
     queries: jnp.ndarray,  # (B, d) f32 true queries
@@ -153,6 +155,7 @@ def windowed_scan_topk(
     refine_factor: int = 8,
     selector: str = "auto",
     backend: str = "xla",  # "xla" (fused epilogue) | "pallas" (Mosaic)
+    exact_scores: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan -> top-C windows -> exact re-score -> top-k.
 
@@ -161,7 +164,15 @@ def windowed_scan_topk(
     product (for l2 this equals the true order on constant-norm rows,
     e.g. normalized corpora; refinement applies the exact metric either
     way, so returned SCORES are always exact).
-    """
+
+    ``exact_scores=False`` skips the candidate-row re-score entirely —
+    the GATHER-FREE mode: returned scores are the scan-domain dot
+    products straight from the packed planes (bf16/f32 domain: within
+    2^-16 relative of the scan's own precision; int8 domain:
+    block-quantized, ~1% — document to callers).  Saves the ~4 ms
+    random-row gather at 1M x 768 / C=40 (docs/PERFORMANCE.md) and
+    never touches corpus_f; metric must tolerate dot-product scores
+    ("ip", or l2 on constant-norm corpora)."""
     n = corpus_scan.shape[0]
     nw = n // WINDOW
     int_domain = corpus_scan.dtype == jnp.int8
@@ -216,6 +227,13 @@ def windowed_scan_topk(
     if ntotal is not None:
         # the boundary window's argmax may be a padding row
         cand_ok = cand_ok & (cand_idx < ntotal)
+
+    if not exact_scores:
+        # gather-free: rank by the scan-domain plane values directly
+        masked = jnp.where(cand_ok, sv, -jnp.inf)
+        vals, sel = jax.lax.top_k(masked, k)
+        return vals, jnp.take_along_axis(cand_idx, sel, axis=1)
+
     cand_goodness = jnp.where(cand_ok, 0.0, -jnp.inf)
 
     from qrag_tpu.ops.quantize import refine_candidates

@@ -207,3 +207,32 @@ def test_windowed_topk_pallas_backend_end_to_end(rng):
     )
     np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip_))
     np.testing.assert_allclose(np.asarray(vx), np.asarray(vp), rtol=1e-5)
+
+
+def test_windowed_topk_gather_free_mode(rng):
+    """exact_scores=False ranks by plane values (no candidate-row
+    gather): bf16/f32 domain indices match the refined path; scores are
+    within the float-key precision of true dots."""
+    n, d, b, k = 65536, 128, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    v_ref, i_ref = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), k, metric="ip",
+        refine_factor=8, selector="top_k", exact_scores=True,
+    )
+    v_nf, i_nf = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), k, metric="ip",
+        refine_factor=8, selector="top_k", exact_scores=False,
+    )
+    # same candidate machinery -> same rows (float-key rounding can
+    # only flip near-ties); values within 2^-16 relative
+    overlap = np.mean([
+        len(set(map(int, i_ref[i])) & set(map(int, i_nf[i]))) / k
+        for i in range(b)
+    ])
+    assert overlap >= 0.9
+    g = q @ x.T
+    got = np.take_along_axis(g, np.asarray(i_nf), axis=1)
+    np.testing.assert_allclose(np.asarray(v_nf), got, rtol=3e-5, atol=1e-5)
