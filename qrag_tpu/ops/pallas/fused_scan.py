@@ -43,9 +43,16 @@ WINDOW = 128
 _INT_CLAMP = (1 << 23) - 1  # |key| <= 2^23 so << 7 never overflows
 
 
-def _packed_kernel(q_ref, x_ref, out_ref, *, bn: int, acc_dtype):
+def _packed_kernel(
+    q_ref, ca_ref, x_ref, ra_ref, out_ref, *, bn: int, acc_dtype, alpha: float
+):
     """Matmul + packed (score, lane) window-argmax epilogue — the
-    Pallas twin of ``ops.window_scan.packed_window_scan``."""
+    Pallas twin of ``ops.window_scan.packed_window_scan``.
+
+    Float domain keys ``alpha*dots + ca + ra`` (covers the exact -d^2
+    l2 goodness: alpha=2, ca=-|q|^2, ra=-|x|^2); the int domain packs
+    raw clamped dots (affine terms don't apply to int8 scans — per-
+    window scales rejoin at the plane level)."""
     nw = bn // WINDOW
     bm = q_ref.shape[0]
     dots = jax.lax.dot_general(
@@ -57,7 +64,11 @@ def _packed_kernel(q_ref, x_ref, out_ref, *, bn: int, acc_dtype):
     if acc_dtype == jnp.int32:
         key = jnp.clip(dots, -_INT_CLAMP, _INT_CLAMP) << 7
     else:
-        u = jax.lax.bitcast_convert_type(dots.astype(jnp.float32), jnp.int32)
+        g = dots.astype(jnp.float32)
+        if alpha != 1.0:
+            g = g * alpha
+        g = g + ca_ref[:] + ra_ref[:]
+        u = jax.lax.bitcast_convert_type(g, jnp.int32)
         mono = jnp.where(u < 0, jnp.int32(-(2 ** 31)) - u, u)
         key = mono & ~jnp.int32(127)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
@@ -69,12 +80,17 @@ def _packed_kernel(q_ref, x_ref, out_ref, *, bn: int, acc_dtype):
     out_ref[:] = jnp.concatenate(parts, axis=1)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "alpha", "interpret")
+)
 def pallas_packed_window_scan(
     queries: jnp.ndarray,  # (B, d) int8 or bf16/f32; B % bm == 0
     corpus: jnp.ndarray,  # (N, d); N % bn == 0, d % 128 == 0
     bm: int = 0,
     bn: int = 512,
+    row_add=None,  # (1, N) f32 float-domain per-row add (-|x|^2 for l2)
+    col_add=None,  # (B, 1) f32 float-domain per-query add (-|q|^2)
+    alpha: float = 1.0,  # float-domain dots multiplier (2.0 for l2)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, N/128) packed int32 window stats (window_scan contract)."""
@@ -89,12 +105,20 @@ def pallas_packed_window_scan(
     n_tiles = n // bn
     acc_dtype = jnp.int32 if queries.dtype == jnp.int8 else jnp.float32
     itemsize = 1 if queries.dtype == jnp.int8 else queries.dtype.itemsize
+    if row_add is None:
+        row_add = jnp.zeros((1, n), jnp.float32)
+    if col_add is None:
+        col_add = jnp.zeros((b, 1), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, bn=bn, acc_dtype=acc_dtype),
+        functools.partial(
+            _packed_kernel, bn=bn, acc_dtype=acc_dtype, alpha=alpha
+        ),
         grid=(b // bm, n_tiles),
         in_specs=[
             pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         # the tile axis leads (TPU block shapes must span the minor
         # dim); the caller folds (n_tiles, B, nw) -> (B, NW)
@@ -112,7 +136,7 @@ def pallas_packed_window_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus)
+    )(queries, col_add, corpus, row_add)
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // WINDOW)
 
 

@@ -213,6 +213,31 @@ def flat_scan_topk(
     "approx".
     """
     if use_pallas:
+        n, d = corpus.shape
+        if mode != "exact" and n >= 4096 and n % 512 == 0 and d % 128 == 0:
+            # memory-lean Mosaic path: packed window scan + exact
+            # refinement — the (B, N) score matrix never exists
+            # (ops/window_scan.py; approx-class recall like `mode`)
+            from qrag_tpu.ops.window_scan import (
+                make_lane_rank,
+                windowed_scan_topk,
+            )
+
+            vals, idx = windowed_scan_topk(
+                queries.astype(jnp.float32),
+                corpus,
+                corpus,
+                jnp.asarray(make_lane_rank(n)),
+                k,
+                metric=metric,
+                corpus_sqnorms=corpus_sqnorms,
+                valid_rows=valid_rows,
+                refine_factor=max(oversample * 4, 4),
+                backend="pallas"
+                if jax.default_backend() == "tpu"
+                else "xla",
+            )
+            return _finalize(vals, idx, metric)
         try:
             from qrag_tpu.ops.pallas.scan_topk import pallas_scan_topk
 

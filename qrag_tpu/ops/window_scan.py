@@ -152,6 +152,7 @@ def windowed_scan_topk(
     window_scale: Optional[jnp.ndarray] = None,  # (NW,) int8 block scales
     q_scale: Optional[jnp.ndarray] = None,  # (B,) int8 query scales
     ntotal: Optional[jnp.ndarray] = None,  # scalar; rows >= are padding
+    valid_rows: Optional[jnp.ndarray] = None,  # (N,) bool; float domain only
     refine_factor: int = 8,
     selector: str = "auto",
     backend: str = "xla",  # "xla" (fused epilogue) | "pallas" (Mosaic)
@@ -177,6 +178,28 @@ def windowed_scan_topk(
     nw = n // WINDOW
     int_domain = corpus_scan.dtype == jnp.int8
 
+    # float domain + l2: fold the exact goodness corrections into the
+    # scan epilogue so SELECTION is exact-l2-ordered even on
+    # non-constant-norm corpora (the int domain can't — per-window
+    # scales; its l2 selection ranks by dot, refinement applies the
+    # true metric)
+    alpha, row_add, col_add = 1.0, None, None
+    if not int_domain and metric == "l2" and corpus_sqnorms is not None:
+        alpha = 2.0
+        row_add = -corpus_sqnorms[None, :].astype(jnp.float32)
+        q32_tmp = queries.astype(jnp.float32)
+        col_add = -jnp.sum(q32_tmp * q32_tmp, axis=-1, keepdims=True)
+    if valid_rows is not None:
+        if int_domain:
+            raise ValueError(
+                "valid_rows masks the float domain only; the int8 path "
+                "uses `ntotal` (trailing-padding contract)"
+            )
+        # -inf bias: masked rows' keys restore to -inf -> the existing
+        # non-finite candidate filtering drops them
+        bias = jnp.where(valid_rows.astype(bool), 0.0, -jnp.inf)[None, :]
+        row_add = bias if row_add is None else row_add + bias
+
     def scan(q_in):
         if backend == "pallas":
             from qrag_tpu.ops.pallas.fused_scan import (
@@ -185,9 +208,13 @@ def windowed_scan_topk(
 
             return pallas_packed_window_scan(
                 q_in, corpus_scan,
+                row_add=row_add, col_add=col_add, alpha=alpha,
                 interpret=jax.default_backend() != "tpu",
             )
-        return packed_window_scan(q_in, corpus_scan, lane_rank)
+        return packed_window_scan(
+            q_in, corpus_scan, lane_rank,
+            row_add=row_add, col_add=col_add, alpha=alpha,
+        )
 
     if int_domain:
         from qrag_tpu.ops.quantize import quantize_rows

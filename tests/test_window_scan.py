@@ -236,3 +236,65 @@ def test_windowed_topk_gather_free_mode(rng):
     g = q @ x.T
     got = np.take_along_axis(g, np.asarray(i_nf), axis=1)
     np.testing.assert_allclose(np.asarray(v_nf), got, rtol=3e-5, atol=1e-5)
+
+
+def test_flat_scan_use_pallas_windowed_route(rng):
+    """use_pallas + non-exact mode routes through the windowed packed
+    pipeline: results match the XLA approx pipeline's quality class
+    with exact scores, valid-row masking included."""
+    import jax.numpy as jnp
+
+    from qrag_tpu.ops.topk import flat_scan_topk
+
+    n, d, b, k = 8192, 128, 8, 5
+    x = np.zeros((n, d), np.float32)
+    n_real = 8000
+    x[:n_real] = rng.randn(n_real, d)
+    valid = np.zeros(n, bool)
+    valid[:n_real] = True
+    sq = (x * x).sum(1)
+    q = x[rng.choice(n_real, b)] + 0.01 * rng.randn(b, d).astype(np.float32)
+    s_w, i_w = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), k, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq), valid_rows=jnp.asarray(valid),
+        use_pallas=True, mode="approx",
+    )
+    s_e, i_e = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), k, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq), valid_rows=jnp.asarray(valid),
+        mode="exact",
+    )
+    assert (np.asarray(i_w) < n_real).all()  # masked rows never surface
+    overlap = np.mean([
+        len(set(map(int, np.asarray(i_w)[i])) & set(map(int, np.asarray(i_e)[i]))) / k
+        for i in range(b)
+    ])
+    assert overlap >= 0.9, overlap
+    # scores of returned rows are exact (refinement)
+    g = np.asarray(s_e)
+    for i in range(b):
+        d2 = ((x[np.asarray(i_w)[i]] - q[i]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(s_w)[i], d2, rtol=1e-3, atol=1e-3)
+
+
+def test_windowed_l2_affine_selection_on_wild_norms(rng):
+    """Float-domain l2 selection is exact-goodness-ordered even on
+    NON-constant-norm corpora (the affine terms ride the epilogue)."""
+    n, d, b, k = 65536, 128, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    x *= rng.uniform(0.1, 10.0, size=(n, 1)).astype(np.float32)
+    sq = (x * x).sum(1)
+    q = rng.randn(b, d).astype(np.float32)
+    vals, idx = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), k, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq), refine_factor=8, selector="top_k",
+    )
+    d2 = ((x[None] - q[:, None]) ** 2).sum(-1) if False else None
+    # oracle via goodness
+    g = 2 * (q @ x.T) - (q * q).sum(1)[:, None] - sq[None, :]
+    ref_idx = np.argsort(-g, axis=1, kind="stable")[:, :k]
+    recall = np.mean([
+        len(set(map(int, idx[i])) & set(ref_idx[i])) / k for i in range(b)
+    ])
+    assert recall >= 0.95, recall
