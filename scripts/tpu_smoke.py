@@ -109,8 +109,17 @@ def main() -> None:
 
         q = jnp.asarray(rng.randn(32, 128).astype(np.float32))
         x = jnp.asarray(rng.randn(8192, 128).astype(np.float32))
-        ref = packed_window_scan(q, x, jnp.asarray(make_lane_rank(8192)))
+        lr = jnp.asarray(make_lane_rank(8192))
+        ref = packed_window_scan(q, x, lr)
         got = pallas_packed_window_scan(q, x)
+        assert np.array_equal(np.asarray(got), np.asarray(ref))
+        # l2 affine epilogue parity (alpha/row_add/col_add in-kernel)
+        sq = jnp.sum(x * x, axis=1)[None, :]
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)
+        ref = packed_window_scan(q, x, lr, row_add=-sq, col_add=-qsq, alpha=2.0)
+        got = pallas_packed_window_scan(
+            q, x, row_add=-sq, col_add=-qsq, alpha=2.0
+        )
         assert np.array_equal(np.asarray(got), np.asarray(ref))
 
     @check("windowed quantized search (memory-lean mode)")
