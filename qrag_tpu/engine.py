@@ -318,7 +318,7 @@ class QragEngine:
                 return {"queries": qv.shape[0], "results": [], "reranker_used": reranker_type}
             c_eff = min(candidates, n)
             k_eff = min(k, c_eff)
-            if not hasattr(self.index, "device_buffers"):
+            if not self.index.has_device_snapshot:
                 # sharded index (parallel/sharded_index.py): per-shard
                 # scan + ICI merge + distributed candidate gather — the
                 # served path of BASELINE configs[4]
@@ -433,9 +433,9 @@ class QragEngine:
         reranker_type: str,
     ) -> Dict[str, Any]:
         """Sharded-index arm of `search_rerank` (same response shape,
-        same routing semantics, collectives over the mesh)."""
-        from qrag_tpu.ops.topk import _finalize
-
+        same routing semantics, collectives over the mesh).  The
+        sharded index methods return finalized retrieval scores
+        (identical contract to the unsharded arm)."""
         index = self.index
         n_qubits = self.config.quantum.n_qubits
         # the shard_map'd scan needs B divisible by the mesh data axis
@@ -465,19 +465,14 @@ class QragEngine:
                 jnp.asarray(qv), jnp.asarray(route), k_eff, c_eff, n_qubits
             )
         elif reranker_type in ("none", "retrieval"):
-            retr_j, idx = index.search_device(jnp.asarray(qv), k_eff)
-            fid, idx = _finalize(retr_j, idx, index.metric)
-            retr = retr_j
+            fid, idx = index.search_device(jnp.asarray(qv), k_eff)
+            retr = fid  # finalized retrieval scores, same as unsharded arm
             reranker_type = "none"
         else:
             raise ValueError(
                 f"unknown reranker_type {reranker_type!r}; expected "
                 "'auto', 'quantum', 'classical', or 'none'"
             )
-        # the sharded scans return RAW goodness; finalize retrieval
-        # scores to API-edge semantics (distances ascending for l2 —
-        # parity with the unsharded arm, CLAUDE.md invariant)
-        retr = _finalize(retr, idx, index.metric)[0]
         results = self._build_hits(
             np.asarray(fid)[:b], np.asarray(idx)[:b], np.asarray(retr)[:b], n
         )

@@ -83,6 +83,12 @@ class SearchResult:
 class DeviceFlatIndex:
     """Exact flat index with the corpus resident in device HBM."""
 
+    # This index family exposes `device_buffers()` — one atomic
+    # single-device snapshot the engine's fused graphs consume.  The
+    # sharded family sets this False and the engine dispatches on the
+    # flag (an explicit capability, not hasattr duck-typing).
+    has_device_snapshot = True
+
     def __init__(
         self,
         d: int,

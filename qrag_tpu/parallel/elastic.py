@@ -35,6 +35,8 @@ logger = logging.getLogger(__name__)
 class ElasticShardedIndex:
     """ShardedFlatIndex wrapper that survives device loss."""
 
+    has_device_snapshot = False  # sharded family (see ShardedFlatIndex)
+
     def __init__(
         self,
         vectors: Optional[np.ndarray] = None,
@@ -216,6 +218,11 @@ class ElasticShardedIndex:
     def search_device(self, queries, k: int):
         return self._with_recovery(
             lambda: self.index.search_device(queries, k)
+        )
+
+    def search_device_raw(self, queries, k: int):
+        return self._with_recovery(
+            lambda: self.index.search_device_raw(queries, k)
         )
 
     def search_rerank_device(self, queries, k, candidates, n_qubits):

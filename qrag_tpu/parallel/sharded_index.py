@@ -146,7 +146,18 @@ class ShardedFlatIndex:
     `QragEngine` (and the serve CLI's ``--sharded`` flag) can put a
     sharded corpus behind the exact same HTTP API.  Appends keep a
     host master copy and re-shard lazily on the next query (the
-    single-writer contract of the unsharded index applies)."""
+    single-writer contract of the unsharded index applies).
+
+    Score contract: ``search_device`` returns FINALIZED scores exactly
+    like ``DeviceFlatIndex.search_device`` (l2: distances ascending;
+    ip: dots descending — the CLAUDE.md API-edge invariant).  The raw
+    descending-goodness form used by fused rerank internals is
+    ``search_device_raw``."""
+
+    # No single-device buffer snapshot exists for a sharded corpus; the
+    # engine dispatches on this flag (not duck-typing) to pick the
+    # sharded query arm.
+    has_device_snapshot = False
 
     def __init__(
         self,
@@ -271,9 +282,12 @@ class ShardedFlatIndex:
             self._dev_valid = jax.device_put(valid, vec)
             self._dirty = False
 
-    def search_device(
+    def search_device_raw(
         self, queries: jnp.ndarray, k: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Raw per-query goodness (descending; l2 goodness = -d^2),
+        pre-_finalize — the internal form the fused rerank stages
+        consume.  API-edge callers want ``search_device``."""
         self._ensure_device()
         return _sharded_search(
             queries.astype(self.store_dtype),
@@ -286,6 +300,18 @@ class ShardedFlatIndex:
             self.mesh,
             self.merge,
         )
+
+    def search_device(
+        self, queries: jnp.ndarray, k: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-level search with the SAME score semantics as
+        ``DeviceFlatIndex.search_device`` (contract-tested in
+        tests/test_index_contract.py): l2 distances ascending, ip dots
+        descending."""
+        from qrag_tpu.ops.topk import _finalize
+
+        vals, idx = self.search_device_raw(queries, k)
+        return _finalize(vals, idx, self.metric)
 
     @classmethod
     def load_faiss(cls, path: str, mesh: Mesh, **kwargs) -> "ShardedFlatIndex":
@@ -309,8 +335,13 @@ class ShardedFlatIndex:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Sharded retrieval → quantum fidelity rerank: per-shard scan +
         allgather/ring merge, distributed candidate-row gather, batched
-        fidelity, final top-k (BASELINE configs[4] query path)."""
-        retr, idx = self.search_device(queries, candidates)
+        fidelity, final top-k (BASELINE configs[4] query path).
+
+        Returned retrieval scores are FINALIZED (API-edge semantics),
+        matching ``engine.fused_search_rerank``'s third output."""
+        from qrag_tpu.ops.topk import _finalize
+
+        retr, idx = self.search_device_raw(queries, candidates)
         cand = self.gather_rows_device(idx)  # (B, C, d)
         from qrag_tpu.ops.statevector import fidelity_analytic
 
@@ -322,11 +353,9 @@ class ShardedFlatIndex:
         invalid = jnp.isneginf(retr)
         fid = jnp.where(invalid, -jnp.inf, fid)
         top, sel = jax.lax.top_k(fid, k)
-        return (
-            top,
-            jnp.take_along_axis(idx, sel, axis=1),
-            jnp.take_along_axis(retr, sel, axis=1),
-        )
+        sel_retr = jnp.take_along_axis(retr, sel, axis=1)
+        sel_idx = jnp.take_along_axis(idx, sel, axis=1)
+        return (top, sel_idx, _finalize(sel_retr, sel_idx, self.metric)[0])
 
     def search_rerank_routed_device(
         self,
@@ -338,8 +367,11 @@ class ShardedFlatIndex:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Sharded retrieval → per-query expert-routed rerank: the
         sharded counterpart of ``engine.fused_search_rerank_routed``
-        (quantum fidelity vs classical cosine, branchless select)."""
-        retr, idx = self.search_device(queries, candidates)
+        (quantum fidelity vs classical cosine, branchless select).
+        Retrieval scores are finalized like ``search_rerank_device``."""
+        from qrag_tpu.ops.topk import _finalize
+
+        retr, idx = self.search_device_raw(queries, candidates)
         cand = self.gather_rows_device(idx)  # (B, C, d) f32 replicated
         from qrag_tpu.ops.statevector import fidelity_analytic
 
@@ -355,11 +387,9 @@ class ShardedFlatIndex:
         scores = jnp.where(route_quantum[:, None], fid, cos)
         scores = jnp.where(jnp.isneginf(retr), -jnp.inf, scores)
         top, sel = jax.lax.top_k(scores, k)
-        return (
-            top,
-            jnp.take_along_axis(idx, sel, axis=1),
-            jnp.take_along_axis(retr, sel, axis=1),
-        )
+        sel_retr = jnp.take_along_axis(retr, sel, axis=1)
+        sel_idx = jnp.take_along_axis(idx, sel, axis=1)
+        return (top, sel_idx, _finalize(sel_retr, sel_idx, self.metric)[0])
 
     # ------------------------------------------------------- persistence
 
@@ -399,7 +429,6 @@ class ShardedFlatIndex:
     def search(self, queries: np.ndarray, k: int = 10):
         """Host-level sharded search (pads the batch to the data axis)."""
         from qrag_tpu.index.flat_index import SearchResult
-        from qrag_tpu.ops.topk import _finalize
 
         queries = np.ascontiguousarray(queries, dtype=np.float32)
         if queries.ndim == 1:
@@ -415,8 +444,7 @@ class ShardedFlatIndex:
         k_eff = min(k, max(self.ntotal, 1))
         batch_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         qdev = jax.device_put(queries, batch_sh)
-        vals, idx = self.search_device(qdev, k_eff)
-        vals, idx = _finalize(vals, idx, self.metric)
+        vals, idx = self.search_device(qdev, k_eff)  # finalized
         scores = np.asarray(vals)[:b]
         indices = np.asarray(idx, dtype=np.int32)[:b]
         invalid = (indices < 0) | (indices >= self.ntotal)
