@@ -119,6 +119,14 @@ class IndexConfig:
     # fastest on v5e) or "window" (packed window-argmax Pallas scan,
     # ops/window_scan.py — the score matrix never exists: memory-lean)
     quant_scan: str = "row"
+    # With quant_scan="window": exact_scores=False skips the
+    # candidate-row re-score GATHER entirely (the gather-free mode,
+    # docs/PERFORMANCE.md: 67k QPS at zero score-matrix memory on
+    # v5e vs 52k with the gather).  Returned scores are then
+    # APPROXIMATE (block-int8 dot products converted to l2 via exact
+    # sqnorms: ~1% error); indices are approx-class like the rest of
+    # the windowed pipeline.  serve CLI: --lean-scan.
+    exact_scores: bool = True
     # Shard corpus rows over the mesh "model" axis
     # (parallel/sharded_index.py; BASELINE configs[4]).  Mesh geometry
     # comes from the `mesh` config section; also via serve --sharded.

@@ -206,6 +206,7 @@ def _index_cls_and_kwargs(config: QragConfig):
 
         kw["refine_factor"] = config.index.refine_factor
         kw["scan"] = config.index.quant_scan
+        kw["exact_scores"] = config.index.exact_scores
         return QuantizedFlatIndex, kw
     return DeviceFlatIndex, kw
 

@@ -51,7 +51,12 @@ class QuantizedFlatIndex(DeviceFlatIndex):
     """DeviceFlatIndex whose scan runs on int8 with exact refinement."""
 
     def __init__(
-        self, *args, refine_factor: int = 4, scan: str = "row", **kwargs
+        self,
+        *args,
+        refine_factor: int = 4,
+        scan: str = "row",
+        exact_scores: bool = True,
+        **kwargs,
     ):
         kwargs.setdefault("store_dtype", "bfloat16")
         # the quantized scan is pre-refinement approximate; "verified"
@@ -60,6 +65,11 @@ class QuantizedFlatIndex(DeviceFlatIndex):
         kwargs["topk_mode"] = "approx"
         if scan not in ("window", "row"):
             raise ValueError(f"unknown quantized scan mode {scan!r}")
+        if not exact_scores and scan != "window":
+            raise ValueError(
+                "exact_scores=False (the gather-free mode) requires "
+                "scan='window' — the row scan always refines"
+            )
         super().__init__(*args, **kwargs)
         if scan == "window" and self.row_pad_multiple % 128:
             raise ValueError(
@@ -73,6 +83,17 @@ class QuantizedFlatIndex(DeviceFlatIndex):
             self.row_pad_multiple = -(-self.row_pad_multiple // 512) * 512
         self.refine_factor = max(1, int(refine_factor))
         self.scan = scan
+        self.exact_scores = bool(exact_scores)
+
+    def layout(self) -> dict:
+        """Scan-mode observability for /stats (engine.stats attaches
+        this when present)."""
+        return {
+            "quantization": "int8",
+            "scan": self.scan,
+            "exact_scores": self.exact_scores,
+            "refine_factor": self.refine_factor,
+        }
 
     def _finalize_snapshot(self, snap: DeviceBuffers) -> None:
         x32 = snap.matrix.astype(jnp.float32)
@@ -132,6 +153,7 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 ntotal=jnp.asarray(snap.ntotal),
                 refine_factor=self.refine_factor,
                 backend="pallas" if use_pallas else "xla",
+                exact_scores=self.exact_scores,
             )
             return _finalize(vals, final_idx, self.metric)
         x8, scales = snap.extras["int8"]

@@ -259,7 +259,23 @@ def windowed_scan_topk(
         # gather-free: rank by the scan-domain plane values directly
         masked = jnp.where(cand_ok, sv, -jnp.inf)
         vals, sel = jax.lax.top_k(masked, k)
-        return vals, jnp.take_along_axis(cand_idx, sel, axis=1)
+        idx_out = jnp.take_along_axis(cand_idx, sel, axis=1)
+        if int_domain and metric == "l2" and corpus_sqnorms is not None:
+            # the int8 plane carries (quantized) DOT products; convert
+            # the k winners to l2 goodness via -d^2 = 2*dot - |q|^2 -
+            # |x|^2 so _finalize yields meaningful (approximate)
+            # distances at the API edge.  Only (B, k) scalar sqnorms
+            # are gathered — bytes, not the (C, d) row gather this
+            # mode exists to avoid.
+            q32 = queries.astype(jnp.float32)
+            qsq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+            xsq = jnp.take(
+                corpus_sqnorms.astype(jnp.float32), idx_out, axis=0
+            )
+            vals = jnp.where(
+                jnp.isfinite(vals), 2.0 * vals - qsq - xsq, vals
+            )
+        return vals, idx_out
 
     cand_goodness = jnp.where(cand_ok, 0.0, -jnp.inf)
 

@@ -349,12 +349,42 @@ def main(argv=None) -> None:
         help="with --sharded: survive device loss by re-sharding over "
         "the remaining devices (parallel/elastic.py)",
     )
+    parser.add_argument(
+        "--lean-scan",
+        action="store_true",
+        help="memory-lean serving: int8 windowed packed scan with "
+        "gather-free scoring (quantization=int8, quant_scan=window, "
+        "exact_scores=False) — the (B, N) score matrix never exists "
+        "and candidate rows are never gathered; returned scores are "
+        "approximate (block-int8, ~1%%; docs/PERFORMANCE.md)",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
     config = QragConfig().with_env_overrides()
     if (args.shard_merge or args.elastic) and not args.sharded:
         parser.error("--shard-merge/--elastic require --sharded")
+    if args.lean_scan and args.sharded:
+        parser.error("--lean-scan is a single-device index mode")
+    if args.lean_scan:
+        from dataclasses import replace as _r
+
+        config = _r(
+            config,
+            index=_r(
+                config.index,
+                quantization="int8",
+                quant_scan="window",
+                exact_scores=False,
+            ),
+        )
+        # propagate through the env channel so engine bundles
+        # (QragEngine.load re-reads env overrides) pick it up too
+        import os as _os
+
+        _os.environ["QRAG_INDEX_QUANTIZATION"] = "int8"
+        _os.environ["QRAG_INDEX_QUANT_SCAN"] = "window"
+        _os.environ["QRAG_INDEX_EXACT_SCORES"] = "0"
     if args.sharded:
         from dataclasses import replace as _r
 
@@ -413,6 +443,17 @@ def main(argv=None) -> None:
                         args.index,
                         mesh=make_mesh(config.mesh),
                         merge=config.index.shard_merge,
+                    )
+                elif config.index.quantization == "int8":
+                    from qrag_tpu.index.quantized_index import (
+                        QuantizedFlatIndex,
+                    )
+
+                    index = QuantizedFlatIndex.load_native(
+                        args.index,
+                        refine_factor=config.index.refine_factor,
+                        scan=config.index.quant_scan,
+                        exact_scores=config.index.exact_scores,
                     )
                 else:
                     from qrag_tpu.index.flat_index import DeviceFlatIndex

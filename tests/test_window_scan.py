@@ -238,6 +238,38 @@ def test_windowed_topk_gather_free_mode(rng):
     np.testing.assert_allclose(np.asarray(v_nf), got, rtol=3e-5, atol=1e-5)
 
 
+def test_gather_free_int8_l2_distances(rng):
+    """int8-domain gather-free mode converts plane dots to l2 goodness
+    via the (B, k) scalar-sqnorm identity, so _finalize yields
+    meaningful approximate distances — close to the true d^2 of the
+    returned rows within the block-int8 error budget."""
+    n, d, b, k = 65536, 64, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sq = np.sum(x * x, axis=1)
+    x8, bscale = quantize_block_rows(x)
+    v, i = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x8), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), k, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq), window_scale=jnp.asarray(bscale),
+        refine_factor=8, selector="top_k", exact_scores=False,
+    )
+    v, i = np.asarray(v), np.asarray(i)
+    # v is l2 GOODNESS (-d^2): compare against the true d^2 of the rows
+    # actually returned (approximate scores, exact identity)
+    true_d2 = ((q[:, None, :] - x[i]) ** 2).sum(-1)
+    np.testing.assert_allclose(-v, true_d2, atol=0.08)
+    # and the downstream finalize gives ascending non-negative distances
+    from qrag_tpu.ops.topk import _finalize
+
+    dist, _ = _finalize(jnp.asarray(v), jnp.asarray(i), "l2")
+    dist = np.asarray(dist)
+    assert (dist >= 0).all()
+    assert (np.diff(dist, axis=1) >= -1e-4).all()
+
+
 def test_flat_scan_use_pallas_windowed_route(rng):
     """use_pallas + non-exact mode routes through the windowed packed
     pipeline: results match the XLA approx pipeline's quality class
