@@ -12,7 +12,17 @@ recovery is a re-shard, not a restore.
 Detection here is a probe-based health check (a tiny psum across the
 mesh run under a deadline) rather than XLA collective timeouts —
 portable to the CPU test mesh, where tests inject failures via
-`inject_search_failure`.
+`inject_search_failure` (transient) / `inject_device_failure`
+(persistent, device-addressed).
+
+Recovery localizes the failure (VERDICT r2 #4): on error the whole
+mesh is probed first (fast path); if unhealthy, every device gets its
+own tiny transfer+compute probe under the deadline and EXACTLY the
+unhealthy devices are evicted — one rebuild, healthy capacity kept.
+Failures with a healthy mesh are treated as transient (retry without
+eviction); only repeated healthy-mesh failures fall back to the
+drop-one rebuild as a last resort (a full rebuild also clears
+poisoned compiled state).
 """
 
 from __future__ import annotations
@@ -63,6 +73,7 @@ class ElasticShardedIndex:
             devices if devices is not None else jax.devices()
         )
         self._failure_injector: Optional[Callable[[], None]] = None
+        self._injected_bad: set = set()  # test hook: persistently-bad devices
         self._rebuilds = 0
         self._build(self.devices)
 
@@ -143,11 +154,14 @@ class ElasticShardedIndex:
     # ------------------------------------------------------------ detection
 
     def probe(self) -> bool:
-        """Health check: a tiny all-reduce over the mesh under a
-        deadline.  Hung/failed collectives → unhealthy."""
+        """Whole-mesh health check (the fast path): a tiny all-reduce
+        over the mesh under a deadline.  Hung/failed collectives →
+        unhealthy; `localize_failures` then finds WHICH device."""
         def _ping() -> float:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if self._injected_bad & set(self.devices):
+                raise RuntimeError("injected device failure in mesh")
             x = jax.device_put(
                 np.ones((len(self.devices),), np.float32),
                 NamedSharding(self.mesh, P(MODEL_AXIS)),
@@ -164,6 +178,29 @@ class ElasticShardedIndex:
                 logger.warning("mesh probe failed: %s", e)
                 return False
 
+    def probe_device(self, device) -> bool:
+        """Per-device health probe: a tiny host→device transfer and
+        on-device reduction pinned to ONE device, under the same
+        deadline.  This is what localizes a failure to the actual dead
+        chip instead of guessing."""
+        def _ping() -> float:
+            if device in self._injected_bad:
+                raise RuntimeError(f"injected failure on {device}")
+            x = jax.device_put(np.ones((8,), np.float32), device)
+            return float(jnp.sum(x))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(_ping)
+            try:
+                return fut.result(timeout=self.probe_timeout_s) == 8.0
+            except Exception as e:  # noqa: BLE001 - any failure = unhealthy
+                logger.warning("device probe failed on %s: %s", device, e)
+                return False
+
+    def localize_failures(self) -> List[jax.Device]:
+        """Probe every device individually; return the unhealthy ones."""
+        return [d for d in self.devices if not self.probe_device(d)]
+
     # ------------------------------------------------------------- recovery
 
     def remove_devices(self, bad: Sequence[jax.Device]) -> None:
@@ -177,16 +214,28 @@ class ElasticShardedIndex:
         self._build(survivors)
 
     def inject_search_failure(self, fn: Callable[[], None]) -> None:
-        """Test hook: raise inside the next search(es)."""
+        """Test hook: raise inside the next search (one-shot,
+        transient — the mesh itself stays healthy)."""
         self._failure_injector = fn
+
+    def inject_device_failure(self, device) -> None:
+        """Test hook: mark one device persistently dead — searches fail
+        while it is in the mesh, and its per-device probe fails, so
+        recovery must localize and evict exactly this device."""
+        self._injected_bad.add(device)
 
     # --------------------------------------------------------------- search
 
     def _with_recovery(self, call: Callable[[], object], max_retries: int = 2):
-        """Failure-triggered recovery around any device entry point:
-        on error, probe the mesh, drop the tail device, re-shard over
-        the survivors, and retry — degraded capacity, same results."""
+        """Failure-triggered recovery around any device entry point.
+
+        On error: whole-mesh probe (fast path).  Unhealthy → per-device
+        probes evict EXACTLY the dead device(s) in one rebuild.
+        Healthy → the failure was transient: retry without eviction;
+        repeated healthy-mesh failures fall back to a drop-one rebuild
+        as a last resort (rebuilding also clears poisoned state)."""
         last_err: Optional[Exception] = None
+        healthy_failures = 0
         for attempt in range(max_retries + 1):
             try:
                 if self._failure_injector is not None:
@@ -195,17 +244,46 @@ class ElasticShardedIndex:
                         None,
                     )
                     injector()
+                if self._injected_bad & set(self.devices):
+                    raise RuntimeError(
+                        "injected device failure: "
+                        f"{self._injected_bad & set(self.devices)}"
+                    )
                 return call()
             except Exception as e:  # noqa: BLE001 - recovery contract
                 last_err = e
                 logger.warning(
                     "sharded call failed (attempt %d): %s", attempt + 1, e
                 )
-                if len(self.devices) <= 1:
-                    break
-                if not self.probe():
-                    logger.warning("mesh unhealthy; shrinking by one device")
-                self.remove_devices([self.devices[-1]])
+                if self.probe():
+                    healthy_failures += 1
+                    if healthy_failures == 1:
+                        logger.info("mesh probes healthy; retrying "
+                                    "without eviction (transient)")
+                        continue
+                    if len(self.devices) <= 1:
+                        break
+                    # repeated failures on a healthy mesh: rebuild
+                    # smaller as a last resort
+                    logger.warning(
+                        "repeated failure with healthy probes; "
+                        "last-resort drop-one rebuild"
+                    )
+                    self.remove_devices([self.devices[-1]])
+                    continue
+                bad = self.localize_failures()
+                if not bad:
+                    # mesh collective failed but every device answers
+                    # alone (e.g. ICI link issue): shrink by one
+                    bad = [self.devices[-1]]
+                if len(bad) >= len(self.devices):
+                    break  # nothing healthy to recover onto
+                logger.warning(
+                    "evicting %d unhealthy device(s): %s",
+                    len(bad),
+                    bad,
+                )
+                self.remove_devices(bad)
         raise RuntimeError(
             "sharded call failed after recovery attempts"
         ) from last_err

@@ -62,20 +62,73 @@ def test_elastic_reshard_smaller_mesh(rng):
     assert idx.rebuilds == 1
 
 
-def test_elastic_recovers_from_injected_failure(rng):
+def test_elastic_transient_failure_keeps_capacity(rng):
+    """A one-shot failure with a HEALTHY mesh is transient: recovery
+    retries without evicting anyone (VERDICT r2 #4 — the old code
+    threw away a healthy tail device here)."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
     x = rng.randn(500, 16).astype(np.float32)
     idx = ElasticShardedIndex(x, topk_mode="exact")
+    n_dev = len(idx.devices)
     q = x[3:4]
 
     def boom():
-        raise RuntimeError("simulated collective failure")
+        raise RuntimeError("simulated transient failure")
 
     idx.inject_search_failure(boom)
-    res = idx.search(q, k=3)  # recovery path: shrink + retry
+    res = idx.search(q, k=3)  # recovery path: retry, no eviction
     assert res.indices[0, 0] == 3
-    assert idx.rebuilds >= 1
+    assert idx.rebuilds == 0
+    assert len(idx.devices) == n_dev
+
+
+def test_elastic_localizes_specific_dead_device(rng):
+    """A persistently-dead device (fails searches AND its own probe)
+    is localized by per-device probes and EXACTLY it leaves the mesh:
+    one rebuild, healthy devices kept, results unchanged."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    x = rng.randn(900, 16).astype(np.float32)
+    idx = ElasticShardedIndex(x, topk_mode="exact")
+    q = rng.randn(3, 16).astype(np.float32)
+    before = idx.search(q, k=5)
+    victim = idx.devices[2]  # NOT the tail — the old heuristic would
+    survivors_expected = [d for d in idx.devices if d != victim]
+
+    idx.inject_device_failure(victim)
+    after = idx.search(q, k=5)
+
+    assert idx.rebuilds == 1  # exactly one re-shard
+    assert victim not in idx.devices
+    assert idx.devices == survivors_expected  # only the dead one left
+    np.testing.assert_array_equal(before.indices, after.indices)
+    np.testing.assert_allclose(before.scores, after.scores, rtol=1e-5)
+
+
+def test_elastic_localizes_multiple_dead_devices(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    x = rng.randn(600, 16).astype(np.float32)
+    idx = ElasticShardedIndex(x, topk_mode="exact")
+    q = x[7:9]
+    bad = [idx.devices[1], idx.devices[5]]
+    for d in bad:
+        idx.inject_device_failure(d)
+    res = idx.search(q, k=2)
+    assert res.indices[0, 0] == 7
+    assert idx.rebuilds == 1  # both evicted in ONE rebuild
+    assert all(d not in idx.devices for d in bad)
+    assert len(idx.devices) == 6
+
+
+def test_probe_device_reports_health(rng):
+    x = rng.randn(64, 8).astype(np.float32)
+    idx = ElasticShardedIndex(x, topk_mode="exact")
+    assert all(idx.probe_device(d) for d in idx.devices)
+    idx.inject_device_failure(idx.devices[0])
+    assert not idx.probe_device(idx.devices[0])
+    assert idx.localize_failures() == [idx.devices[0]]
 
 
 def test_elastic_no_devices_left(rng):

@@ -231,13 +231,25 @@ def test_elastic_engine_survives_injected_failure(bundled_index_path):
     assert eng.index.layout()["elastic"] is True
     baseline = eng.search_rerank("celebrity interview", k=4, candidates=12)
 
+    # transient failure (healthy mesh): retry, NO eviction
     def boom():
-        raise RuntimeError("injected device loss")
+        raise RuntimeError("injected transient failure")
 
     eng.index.inject_search_failure(boom)
     out = eng.search_rerank("celebrity interview", k=4, candidates=12)
+    assert eng.index.rebuilds == 0
+    assert eng.index.layout()["mesh"]["model"] == 8  # capacity kept
+    assert [h["index"] for h in out["results"][0]] == [
+        h["index"] for h in baseline["results"][0]
+    ]
+
+    # persistent device death: localized eviction of exactly that chip
+    victim = eng.index.devices[3]
+    eng.index.inject_device_failure(victim)
+    out = eng.search_rerank("celebrity interview", k=4, candidates=12)
     assert eng.index.rebuilds == 1
-    assert eng.index.layout()["mesh"]["model"] == 7  # one device dropped
+    assert eng.index.layout()["mesh"]["model"] == 7
+    assert victim not in eng.index.devices
     assert [h["index"] for h in out["results"][0]] == [
         h["index"] for h in baseline["results"][0]
     ]
@@ -247,7 +259,7 @@ def test_elastic_engine_survives_injected_failure(bundled_index_path):
     # appends survive re-sharding (master copy mirrors the live index)
     n0 = eng.index.ntotal
     eng.index.add(eng.index.sample_rows([0]) + 0.5)
-    eng.index.inject_search_failure(boom)
+    eng.index.inject_device_failure(eng.index.devices[-1])
     res = eng.search(eng.index.sample_rows([n0]), k=1)
     assert res.indices[0, 0] == n0
     assert eng.index.rebuilds == 2
