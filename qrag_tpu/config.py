@@ -160,6 +160,11 @@ class ServingConfig:
     default_top_k: int = 5
     # Request padding buckets (XLA static shapes; SURVEY.md §7 hard part 5).
     doc_buckets: Tuple[int, ...] = (8, 32, 128, 512)
+    # Query-batch buckets engine.warmup() pre-compiles: the batcher
+    # pads coalesced batches to pow2 buckets >= 8 (utils/buckets.py),
+    # so without these the FIRST coalesced production batch pays a
+    # fresh (possibly 30-300 s tunnel) compile.
+    warmup_batch_buckets: Tuple[int, ...] = (1, 8, 32)
 
 
 @dataclass

@@ -685,18 +685,67 @@ class QragEngine:
 
     # ------------------------------------------------------------- lifecycle
 
-    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> float:
+    def warmup(
+        self,
+        batch_sizes: Optional[Sequence[int]] = None,
+        doc_buckets: Optional[Sequence[int]] = None,
+    ) -> float:
         """Pre-compile the hot graphs (cf. eager model load at startup,
-        ``app.py:53``).  Returns seconds spent."""
+        ``app.py:53``).  Returns seconds spent.
+
+        Covers the BUCKETED serving shapes, not just b=1: the batcher
+        pads coalesced query batches to pow2 buckets
+        (``utils/buckets.py``) and the quantum doc-list rerank pads doc
+        counts the same way, so the compiled-shape set after warmup is
+        exactly what production batches hit
+        (tests/test_warmup_buckets.py asserts zero new compilations on
+        the first batched requests)."""
         t0 = time.time()
         if self.index.ntotal == 0:
             return 0.0
+        if batch_sizes is None:
+            batch_sizes = self.config.serving.warmup_batch_buckets
+        if doc_buckets is None:
+            doc_buckets = self.config.serving.doc_buckets
+        n = self.index.ntotal
+        k = min(10, n)  # /search and /search_rerank serving default
+        candidates = min(100, n)  # /search_rerank serving default
         for b in batch_sizes:
             q = np.zeros((b, self.index.d), dtype=np.float32)
-            self.index.search(q, k=min(10, self.index.ntotal))
-            self.search_rerank(q, k=min(5, self.index.ntotal), candidates=min(50, self.index.ntotal))
+            self.index.search(q, k=k)
+            self.search_rerank(q, k=min(k, candidates), candidates=candidates)
+        # the batcher's coalesced (R, D)-shaped quantum doc rerank and
+        # the single-request bucketed fidelity path
+        qr = self.controller.quantum_reranker
+        if qr is not None and self.config.quantum.method == "state_fidelity":
+            from qrag_tpu.ops.statevector import batched_fidelity
+            from qrag_tpu.serving.batcher import _multi_fidelity_fn
+
+            dim = np.asarray(qr.embedder(["warmup"])).shape[1]
+            fid_fn = _multi_fidelity_fn(
+                qr.n_qubits,
+                bool(qr.config.use_analytic_fidelity),
+                qr.config.encoding,
+            )
+            for db in doc_buckets:
+                docs = np.zeros((db, dim), np.float32)
+                np.asarray(fid_fn(np.zeros((1, dim), np.float32), docs[None]))
+                if qr.config.encoding != "amplitude":
+                    np.asarray(
+                        batched_fidelity(
+                            jnp.zeros((dim,), jnp.float32),
+                            jnp.asarray(docs),
+                            n_qubits=qr.n_qubits,
+                            analytic=bool(qr.config.use_analytic_fidelity),
+                        )
+                    )
         dt = time.time() - t0
-        logger.info("engine warmup in %.2fs", dt)
+        logger.info(
+            "engine warmup in %.2fs (batch buckets %s, doc buckets %s)",
+            dt,
+            tuple(batch_sizes),
+            tuple(doc_buckets),
+        )
         return dt
 
     def save(self, directory: str) -> None:
