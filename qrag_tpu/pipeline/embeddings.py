@@ -100,7 +100,7 @@ class OpenAIEmbedder:
                 Name=self.config.ssm_api_key_param, WithDecryption=True
             )
             return resp["Parameter"]["Value"]
-        except Exception as e:  # pragma: no cover - needs AWS
+        except Exception as e:
             raise RuntimeError(
                 "OpenAI API key unavailable: set OPENAI_API_KEY or configure "
                 f"SSM parameter {self.config.ssm_api_key_param}"
@@ -118,7 +118,7 @@ class OpenAIEmbedder:
             self._client = OpenAI(api_key=self._get_api_key())
         return self._client
 
-    def __call__(self, texts: Sequence[str]) -> np.ndarray:  # pragma: no cover
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
         client = self._client_or_raise()
         out: List[np.ndarray] = []
         for text in texts:

@@ -95,7 +95,7 @@ class LocalTranscriptStore:
         return out
 
 
-class S3TranscriptStore:  # pragma: no cover - needs AWS
+class S3TranscriptStore:
     """The reference's S3 path: bucket from SSM
     ``/app/app_storage_bucket``, paginated scan, per-key GET."""
 

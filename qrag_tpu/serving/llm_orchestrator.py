@@ -41,7 +41,7 @@ def _get_api_key(ssm_param: str = "/openai/api_key") -> str:
     )["Parameter"]["Value"]
 
 
-class OpenAIOrchestrator:  # pragma: no cover - needs openai
+class OpenAIOrchestrator:
     def __init__(
         self,
         client,
