@@ -86,6 +86,16 @@ class CrossEncoderConfig:
     # rematerialize each block's activations in backward (trade FLOPs
     # for HBM — jax.checkpoint per layer)
     remat: bool = False
+    # Scoring head.  "cls": linear on the CLS vector (the classic
+    # cross-encoder readout).  "interaction": CLS logit + tau * cosine
+    # of the segment-pooled query/doc representations — the query and
+    # doc tokens still cross-attend in every layer (full early
+    # interaction), but the readout inherits the bi-encoder's
+    # similarity geometry, which trains far faster from scratch on
+    # small data (models/rerank_eval.py uses this; the fixed logit
+    # scale mirrors BiEncoderConfig.temperature).
+    head_type: str = "cls"
+    interaction_temp: float = 20.0
 
 
 # ------------------------------------------------------------------- params
@@ -114,6 +124,13 @@ def init_params(key: jax.Array, cfg: CrossEncoderConfig) -> Dict[str, Any]:
         "head": _init_linear(next(keys), cfg.dim, 1),
         "layers": [],
     }
+    if cfg.head_type == "interaction":
+        # segment-pool projection (see forward): without it the pooled
+        # LN features share a dominant common mode and every pair's
+        # cosine starts ~1 — the projection is what lets the
+        # similarity head separate (the bi-encoder's proj plays the
+        # same role, bi_encoder.py:75)
+        params["iproj"] = _init_linear(next(keys), cfg.dim, cfg.dim)
     hidden = cfg.dim * cfg.mlp_ratio
     for _ in range(cfg.n_layers):
         lk = iter(jax.random.split(next(keys), 10))
@@ -178,13 +195,16 @@ def partition_spec(cfg: CrossEncoderConfig) -> Dict[str, Any]:
             "w1": {"w": P(None, "model"), "b": P("model")},
             "w2": {"w": P("model", None), "b": P()},
         }
-    return {
+    spec = {
         "tok_emb": P(),
         "pos_emb": P(),
         "final_ln": {"g": P(), "b": P()},
         "head": {"w": P(), "b": P()},
         "layers": [layer_spec] * cfg.n_layers,
     }
+    if cfg.head_type == "interaction":
+        spec["iproj"] = {"w": P(), "b": P()}
+    return spec
 
 
 # ------------------------------------------------------------------ forward
@@ -284,6 +304,24 @@ def forward(
     )
     cls = x[:, 0, :]  # CLS pooling
     logit = jnp.dot(cls, params["head"]["w"][:, 0]) + params["head"]["b"][0]
+    if cfg.head_type == "interaction":
+        # segment ids from the [CLS] q [SEP] d [SEP] framing: tokens
+        # before the first SEP are the query, after it the document
+        seg = jnp.cumsum((tokens == SEP_ID).astype(jnp.int32), axis=1)
+        live = mask > 0
+        is_q = (seg == 0) & live & (tokens != CLS_ID)
+        is_d = (seg == 1) & live & (tokens != SEP_ID)
+
+        def _pool(sel):
+            m = sel.astype(jnp.float32)[..., None]
+            p = jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1e-6)
+            p = jnp.dot(p, params["iproj"]["w"]) + params["iproj"]["b"]
+            return p / jnp.clip(
+                jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12
+            )
+
+        sim = jnp.sum(_pool(is_q) * _pool(is_d), axis=-1)
+        logit = cfg.interaction_temp * sim + logit
     return logit.astype(jnp.float32)
 
 

@@ -1,0 +1,312 @@
+"""Cross-encoder rerank-quality training + evaluation harness.
+
+Closes the last parity-evidence gap vs the reference's core scorer
+(``/root/reference/src/reranker/classical.py:45-77``: a *pretrained*
+torch CrossEncoder): this environment has no weight downloads, so the
+claim "a classical reranker that beats embedding cosine" must be
+proven by TRAINING the JAX cross-encoder
+(``models/cross_encoder.py``) and measuring rerank quality against
+the cosine scorer the ClassicalReranker actually falls back to
+(HashEmbedder(256) cosine — ``reranker/classical.py:76,89``).
+
+Protocol (mirrors the recall_eval harness):
+  * deterministic transcript corpus (``pipeline/corpus_gen.py``),
+    split by EPISODE so eval queries target chunks the trainer never
+    saw;
+  * train on (query, chunk, label) pairs — positives are paraphrased
+    queries of the chunk, negatives are same-topic chunks (hard: the
+    model must use the chunk-identifying rare tokens, not just the
+    topic vocabulary) and random chunks (easy);
+  * eval: for each held-out chunk, rank a candidate set of the true
+    chunk + same-topic + random distractors; report top-1 accuracy,
+    MRR and nDCG@10 (single relevant doc: 1/log2(1+rank)).
+
+``python -m qrag_tpu.models.rerank_eval`` runs the full-size version
+and prints JSON; ``--weights-dir`` ships the weights in the
+ClassicalReranker's cache layout so ``method="cross-encoder"`` +
+``model_cache_dir`` picks them up directly.  Tests run a tiny config
+(tests/test_rerank_quality.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qrag_tpu.pipeline.corpus_gen import (
+    Chunk,
+    generate_corpus,
+    make_query,
+    split_by_episode,
+)
+
+
+@dataclass
+class RerankEvalConfig:
+    n_episodes: int = 48
+    chunks_per_episode: int = 8
+    holdout_frac: float = 0.25
+    steps: int = 600
+    batch: int = 64
+    lr: float = 3e-4
+    dim: int = 128
+    layers: int = 2
+    heads: int = 4
+    n_experts: int = 0  # dense FFN is stronger at this tiny scale
+    max_len: int = 128
+    candidates: int = 32  # rerank candidate-set size per eval query
+    queries_per_chunk: int = 2
+    hard_neg_frac: float = 0.5  # same-topic share of training negatives
+    seed: int = 0
+
+
+def _make_cfg(cfg: RerankEvalConfig):
+    import jax
+    import jax.numpy as jnp
+
+    from qrag_tpu.models.cross_encoder import CrossEncoderConfig
+
+    return CrossEncoderConfig(
+        dim=cfg.dim,
+        n_heads=cfg.heads,
+        n_layers=cfg.layers,
+        max_len=cfg.max_len,
+        n_experts=cfg.n_experts,
+        dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
+    )
+
+
+def train_cross_encoder(
+    cfg: RerankEvalConfig,
+    chunks: List[Chunk],
+    train_idx: Sequence[int],
+):
+    """BCE training on (query, chunk, relevance) pairs with hard
+    same-topic negatives.  Returns (CrossEncoderScorer, loss trace)."""
+    import jax
+    import optax
+
+    from qrag_tpu.models.cross_encoder import (
+        CrossEncoderScorer,
+        init_params,
+        make_train_step,
+        tokenize_pair,
+    )
+
+    ce_cfg = _make_cfg(cfg)
+    params = init_params(jax.random.PRNGKey(cfg.seed), ce_cfg)
+    optimizer = optax.adamw(cfg.lr, weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(ce_cfg, optimizer))
+
+    rng = np.random.RandomState(cfg.seed + 3)
+    ids = np.asarray(list(train_idx))
+    by_topic: Dict[str, List[int]] = {}
+    for i in train_idx:
+        by_topic.setdefault(chunks[i].topic, []).append(i)
+
+    losses: List[Tuple[int, float]] = []
+    half = cfg.batch // 2
+    for it in range(cfg.steps):
+        toks, masks, labels = [], [], []
+        # positives: (paraphrased query, its chunk) -> 1
+        pos = ids[rng.randint(len(ids), size=half)]
+        for ci in pos:
+            q = make_query(chunks[ci], rng)
+            t, m = tokenize_pair(q, chunks[ci].text, cfg.max_len)
+            toks.append(t)
+            masks.append(m)
+            labels.append(1.0)
+        # negatives: same query style against the WRONG chunk -> 0
+        neg = ids[rng.randint(len(ids), size=cfg.batch - half)]
+        for ci in neg:
+            q = make_query(chunks[ci], rng)
+            if rng.rand() < cfg.hard_neg_frac:
+                # hard: another chunk of the SAME topic (shares the
+                # topic vocabulary; only the rare tokens disambiguate)
+                pool = by_topic[chunks[ci].topic]
+                nj = pool[rng.randint(len(pool))]
+                if nj == ci and len(pool) > 1:
+                    nj = pool[(pool.index(ci) + 1) % len(pool)]
+            else:
+                nj = int(ids[rng.randint(len(ids))])
+                if nj == ci:
+                    nj = int(ids[(rng.randint(len(ids)))])
+            if nj == ci:
+                continue
+            t, m = tokenize_pair(q, chunks[nj].text, cfg.max_len)
+            toks.append(t)
+            masks.append(m)
+            labels.append(0.0)
+        import jax.numpy as jnp
+
+        params, opt_state, loss = step(
+            params,
+            opt_state,
+            jnp.asarray(np.stack(toks)),
+            jnp.asarray(np.stack(masks)),
+            jnp.asarray(np.asarray(labels, np.float32)),
+        )
+        if it % 50 == 0 or it == cfg.steps - 1:
+            losses.append((it, float(loss)))
+    return CrossEncoderScorer(ce_cfg, params=params), losses
+
+
+# ------------------------------------------------------------------ scoring
+
+
+def _cosine_scorer(embedder):
+    """The ClassicalReranker's cosine scoring exactly
+    (``reranker/classical.py:89-93``)."""
+    import jax.numpy as jnp
+
+    from qrag_tpu.ops.topk import cosine_scores
+
+    def score(query: str, docs: List[str]) -> np.ndarray:
+        embeds = embedder([query] + list(docs))
+        q, d = embeds[:1], embeds[1:]
+        return np.asarray(cosine_scores(jnp.asarray(q), jnp.asarray(d)))[0]
+
+    return score
+
+
+def _eval_cases(
+    cfg: RerankEvalConfig,
+    chunks: List[Chunk],
+    hold_idx: Sequence[int],
+    seed: int = 17,
+) -> List[Tuple[str, List[int], int]]:
+    """(query, candidate chunk ids, position of the true chunk)."""
+    rng = np.random.RandomState(seed)
+    all_ids = np.arange(len(chunks))
+    by_topic: Dict[str, List[int]] = {}
+    for i, c in enumerate(chunks):
+        by_topic.setdefault(c.topic, []).append(i)
+    cases = []
+    for ci in hold_idx:
+        for _ in range(cfg.queries_per_chunk):
+            q = make_query(chunks[ci], rng)
+            same = [j for j in by_topic[chunks[ci].topic] if j != ci]
+            n_hard = min(len(same), (cfg.candidates - 1) // 2)
+            hard = list(rng.choice(same, size=n_hard, replace=False))
+            pool = [j for j in all_ids if j != ci and j not in set(hard)]
+            rand = list(
+                rng.choice(pool, size=cfg.candidates - 1 - n_hard, replace=False)
+            )
+            cand = [ci] + hard + rand
+            order = rng.permutation(len(cand))
+            cand = [cand[o] for o in order]
+            cases.append((q, cand, cand.index(ci)))
+    return cases
+
+
+def eval_ranker(
+    score_fn,
+    chunks: List[Chunk],
+    cases: List[Tuple[str, List[int], int]],
+) -> Dict[str, float]:
+    """top-1 / MRR / nDCG@10 of a (query, docs)->scores ranker over
+    the candidate sets (single relevant doc per case)."""
+    top1 = mrr = ndcg = 0.0
+    for q, cand, true_pos in cases:
+        scores = np.asarray(score_fn(q, [chunks[j].text for j in cand]))
+        # descending scores; ties break to the earlier candidate
+        order = np.argsort(-scores, kind="stable")
+        rank = int(np.where(order == true_pos)[0][0]) + 1  # 1-based
+        top1 += rank == 1
+        mrr += 1.0 / rank
+        ndcg += 1.0 / math.log2(rank + 1) if rank <= 10 else 0.0
+    n = len(cases)
+    return {
+        "top1": round(top1 / n, 4),
+        "mrr": round(mrr / n, 4),
+        "ndcg@10": round(ndcg / n, 4),
+    }
+
+
+def run_eval(
+    cfg: Optional[RerankEvalConfig] = None,
+    weights_dir: Optional[str] = None,
+) -> Dict[str, object]:
+    from qrag_tpu.models.cross_encoder import CrossEncoderScorer
+    from qrag_tpu.pipeline.embeddings import HashEmbedder
+
+    cfg = cfg or RerankEvalConfig()
+    chunks = generate_corpus(
+        cfg.n_episodes, cfg.chunks_per_episode, seed=cfg.seed
+    )
+    train_idx, hold_idx = split_by_episode(
+        chunks, cfg.holdout_frac, seed=cfg.seed + 1
+    )
+    t0 = time.time()
+    scorer, losses = train_cross_encoder(cfg, chunks, train_idx)
+    train_s = time.time() - t0
+    cases = _eval_cases(cfg, chunks, hold_idx)
+
+    out: Dict[str, object] = {
+        "corpus_chunks": len(chunks),
+        "held_out_chunks": len(hold_idx),
+        "eval_cases": len(cases),
+        "candidates_per_case": cfg.candidates,
+        "steps": cfg.steps,
+        "train_seconds": round(train_s, 1),
+        "loss_trace": losses,
+    }
+    out["cross_encoder_trained"] = eval_ranker(scorer.score, chunks, cases)
+    # the production fallback baseline: HashEmbedder(256) cosine
+    # (reranker/classical.py:76) — "embedding cosine"
+    out["cosine_hash"] = eval_ranker(
+        _cosine_scorer(HashEmbedder(dim=256)), chunks, cases
+    )
+    # untrained floor: random-init cross-encoder
+    untrained = CrossEncoderScorer(_make_cfg(cfg), seed=cfg.seed + 9)
+    out["cross_encoder_untrained"] = eval_ranker(
+        untrained.score, chunks, cases
+    )
+    # stronger cosine baseline when the shipped bi-encoder exists
+    bi_dir = os.path.join("artifacts", "bi_encoder")
+    if os.path.isdir(bi_dir):
+        try:
+            from qrag_tpu.config import EmbeddingConfig
+            from qrag_tpu.pipeline.embeddings import get_embedder
+
+            bi = get_embedder(
+                EmbeddingConfig(provider="trained", model=bi_dir, dim=128)
+            )
+            out["cosine_trained_bi_encoder"] = eval_ranker(
+                _cosine_scorer(bi), chunks, cases
+            )
+        except Exception as e:  # noqa: BLE001 - optional baseline
+            out["cosine_trained_bi_encoder_error"] = str(e)
+
+    if weights_dir:
+        scorer.save(weights_dir)
+        out["weights_dir"] = weights_dir
+    return out
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="train + rerank-quality eval (cross-encoder vs cosine)"
+    )
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--episodes", type=int, default=48)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--weights-dir", default=None)
+    args = p.parse_args(argv)
+    cfg = RerankEvalConfig(
+        steps=args.steps, n_episodes=args.episodes, batch=args.batch
+    )
+    print(json.dumps(run_eval(cfg, weights_dir=args.weights_dir), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,3 +146,45 @@ def test_refined_mode_through_index(rng):
     res = idx.search(x[99:100], k=3)
     assert res.indices[0, 0] == 99
     assert res.scores[0, 0] < 1e-4
+
+
+def test_verified_jit_mode(rng):
+    """scan_topk_verified_jit: exact values/indices, usable inside a
+    jit'd scan (the host verified path cannot be), fallback count
+    exposed."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from qrag_tpu.ops.topk import l2_topk, scan_topk_verified_jit
+
+    x = rng.randn(6000, 32).astype(np.float32)
+    q = rng.randn(8, 32).astype(np.float32)
+    sq = np.sum(x * x, axis=1)
+    vals, idx, n_bad = scan_topk_verified_jit(
+        jnp.asarray(q), jnp.asarray(x), 5, metric="l2",
+        corpus_sqnorms=jnp.asarray(sq),
+    )
+    want_v, want_i = l2_topk(jnp.asarray(q), jnp.asarray(x), 5,
+                             corpus_sqnorms=jnp.asarray(sq))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(want_v), rtol=1e-5, atol=1e-5
+    )
+    assert int(np.asarray(n_bad)) == 0
+
+    # inside a jit'd scan (the bench loop shape)
+    @functools.partial(jax.jit, static_argnames=("k", "iters"))
+    def loop(queries, corpus, sqn, k, iters):
+        def body(carry, _):
+            v, i, nb = scan_topk_verified_jit(
+                carry, corpus, k, metric="l2", corpus_sqnorms=sqn
+            )
+            return carry + (1e-9 * v[:, :1]).astype(carry.dtype), nb
+
+        _, nbs = jax.lax.scan(body, queries, None, length=iters)
+        return nbs.sum()
+
+    total_bad = loop(jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), 5, 3)
+    assert int(np.asarray(total_bad)) == 0
