@@ -165,6 +165,13 @@ class TrainedEmbedder:
         seed: int = 0,
         batch_size: int = 64,
     ):
+        # a weights dir's config.json is authoritative for the tower
+        # geometry — without it a caller-supplied cfg with different
+        # dims crashes the npz unflatten (r2's shipped artifact bug)
+        if weights_dir:
+            saved = _load_config(weights_dir)
+            if saved is not None:
+                cfg = saved
         if cfg is None:
             cfg = BiEncoderConfig(
                 tower=CrossEncoderConfig(
@@ -213,6 +220,27 @@ class TrainedEmbedder:
             os.path.join(directory, "bi_encoder.npz"),
             **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)},
         )
+        import json
+
+        t = self.cfg.tower
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(
+                {
+                    "tower": {
+                        "vocab_size": t.vocab_size,
+                        "max_len": t.max_len,
+                        "dim": t.dim,
+                        "n_heads": t.n_heads,
+                        "n_layers": t.n_layers,
+                        "mlp_ratio": t.mlp_ratio,
+                        "n_experts": t.n_experts,
+                    },
+                    "out_dim": self.cfg.out_dim,
+                    "temperature": self.cfg.temperature,
+                },
+                f,
+                indent=2,
+            )
 
     def load(self, directory: str) -> None:
         data = np.load(os.path.join(directory, "bi_encoder.npz"))
@@ -220,6 +248,34 @@ class TrainedEmbedder:
         self.params = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(data[f"p{i}"]) for i in range(len(flat))]
         )
+
+
+def _load_config(directory: str) -> Optional[BiEncoderConfig]:
+    """Read a saved config.json (runtime picks the dtype)."""
+    import json
+
+    path = os.path.join(directory, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    t = d.get("tower", {})
+    return BiEncoderConfig(
+        tower=CrossEncoderConfig(
+            vocab_size=t.get("vocab_size", 259),
+            max_len=t.get("max_len", 128),
+            dim=t.get("dim", 256),
+            n_heads=t.get("n_heads", 8),
+            n_layers=t.get("n_layers", 4),
+            mlp_ratio=t.get("mlp_ratio", 4),
+            n_experts=t.get("n_experts", 4),
+            dtype=jnp.bfloat16
+            if jax.default_backend() == "tpu"
+            else jnp.float32,
+        ),
+        out_dim=d.get("out_dim", 256),
+        temperature=d.get("temperature", 20.0),
+    )
 
 
 def synthetic_pairs(

@@ -86,14 +86,22 @@ class CrossEncoderConfig:
     # rematerialize each block's activations in backward (trade FLOPs
     # for HBM — jax.checkpoint per layer)
     remat: bool = False
-    # Scoring head.  "cls": linear on the CLS vector (the classic
-    # cross-encoder readout).  "interaction": CLS logit + tau * cosine
-    # of the segment-pooled query/doc representations — the query and
-    # doc tokens still cross-attend in every layer (full early
-    # interaction), but the readout inherits the bi-encoder's
-    # similarity geometry, which trains far faster from scratch on
-    # small data (models/rerank_eval.py uses this; the fixed logit
-    # scale mirrors BiEncoderConfig.temperature).
+    # Scoring head / architecture variant.
+    #
+    # "cls": linear on the CLS vector (the classic cross-encoder
+    # readout).
+    #
+    # "interaction": the GATED cross-attention variant
+    # (models/rerank_eval.py).  Query and document segments get
+    # per-segment positions and segment-restricted attention, so at
+    # initialization the model is EXACTLY the two-tower bi-encoder
+    # run in one sequence (warm-startable from its weights,
+    # equivalence tested to 1e-5); each layer adds a tanh-gated
+    # cross-segment attention term initialized CLOSED (alpha=0, unit
+    # gradient), so fine-tuning opens early interaction only where it
+    # helps.  Readout: tau * cosine(segment pools through iproj)
+    # + a zero-init CLS logit.  The fixed logit scale mirrors
+    # BiEncoderConfig.temperature.
     head_type: str = "cls"
     interaction_temp: float = 20.0
 
@@ -142,6 +150,9 @@ def init_params(key: jax.Array, cfg: CrossEncoderConfig) -> Dict[str, Any]:
                 "out": _init_linear(next(lk), cfg.dim, cfg.dim),
             },
         }
+        if cfg.head_type == "interaction":
+            # per-layer cross-segment attention gate, CLOSED at init
+            layer["xgate"] = jnp.zeros((), jnp.float32)
         if cfg.n_experts > 0:
             ek = jax.random.split(next(lk), 2)
             layer["moe"] = {
@@ -182,6 +193,8 @@ def partition_spec(cfg: CrossEncoderConfig) -> Dict[str, Any]:
             "out": {"w": P("model", None), "b": P()},
         },
     }
+    if cfg.head_type == "interaction":
+        layer_spec["xgate"] = P()
     if cfg.n_experts > 0:
         layer_spec["moe"] = {
             "router": {"w": P(), "b": P()},
@@ -244,6 +257,32 @@ def _attention(p, x, mask, n_heads):
     return _linear(p["out"], out)
 
 
+def _attention_pair(p, x, allowed, n_heads):
+    """Attention with an explicit (B, Tq, Tk) boolean allowed matrix
+    (the interaction variant's segment-restricted / full passes share
+    one qkv projection, so gating mixes OUTPUTS, not weights)."""
+    b, t, d = x.shape
+    qkv = _linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = d // n_heads
+
+    def heads(z):
+        return z.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    neg = jnp.asarray(-1e9, scores.dtype)
+    scores = jnp.where(allowed[:, None, :, :], scores, neg)
+    att = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32
+    )
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, d)
+    return _linear(p["out"], out)
+
+
 def _moe_ffn(p, x):
     """Soft-routed MoE FFN (dense dispatch over a sharded expert axis).
 
@@ -292,6 +331,8 @@ def forward(
     cfg: CrossEncoderConfig,
 ) -> jnp.ndarray:
     """Relevance logits (B,)."""
+    if cfg.head_type == "interaction":
+        return _interaction_forward(params, tokens, mask, cfg)
     x = params["tok_emb"][tokens] + params["pos_emb"][None, : tokens.shape[1]]
     x = x.astype(cfg.dtype)
     block = functools.partial(_block, n_heads=cfg.n_heads, dtype=cfg.dtype)
@@ -304,25 +345,75 @@ def forward(
     )
     cls = x[:, 0, :]  # CLS pooling
     logit = jnp.dot(cls, params["head"]["w"][:, 0]) + params["head"]["b"][0]
-    if cfg.head_type == "interaction":
-        # segment ids from the [CLS] q [SEP] d [SEP] framing: tokens
-        # before the first SEP are the query, after it the document
-        seg = jnp.cumsum((tokens == SEP_ID).astype(jnp.int32), axis=1)
-        live = mask > 0
-        is_q = (seg == 0) & live & (tokens != CLS_ID)
-        is_d = (seg == 1) & live & (tokens != SEP_ID)
-
-        def _pool(sel):
-            m = sel.astype(jnp.float32)[..., None]
-            p = jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1e-6)
-            p = jnp.dot(p, params["iproj"]["w"]) + params["iproj"]["b"]
-            return p / jnp.clip(
-                jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12
-            )
-
-        sim = jnp.sum(_pool(is_q) * _pool(is_d), axis=-1)
-        logit = cfg.interaction_temp * sim + logit
     return logit.astype(jnp.float32)
+
+
+def _interaction_forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,  # (B, T) [CLS] q [SEP] d [SEP] framing
+    mask: jnp.ndarray,
+    cfg: CrossEncoderConfig,
+) -> jnp.ndarray:
+    """Gated cross-attention variant.
+
+    Exact two-tower equivalence at init (tested): per-SEGMENT
+    positions (query bytes at 0.., doc bytes restart at 0..),
+    attention restricted to same-segment non-special keys, readout
+    tau*cosine of the segment pools through ``iproj``.  Each layer
+    adds tanh(xgate)*(full-attention - segment-attention) with
+    xgate=0 at init — closed gate, unit gradient — so fine-tuning
+    learns WHERE cross-segment (early) interaction helps.  The CLS
+    logit (zero-init head) rides on top."""
+    b, t = tokens.shape
+    # segments: 0 = [CLS]+query, 1 = document, >=2 = trailing
+    seg = jnp.cumsum((tokens == SEP_ID).astype(jnp.int32), axis=1)
+    live = mask > 0
+    special = (tokens == CLS_ID) | (tokens == SEP_ID) | (tokens == PAD_ID)
+    key_ok = live & ~special
+    same = (seg[:, :, None] == seg[:, None, :]) & key_ok[:, None, :]
+    full = jnp.broadcast_to(key_ok[:, None, :], same.shape)
+    # per-segment positions: query bytes 0.. (CLS sits before 0),
+    # doc bytes 0.. from just after the first SEP
+    first_sep = jnp.argmax((tokens == SEP_ID).astype(jnp.int32), axis=1)
+    pos = jnp.arange(t)[None, :]
+    pos_in = jnp.where(seg == 0, pos - 1, pos - (first_sep + 1)[:, None])
+    pos_in = jnp.clip(pos_in, 0, params["pos_emb"].shape[0] - 1)
+    x = params["tok_emb"][tokens] + params["pos_emb"][pos_in]
+    x = x.astype(cfg.dtype)
+    for layer in params["layers"]:
+        h = _layer_norm(
+            x.astype(jnp.float32), layer["ln1"]["g"], layer["ln1"]["b"]
+        ).astype(cfg.dtype)
+        a_same = _attention_pair(layer["attn"], h, same, cfg.n_heads)
+        a_full = _attention_pair(layer["attn"], h, full, cfg.n_heads)
+        gate = jnp.tanh(layer["xgate"]).astype(jnp.float32)
+        mixed = a_same.astype(jnp.float32) + gate * (
+            a_full.astype(jnp.float32) - a_same.astype(jnp.float32)
+        )
+        x = x + mixed.astype(cfg.dtype)
+        h = _layer_norm(
+            x.astype(jnp.float32), layer["ln2"]["g"], layer["ln2"]["b"]
+        ).astype(cfg.dtype)
+        if "moe" in layer:
+            x = x + _moe_ffn(layer["moe"], h)
+        else:
+            x = x + _dense_ffn(layer["mlp"], h)
+    x = _layer_norm(
+        x.astype(jnp.float32), params["final_ln"]["g"], params["final_ln"]["b"]
+    )
+    cls = x[:, 0, :]
+    logit = jnp.dot(cls, params["head"]["w"][:, 0]) + params["head"]["b"][0]
+    is_q = (seg == 0) & key_ok
+    is_d = (seg == 1) & key_ok
+
+    def _pool(sel):
+        m = sel.astype(jnp.float32)[..., None]
+        p = jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1e-6)
+        p = jnp.dot(p, params["iproj"]["w"]) + params["iproj"]["b"]
+        return p / jnp.clip(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+
+    sim = jnp.sum(_pool(is_q) * _pool(is_d), axis=-1)
+    return (cfg.interaction_temp * sim + logit).astype(jnp.float32)
 
 
 # ----------------------------------------------------------------- training

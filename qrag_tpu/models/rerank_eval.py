@@ -53,17 +53,24 @@ class RerankEvalConfig:
     chunks_per_episode: int = 8
     holdout_frac: float = 0.25
     steps: int = 600
-    batch: int = 64
+    batch: int = 16  # in-batch group size Q (Q^2 pair forwards/step)
     lr: float = 3e-4
     dim: int = 128
     layers: int = 2
     heads: int = 4
-    n_experts: int = 0  # dense FFN is stronger at this tiny scale
-    max_len: int = 128
+    n_experts: int = 4  # must match the warm-start tower when used
+    max_len: int = 224  # fits full query+doc; segment pos stay < 128
     candidates: int = 32  # rerank candidate-set size per eval query
     queries_per_chunk: int = 2
-    hard_neg_frac: float = 0.5  # same-topic share of training negatives
     seed: int = 0
+    # Warm-start the tower from the shipped bi-encoder (same
+    # architecture): the interaction head then inherits the trained
+    # two-tower ranking quality at step 0 and fine-tuning adds the
+    # cross-attention advantage — the standard init-cross-encoders-
+    # from-dual-encoders recipe.  None = train from scratch (a tiny
+    # byte transformer needs far more steps that way; a from-scratch
+    # CPU run was flat at ln(Q) after 1500 steps — PERFORMANCE.md r3).
+    init_from: Optional[str] = "artifacts/bi_encoder"
 
 
 def _make_cfg(cfg: RerankEvalConfig):
@@ -79,7 +86,50 @@ def _make_cfg(cfg: RerankEvalConfig):
         max_len=cfg.max_len,
         n_experts=cfg.n_experts,
         dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
+        head_type="interaction",
     )
+
+
+def warm_start_params(ce_cfg, weights_dir: str):
+    """Map trained bi-encoder weights onto the cross-encoder tree:
+    tower (tok/pos embeddings, blocks, final LN) verbatim, the
+    bi-encoder's projection becomes the interaction head's ``iproj``,
+    and the CLS head starts at zero so step-0 scores are purely the
+    inherited similarity."""
+    import jax
+    import jax.numpy as jnp
+
+    from qrag_tpu.models.bi_encoder import TrainedEmbedder
+    from qrag_tpu.models.cross_encoder import init_params
+
+    bi = TrainedEmbedder(weights_dir=weights_dir)
+    t = bi.cfg.tower
+    if (t.dim, t.n_heads, t.n_layers, t.n_experts) != (
+        ce_cfg.dim, ce_cfg.n_heads, ce_cfg.n_layers, ce_cfg.n_experts
+    ):
+        raise ValueError(
+            f"warm-start tower mismatch: artifact {t} vs requested {ce_cfg}"
+        )
+    if bi.cfg.out_dim != ce_cfg.dim:
+        raise ValueError(
+            "interaction iproj needs out_dim == dim to inherit proj "
+            f"(artifact out_dim={bi.cfg.out_dim}, dim={ce_cfg.dim})"
+        )
+    params = init_params(jax.random.PRNGKey(0), ce_cfg)
+    for key in ("tok_emb", "pos_emb", "final_ln"):
+        params[key] = bi.params[key]
+    # tower blocks verbatim; keep the fresh xgate (zeros = closed)
+    new_layers = []
+    for fresh, tower in zip(params["layers"], bi.params["layers"]):
+        merged = dict(tower)
+        merged["xgate"] = fresh["xgate"]
+        new_layers.append(merged)
+    params["layers"] = new_layers
+    params["iproj"] = bi.params["proj"]
+    params["head"] = jax.tree_util.tree_map(
+        jnp.zeros_like, params["head"]
+    )
+    return params
 
 
 def train_cross_encoder(
@@ -87,71 +137,64 @@ def train_cross_encoder(
     chunks: List[Chunk],
     train_idx: Sequence[int],
 ):
-    """BCE training on (query, chunk, relevance) pairs with hard
-    same-topic negatives.  Returns (CrossEncoderScorer, loss trace)."""
+    """In-batch listwise training: each step scores every (query_i,
+    doc_j) pair of a Q-group (Q^2 forwards) with softmax-CE on the
+    diagonal — the cross-encoder analogue of the bi-encoder's InfoNCE
+    (a pointwise-BCE/fresh-pairs recipe was flat at this scale).
+    Returns (CrossEncoderScorer, loss trace)."""
+    import functools
+    import os
+
     import jax
+    import jax.numpy as jnp
     import optax
 
     from qrag_tpu.models.cross_encoder import (
         CrossEncoderScorer,
+        forward,
         init_params,
-        make_train_step,
         tokenize_pair,
     )
 
     ce_cfg = _make_cfg(cfg)
-    params = init_params(jax.random.PRNGKey(cfg.seed), ce_cfg)
+    if cfg.init_from and os.path.isdir(cfg.init_from):
+        params = warm_start_params(ce_cfg, cfg.init_from)
+    else:
+        params = init_params(jax.random.PRNGKey(cfg.seed), ce_cfg)
     optimizer = optax.adamw(cfg.lr, weight_decay=1e-4)
     opt_state = optimizer.init(params)
-    step = jax.jit(make_train_step(ce_cfg, optimizer))
+
+    def inbatch_loss(p, tokens, mask):
+        qn, m, tl = tokens.shape
+        logits = forward(
+            p, tokens.reshape(qn * m, tl), mask.reshape(qn * m, tl), ce_cfg
+        ).reshape(qn, m)
+        lab = jnp.arange(qn)
+        return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[lab, lab])
+
+    @jax.jit
+    def step(p, st, tokens, mask):
+        loss, g = jax.value_and_grad(inbatch_loss)(p, tokens, mask)
+        up, st = optimizer.update(g, st, p)
+        return jax.tree_util.tree_map(lambda a, u: a + u, p, up), st, loss
 
     rng = np.random.RandomState(cfg.seed + 3)
     ids = np.asarray(list(train_idx))
-    by_topic: Dict[str, List[int]] = {}
-    for i in train_idx:
-        by_topic.setdefault(chunks[i].topic, []).append(i)
-
+    q_n = min(cfg.batch, len(ids))
     losses: List[Tuple[int, float]] = []
-    half = cfg.batch // 2
     for it in range(cfg.steps):
-        toks, masks, labels = [], [], []
-        # positives: (paraphrased query, its chunk) -> 1
-        pos = ids[rng.randint(len(ids), size=half)]
-        for ci in pos:
-            q = make_query(chunks[ci], rng)
-            t, m = tokenize_pair(q, chunks[ci].text, cfg.max_len)
-            toks.append(t)
-            masks.append(m)
-            labels.append(1.0)
-        # negatives: same query style against the WRONG chunk -> 0
-        neg = ids[rng.randint(len(ids), size=cfg.batch - half)]
-        for ci in neg:
-            q = make_query(chunks[ci], rng)
-            if rng.rand() < cfg.hard_neg_frac:
-                # hard: another chunk of the SAME topic (shares the
-                # topic vocabulary; only the rare tokens disambiguate)
-                pool = by_topic[chunks[ci].topic]
-                nj = pool[rng.randint(len(pool))]
-                if nj == ci and len(pool) > 1:
-                    nj = pool[(pool.index(ci) + 1) % len(pool)]
-            else:
-                nj = int(ids[rng.randint(len(ids))])
-                if nj == ci:
-                    nj = int(ids[(rng.randint(len(ids)))])
-            if nj == ci:
-                continue
-            t, m = tokenize_pair(q, chunks[nj].text, cfg.max_len)
-            toks.append(t)
-            masks.append(m)
-            labels.append(0.0)
-        import jax.numpy as jnp
-
+        picks = rng.choice(len(ids), size=q_n, replace=False)
+        cis = [int(ids[p_]) for p_ in picks]
+        qs = [make_query(chunks[c], rng) for c in cis]
+        toks = np.zeros((q_n, q_n, cfg.max_len), np.int32)
+        masks = np.zeros((q_n, q_n, cfg.max_len), np.float32)
+        for i in range(q_n):
+            for j in range(q_n):
+                t, m = tokenize_pair(qs[i], chunks[cis[j]].text, cfg.max_len)
+                toks[i, j] = t
+                masks[i, j] = m
         params, opt_state, loss = step(
-            params,
-            opt_state,
-            jnp.asarray(np.stack(toks)),
-            jnp.asarray(np.stack(masks)),
-            jnp.asarray(np.asarray(labels, np.float32)),
+            params, opt_state, jnp.asarray(toks), jnp.asarray(masks)
         )
         if it % 50 == 0 or it == cfg.steps - 1:
             losses.append((it, float(loss)))
@@ -269,21 +312,23 @@ def run_eval(
     out["cross_encoder_untrained"] = eval_ranker(
         untrained.score, chunks, cases
     )
-    # stronger cosine baseline when the shipped bi-encoder exists
-    bi_dir = os.path.join("artifacts", "bi_encoder")
-    if os.path.isdir(bi_dir):
-        try:
-            from qrag_tpu.config import EmbeddingConfig
-            from qrag_tpu.pipeline.embeddings import get_embedder
+    if cfg.init_from and os.path.isdir(cfg.init_from):
+        from qrag_tpu.models.bi_encoder import TrainedEmbedder
 
-            bi = get_embedder(
-                EmbeddingConfig(provider="trained", model=bi_dir, dim=128)
-            )
-            out["cosine_trained_bi_encoder"] = eval_ranker(
-                _cosine_scorer(bi), chunks, cases
-            )
-        except Exception as e:  # noqa: BLE001 - optional baseline
-            out["cosine_trained_bi_encoder_error"] = str(e)
+        # the STRONG cosine baseline the fine-tuned model must beat:
+        # the shipped trained bi-encoder's cosine
+        bi = TrainedEmbedder(weights_dir=cfg.init_from)
+        out["cosine_trained_bi_encoder"] = eval_ranker(
+            _cosine_scorer(bi), chunks, cases
+        )
+        # step-0 warm-start quality (inherited similarity, no
+        # fine-tuning): shows what fine-tuning adds on top
+        warm = CrossEncoderScorer(
+            _make_cfg(cfg), params=warm_start_params(_make_cfg(cfg), cfg.init_from)
+        )
+        out["cross_encoder_warmstart_step0"] = eval_ranker(
+            warm.score, chunks, cases
+        )
 
     if weights_dir:
         scorer.save(weights_dir)
