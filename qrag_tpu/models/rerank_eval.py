@@ -292,6 +292,25 @@ def run_eval(
     train_s = time.time() - t0
     cases = _eval_cases(cfg, chunks, hold_idx)
 
+    picked = "fine-tuned"
+    if cfg.init_from and os.path.isdir(cfg.init_from):
+        # ship whichever of {step-0 warm start, fine-tuned} validates
+        # better on TRAIN-episode queries (fresh seed — no peeking at
+        # the held-out episodes): fine-tuning can then never regress
+        # the shipped scorer below the inherited bi-encoder quality
+        from qrag_tpu.models.cross_encoder import CrossEncoderScorer
+
+        warm = CrossEncoderScorer(
+            _make_cfg(cfg),
+            params=warm_start_params(_make_cfg(cfg), cfg.init_from),
+        )
+        val_cases = _eval_cases(cfg, chunks, train_idx[: len(hold_idx)],
+                                seed=29)
+        val_ft = eval_ranker(scorer.score, chunks, val_cases)
+        val_w = eval_ranker(warm.score, chunks, val_cases)
+        if val_w["ndcg@10"] > val_ft["ndcg@10"]:
+            scorer, picked = warm, "warm-start (fine-tune regressed val)"
+
     out: Dict[str, object] = {
         "corpus_chunks": len(chunks),
         "held_out_chunks": len(hold_idx),
@@ -301,6 +320,10 @@ def run_eval(
         "train_seconds": round(train_s, 1),
         "loss_trace": losses,
     }
+    if cfg.init_from and os.path.isdir(cfg.init_from):
+        out["shipped_variant"] = picked
+        out["val_finetuned"] = val_ft
+        out["val_warmstart"] = val_w
     out["cross_encoder_trained"] = eval_ranker(scorer.score, chunks, cases)
     # the production fallback baseline: HashEmbedder(256) cosine
     # (reranker/classical.py:76) — "embedding cosine"
