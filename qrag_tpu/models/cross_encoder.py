@@ -448,6 +448,37 @@ def make_train_step(cfg: CrossEncoderConfig, optimizer):
 # ------------------------------------------------------------------- scorer
 
 
+def _geometry(cfg: CrossEncoderConfig) -> tuple:
+    return (
+        cfg.vocab_size, cfg.max_len, cfg.dim, cfg.n_heads, cfg.n_layers,
+        cfg.mlp_ratio, cfg.n_experts, cfg.head_type,
+    )
+
+
+def _load_scorer_config(directory: str) -> Optional[CrossEncoderConfig]:
+    import json
+
+    path = os.path.join(directory, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return CrossEncoderConfig(
+        vocab_size=d.get("vocab_size", VOCAB_SIZE),
+        max_len=d.get("max_len", 256),
+        dim=d.get("dim", 256),
+        n_heads=d.get("n_heads", 8),
+        n_layers=d.get("n_layers", 4),
+        mlp_ratio=d.get("mlp_ratio", 4),
+        n_experts=d.get("n_experts", 4),
+        head_type=d.get("head_type", "cls"),
+        interaction_temp=d.get("interaction_temp", 20.0),
+        dtype=jnp.bfloat16
+        if jax.default_backend() == "tpu"
+        else jnp.float32,
+    )
+
+
 class CrossEncoderScorer:
     """Inference wrapper used by ClassicalReranker's "cross-encoder"
     method: tokenization + jit forward, with weight load/save (the
@@ -480,18 +511,22 @@ class CrossEncoderScorer:
     @classmethod
     def from_config(cls, classical_config) -> "CrossEncoderScorer":
         """Build from a ClassicalConfig, loading cached weights if the
-        model_cache_dir has them."""
-        cfg = CrossEncoderConfig(
-            max_len=min(classical_config.max_sequence_length, 512),
-            dtype=jnp.bfloat16
-            if jax.default_backend() == "tpu"
-            else jnp.float32,
-        )
+        model_cache_dir has them.  A config.json saved next to the
+        weights is authoritative for the model geometry (shipped
+        artifacts may use the interaction variant / non-default dims)."""
         cache_dir = os.path.join(
             classical_config.model_cache_dir,
             classical_config.model_name.replace("/", "_"),
         )
         path = os.path.join(cache_dir, "params.npz")
+        cfg = _load_scorer_config(cache_dir)
+        if cfg is None:
+            cfg = CrossEncoderConfig(
+                max_len=min(classical_config.max_sequence_length, 512),
+                dtype=jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32,
+            )
         scorer = cls(cfg)
         if os.path.exists(path):
             scorer.load(cache_dir)
@@ -512,14 +547,40 @@ class CrossEncoderScorer:
     # -- persistence (flat npz; no orbax dependency at runtime) --------
 
     def save(self, directory: str) -> None:
+        import json
+
         os.makedirs(directory, exist_ok=True)
         flat, treedef = jax.tree_util.tree_flatten(self.params)
         np.savez(
             os.path.join(directory, "params.npz"),
             **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)},
         )
+        c = self.cfg
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(
+                {
+                    "vocab_size": c.vocab_size,
+                    "max_len": c.max_len,
+                    "dim": c.dim,
+                    "n_heads": c.n_heads,
+                    "n_layers": c.n_layers,
+                    "mlp_ratio": c.mlp_ratio,
+                    "n_experts": c.n_experts,
+                    "head_type": c.head_type,
+                    "interaction_temp": c.interaction_temp,
+                },
+                f,
+                indent=2,
+            )
 
     def load(self, directory: str) -> None:
+        saved = _load_scorer_config(directory)
+        if saved is not None and _geometry(saved) != _geometry(self.cfg):
+            # the sidecar is authoritative for geometry (runtime keeps
+            # its dtype choice via _load_scorer_config)
+            self.cfg = saved
+            self.params = init_params(jax.random.PRNGKey(0), saved)
+            self._fwd = jax.jit(functools.partial(forward, cfg=saved))
         data = np.load(os.path.join(directory, "params.npz"))
         flat, treedef = jax.tree_util.tree_flatten(self.params)
         new_flat = [jnp.asarray(data[f"p{i}"]) for i in range(len(flat))]

@@ -180,11 +180,34 @@ def train_cross_encoder(
 
     rng = np.random.RandomState(cfg.seed + 3)
     ids = np.asarray(list(train_idx))
+    by_topic: Dict[str, List[int]] = {}
+    for i in train_idx:
+        by_topic.setdefault(chunks[i].topic, []).append(i)
+    topics = [t for t, members in by_topic.items() if len(members) >= 2]
     q_n = min(cfg.batch, len(ids))
     losses: List[Tuple[int, float]] = []
     for it in range(cfg.steps):
-        picks = rng.choice(len(ids), size=q_n, replace=False)
-        cis = [int(ids[p_]) for p_ in picks]
+        if topics and it % 2 == 0:
+            # HARD group: all chunks share one topic, so in-batch
+            # negatives differ only by their rare tokens — the case
+            # where the warm-started model's loss is NOT already ~0
+            # and the cross-attention gates have something to learn
+            # (random groups start at loss ~0.005: nothing to learn)
+            topic = topics[rng.randint(len(topics))]
+            pool = by_topic[topic]
+            size = min(q_n, len(pool))
+            picks = rng.choice(len(pool), size=size, replace=False)
+            cis = [int(pool[p_]) for p_ in picks]
+            if size < q_n:  # top up (keeps one compiled shape)
+                extra = [i for i in ids if i not in set(cis)]
+                cis += [
+                    int(x)
+                    for x in rng.choice(extra, size=q_n - size, replace=False)
+                ]
+        else:
+            # mixed group: keeps cross-topic separation from drifting
+            picks = rng.choice(len(ids), size=q_n, replace=False)
+            cis = [int(ids[p_]) for p_ in picks]
         qs = [make_query(chunks[c], rng) for c in cis]
         toks = np.zeros((q_n, q_n, cfg.max_len), np.int32)
         masks = np.zeros((q_n, q_n, cfg.max_len), np.float32)

@@ -119,6 +119,33 @@ def test_warm_started_reranker_beats_cosine_hash():
     assert ours["top1"] > cosine["top1"] + 0.2, (ours, cosine)
 
 
+def test_shipped_cross_encoder_loads_via_classical_config():
+    """The shipped fine-tuned weights load through the
+    ClassicalReranker's cache layout (config.json sidecar rebuilds the
+    interaction geometry) and rank a rare-token match above an
+    off-topic doc."""
+    import os
+
+    from qrag_tpu.config import ClassicalConfig
+    from qrag_tpu.models.cross_encoder import CrossEncoderScorer
+
+    if not os.path.isfile("artifacts/cross_encoder/params.npz"):
+        pytest.skip("shipped cross-encoder artifact not present")
+    cc = ClassicalConfig(
+        method="cross-encoder",
+        model_cache_dir="artifacts",
+        model_name="cross_encoder",
+    )
+    scorer = CrossEncoderScorer.from_config(cc)
+    assert scorer.cfg.head_type == "interaction"
+    assert scorer.cfg.dim == 128
+    s = scorer.score(
+        "what did they say about vote xkcdqa",
+        ["xkcdqa election senate campaign", "inflation market rates"],
+    )
+    assert s[0] > s[1]
+
+
 def test_finetune_step_runs():
     """One in-batch listwise step on the warm start: finite loss,
     parameters move, gates stay finite."""
