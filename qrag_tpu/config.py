@@ -158,13 +158,19 @@ class ServingConfig:
     port: int = 8000
     mcp_port: int = 6969
     default_top_k: int = 5
-    # Request padding buckets (XLA static shapes; SURVEY.md §7 hard part 5).
-    doc_buckets: Tuple[int, ...] = (8, 32, 128, 512)
+    # Request padding buckets (XLA static shapes; SURVEY.md §7 hard
+    # part 5).  The FULL pow2 ladder pow2_bucket() can produce for
+    # <=512 docs — warmup compiles every rung, so production doc
+    # counts (single-request fidelity padding AND the batcher's
+    # flattened pair axis) never hit an unwarmed shape.
+    doc_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
     # Query-batch buckets engine.warmup() pre-compiles: the batcher
-    # pads coalesced batches to pow2 buckets >= 8 (utils/buckets.py),
-    # so without these the FIRST coalesced production batch pays a
-    # fresh (possibly 30-300 s tunnel) compile.
-    warmup_batch_buckets: Tuple[int, ...] = (1, 8, 32)
+    # pads coalesced batches to pow2 buckets >= 8 (utils/buckets.py)
+    # and caps coalescing at max_batch=64, so this ladder covers every
+    # shape batched serving can produce.  (A single client request
+    # carrying >64 queries of its own still pays a one-time compile
+    # for its pow2 bucket — client-driven, not batcher-driven.)
+    warmup_batch_buckets: Tuple[int, ...] = (1, 8, 16, 32, 64)
 
 
 @dataclass

@@ -714,23 +714,35 @@ class QragEngine:
             q = np.zeros((b, self.index.d), dtype=np.float32)
             self.index.search(q, k=k)
             self.search_rerank(q, k=min(k, candidates), candidates=candidates)
-        # the batcher's coalesced (R, D)-shaped quantum doc rerank and
-        # the single-request bucketed fidelity path
+        # the batcher's pair-flattened quantum doc rerank and the
+        # single-request bucketed fidelity path — both pad to the
+        # same pow2 ladder, warmed rung by rung here
         qr = self.controller.quantum_reranker
         if qr is not None and self.config.quantum.method == "state_fidelity":
-            from qrag_tpu.ops.statevector import batched_fidelity
-            from qrag_tpu.serving.batcher import _multi_fidelity_fn
+            from qrag_tpu.ops.statevector import (
+                amplitude_fidelity,
+                batched_fidelity,
+            )
+            from qrag_tpu.serving.batcher import _pair_fidelity_fn
 
             dim = np.asarray(qr.embedder(["warmup"])).shape[1]
-            fid_fn = _multi_fidelity_fn(
+            fid_fn = _pair_fidelity_fn(
                 qr.n_qubits,
                 bool(qr.config.use_analytic_fidelity),
                 qr.config.encoding,
             )
             for db in doc_buckets:
                 docs = np.zeros((db, dim), np.float32)
-                np.asarray(fid_fn(np.zeros((1, dim), np.float32), docs[None]))
-                if qr.config.encoding != "amplitude":
+                np.asarray(fid_fn(docs, docs))
+                if qr.config.encoding == "amplitude":
+                    np.asarray(
+                        amplitude_fidelity(
+                            jnp.zeros((dim,), jnp.float32),
+                            jnp.asarray(docs),
+                            qr.n_qubits,
+                        )
+                    )
+                else:
                     np.asarray(
                         batched_fidelity(
                             jnp.zeros((dim,), jnp.float32),

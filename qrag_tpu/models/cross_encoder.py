@@ -93,10 +93,13 @@ class CrossEncoderConfig:
     #
     # "interaction": the GATED cross-attention variant
     # (models/rerank_eval.py).  Query and document segments get
-    # per-segment positions and segment-restricted attention, so at
-    # initialization the model is EXACTLY the two-tower bi-encoder
-    # run in one sequence (warm-startable from its weights,
-    # equivalence tested to 1e-5); each layer adds a tanh-gated
+    # per-segment positions and segment-restricted attention, so a
+    # WARM-STARTED model (``warm_start_params``, which copies the
+    # bi-encoder tower and ZEROES the CLS head) is exactly the
+    # two-tower bi-encoder run in one sequence (equivalence tested to
+    # 1e-5).  ``init_params`` alone does NOT have this property — it
+    # gives the CLS head random weights, so the readout carries a
+    # random logit on top of the cosine.  Each layer adds a tanh-gated
     # cross-segment attention term initialized CLOSED (alpha=0, unit
     # gradient), so fine-tuning opens early interaction only where it
     # helps.  Readout: tau * cosine(segment pools through iproj)

@@ -31,6 +31,7 @@ ClassicalReranker's cache layout so ``method="cross-encoder"`` +
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import time
@@ -45,6 +46,38 @@ from qrag_tpu.pipeline.corpus_gen import (
     make_query,
     split_by_episode,
 )
+
+logger = logging.getLogger(__name__)
+
+
+def resolve_init_from(path: Optional[str]) -> Optional[str]:
+    """Resolve the warm-start artifact directory to an absolute path.
+
+    Relative paths are tried against the cwd first (explicit user
+    intent), then anchored at the repo root (so the default
+    ``artifacts/bi_encoder`` works from ANY working directory).  If
+    the path is configured but no directory exists, warn LOUDLY and
+    return None — a silent from-scratch run must never masquerade as
+    a warm-started one (review finding r3)."""
+    if not path:
+        return None
+    candidates = [path]
+    if not os.path.isabs(path):
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        candidates.append(os.path.join(repo_root, path))
+    for cand in candidates:
+        if os.path.isdir(cand):
+            return os.path.abspath(cand)
+    logger.warning(
+        "init_from=%r configured but no such directory (tried %s): "
+        "training FROM SCRATCH — expect drastically worse rerank "
+        "quality than a warm-started run",
+        path,
+        candidates,
+    )
+    return None
 
 
 @dataclass
@@ -157,8 +190,9 @@ def train_cross_encoder(
     )
 
     ce_cfg = _make_cfg(cfg)
-    if cfg.init_from and os.path.isdir(cfg.init_from):
-        params = warm_start_params(ce_cfg, cfg.init_from)
+    init_dir = resolve_init_from(cfg.init_from)
+    if init_dir:
+        params = warm_start_params(ce_cfg, init_dir)
     else:
         params = init_params(jax.random.PRNGKey(cfg.seed), ce_cfg)
     optimizer = optax.adamw(cfg.lr, weight_decay=1e-4)
@@ -316,16 +350,16 @@ def run_eval(
     cases = _eval_cases(cfg, chunks, hold_idx)
 
     picked = "fine-tuned"
-    if cfg.init_from and os.path.isdir(cfg.init_from):
+    init_dir = resolve_init_from(cfg.init_from)
+    warm = None
+    if init_dir:
         # ship whichever of {step-0 warm start, fine-tuned} validates
         # better on TRAIN-episode queries (fresh seed — no peeking at
         # the held-out episodes): fine-tuning can then never regress
         # the shipped scorer below the inherited bi-encoder quality
-        from qrag_tpu.models.cross_encoder import CrossEncoderScorer
-
         warm = CrossEncoderScorer(
             _make_cfg(cfg),
-            params=warm_start_params(_make_cfg(cfg), cfg.init_from),
+            params=warm_start_params(_make_cfg(cfg), init_dir),
         )
         val_cases = _eval_cases(cfg, chunks, train_idx[: len(hold_idx)],
                                 seed=29)
@@ -343,7 +377,11 @@ def run_eval(
         "train_seconds": round(train_s, 1),
         "loss_trace": losses,
     }
-    if cfg.init_from and os.path.isdir(cfg.init_from):
+    # record the warm-start disposition EXPLICITLY: a missing artifact
+    # must be visible in the output, not just a log line
+    if cfg.init_from:
+        out["warm_start"] = init_dir if init_dir else "MISSING (from scratch)"
+    if init_dir:
         out["shipped_variant"] = picked
         out["val_finetuned"] = val_ft
         out["val_warmstart"] = val_w
@@ -358,20 +396,18 @@ def run_eval(
     out["cross_encoder_untrained"] = eval_ranker(
         untrained.score, chunks, cases
     )
-    if cfg.init_from and os.path.isdir(cfg.init_from):
+    if init_dir:
         from qrag_tpu.models.bi_encoder import TrainedEmbedder
 
         # the STRONG cosine baseline the fine-tuned model must beat:
         # the shipped trained bi-encoder's cosine
-        bi = TrainedEmbedder(weights_dir=cfg.init_from)
+        bi = TrainedEmbedder(weights_dir=init_dir)
         out["cosine_trained_bi_encoder"] = eval_ranker(
             _cosine_scorer(bi), chunks, cases
         )
         # step-0 warm-start quality (inherited similarity, no
-        # fine-tuning): shows what fine-tuning adds on top
-        warm = CrossEncoderScorer(
-            _make_cfg(cfg), params=warm_start_params(_make_cfg(cfg), cfg.init_from)
-        )
+        # fine-tuning): shows what fine-tuning adds on top — the SAME
+        # scorer instance built for the validation pick above
         out["cross_encoder_warmstart_step0"] = eval_ranker(
             warm.score, chunks, cases
         )

@@ -266,9 +266,13 @@ def windowed_scan_topk(
             # |x|^2 so _finalize yields meaningful (approximate)
             # distances at the API edge.  Only (B, k) scalar sqnorms
             # are gathered — bytes, not the (C, d) row gather this
-            # mode exists to avoid.
-            q32 = queries.astype(jnp.float32)
-            qsq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+            # mode exists to avoid.  |q|^2 comes from the DEQUANTIZED
+            # codes (q8 * q_scale): when the caller pre-quantized
+            # (q_scale passed, `queries` holds int8 codes), summing
+            # `queries**2` would be off by q_scale^-2 — and the
+            # dequantized norm matches the quantized dot's domain.
+            q_deq = q8.astype(jnp.float32) * q_scale[:, None]
+            qsq = jnp.sum(q_deq * q_deq, axis=-1, keepdims=True)
             xsq = jnp.take(
                 corpus_sqnorms.astype(jnp.float32), idx_out, axis=0
             )

@@ -27,8 +27,8 @@ poisoned compiled state).
 
 from __future__ import annotations
 
-import concurrent.futures
 import logging
+import threading
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -40,6 +40,33 @@ from qrag_tpu.parallel.mesh import MODEL_AXIS, make_mesh
 from qrag_tpu.parallel.sharded_index import ShardedFlatIndex
 
 logger = logging.getLogger(__name__)
+
+
+def _run_with_deadline(fn: Callable[[], object], timeout_s: float):
+    """Run ``fn`` on a daemon thread and return ``(ok, value)``.
+
+    A hung device call (the exact failure mode the probes exist to
+    detect) must not hang the *prober*: ThreadPoolExecutor's context
+    manager joins its worker on exit, so a stuck ``jax.device_put``
+    would block the probe forever after the future times out.  A
+    daemon thread is simply abandoned — the interpreter can exit and
+    the caller gets its timeout verdict on schedule."""
+    box: dict = {}
+
+    def _target() -> None:
+        try:
+            box["value"] = fn()
+        except Exception as e:  # noqa: BLE001 - any failure = unhealthy
+            box["error"] = e
+
+    t = threading.Thread(target=_target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return False, TimeoutError(f"probe exceeded {timeout_s}s deadline")
+    if "error" in box:
+        return False, box["error"]
+    return True, box.get("value")
 
 
 class ElasticShardedIndex:
@@ -168,15 +195,11 @@ class ElasticShardedIndex:
             )
             return float(jnp.sum(x))
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(_ping)
-            try:
-                return fut.result(timeout=self.probe_timeout_s) == len(
-                    self.devices
-                )
-            except Exception as e:  # noqa: BLE001 - any failure = unhealthy
-                logger.warning("mesh probe failed: %s", e)
-                return False
+        ok, value = _run_with_deadline(_ping, self.probe_timeout_s)
+        if not ok:
+            logger.warning("mesh probe failed: %s", value)
+            return False
+        return value == len(self.devices)
 
     def probe_device(self, device) -> bool:
         """Per-device health probe: a tiny host→device transfer and
@@ -189,13 +212,11 @@ class ElasticShardedIndex:
             x = jax.device_put(np.ones((8,), np.float32), device)
             return float(jnp.sum(x))
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(_ping)
-            try:
-                return fut.result(timeout=self.probe_timeout_s) == 8.0
-            except Exception as e:  # noqa: BLE001 - any failure = unhealthy
-                logger.warning("device probe failed on %s: %s", device, e)
-                return False
+        ok, value = _run_with_deadline(_ping, self.probe_timeout_s)
+        if not ok:
+            logger.warning("device probe failed on %s: %s", device, value)
+            return False
+        return value == 8.0
 
     def localize_failures(self) -> List[jax.Device]:
         """Probe every device individually; return the unhealthy ones."""

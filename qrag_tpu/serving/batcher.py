@@ -10,8 +10,10 @@ drains the queue, pads the combined batch to a power-of-two bucket
 back.
 
 max_wait_s bounds added latency (default 2 ms); max_batch bounds the
-device batch.  Requests with different k are served with max(k) and
-trimmed per caller.
+device batch — its default (64) matches the top of the warmed query
+ladder (``ServingConfig.warmup_batch_buckets``), so coalesced batches
+only ever hit shapes ``engine.warmup()`` already compiled.  Requests
+with different k are served with max(k) and trimmed per caller.
 """
 
 from __future__ import annotations
@@ -39,22 +41,31 @@ class _Pending:
 
 
 @functools.lru_cache(maxsize=None)
-def _multi_fidelity_fn(n_qubits: int, analytic: bool, encoding: str):
-    """One jitted (R, D)-shaped fidelity graph per config — the
-    device op that coalesces concurrent /rerank requests."""
+def _pair_fidelity_fn(n_qubits: int, analytic: bool, encoding: str):
+    """One jitted PAIR-flattened fidelity graph per config — the
+    device op that coalesces concurrent /rerank requests.
+
+    Signature: ``(P, dim) query rows x (P, dim) doc rows -> (P,)``.
+    Coalesced requests flatten their (query, doc) pairs into ONE
+    padded pair axis, so the compiled-shape set is a single pow2
+    ladder over P — independent of how many requests coalesced (R)
+    and of each request's doc count.  (The earlier (R, D)-shaped form
+    compiled a fresh graph per R x doc-bucket combination, which
+    warmup could not enumerate.)"""
     import jax
-    import jax.numpy as jnp
 
     if encoding == "amplitude":
         from qrag_tpu.ops.statevector import amplitude_fidelity
 
         def one(q, d):
-            return amplitude_fidelity(q, d, n_qubits)
+            return amplitude_fidelity(q, d[None], n_qubits)[0]
     else:
         from qrag_tpu.ops.statevector import batched_fidelity
 
         def one(q, d):
-            return batched_fidelity(q, d, n_qubits=n_qubits, analytic=analytic)
+            return batched_fidelity(
+                q, d[None], n_qubits=n_qubits, analytic=analytic
+            )[0]
 
     return jax.jit(jax.vmap(one))
 
@@ -70,7 +81,7 @@ class SearchBatcher:
         self,
         engine,
         max_wait_s: float = 0.002,
-        max_batch: int = 1024,
+        max_batch: int = 64,
         bucket_floor: int = 8,
     ):
         self.engine = engine
@@ -130,9 +141,9 @@ class SearchBatcher:
         hot path, ``classical.py:281-284``) through the batcher.
 
         Routing resolves on the host first (the controller truth
-        table), then requests group by (expert, doc-count bucket):
-        quantum groups coalesce into ONE (R, D)-shaped device fidelity
-        call; classical requests keep the single-request path (its
+        table), then requests group by expert: quantum groups flatten
+        all their (query, doc) pairs into ONE pair-bucketed device
+        fidelity call; classical requests keep the single-request path (its
         score cache + neutral-degradation semantics are per-request
         state, and its scorer already mini-batches pairs).
         Returns the controller-shaped result dict."""
@@ -141,12 +152,11 @@ class SearchBatcher:
             if reranker_type == "auto"
             else reranker_type
         )
-        bucket = pow2_bucket(len(documents), self.bucket_floor)
         return self._submit(
             _Pending(
                 vectors=None,
                 k=top_k if top_k is not None else -1,
-                params=("docrr", expert, bucket),
+                params=("docrr", expert),
                 payload=(query, documents, top_k),
             )
         )
@@ -253,7 +263,7 @@ class SearchBatcher:
             off += n
 
     def _serve_doc_rerank(self, items: List[_Pending]) -> None:
-        _, expert, bucket = items[0].params
+        _, expert = items[0].params
         if expert != "quantum":
             # classical: per-request path (cache/neutral semantics);
             # the scorer itself mini-batches pairs (classical.py:281)
@@ -287,7 +297,10 @@ class SearchBatcher:
             return
         try:
             # ONE embedder call + ONE device fidelity call for the
-            # whole group (R requests x bucket docs)
+            # whole group: every (query, doc) pair flattens onto a
+            # single padded pair axis, so the compiled shape depends
+            # only on pow2_bucket(total pairs) — not on R or on the
+            # per-request doc counts
             texts: List[str] = []
             for it in coalesced:
                 query, documents, _ = it.payload
@@ -295,29 +308,34 @@ class SearchBatcher:
                 texts.extend(d.content for d in documents)
             embeds = np.asarray(qr.embedder(texts), dtype=np.float32)
             dim = embeds.shape[1]
-            r = len(coalesced)
-            q_vecs = np.zeros((r, dim), np.float32)
-            doc_vecs = np.zeros((r, bucket, dim), np.float32)
-            off = 0
-            for ri, it in enumerate(coalesced):
+            npairs = sum(len(it.payload[1]) for it in coalesced)
+            pbucket = pow2_bucket(npairs, self.bucket_floor)
+            pair_q = np.zeros((pbucket, dim), np.float32)
+            pair_d = np.zeros((pbucket, dim), np.float32)
+            off = 0  # into embeds
+            poff = 0  # into the pair axis
+            spans = []
+            for it in coalesced:
                 _, documents, _ = it.payload
-                q_vecs[ri] = embeds[off]
                 nd = len(documents)
-                doc_vecs[ri, :nd] = embeds[off + 1 : off + 1 + nd]
+                pair_q[poff : poff + nd] = embeds[off]
+                pair_d[poff : poff + nd] = embeds[off + 1 : off + 1 + nd]
+                spans.append(slice(poff, poff + nd))
                 off += 1 + nd
-            fid_fn = _multi_fidelity_fn(
+                poff += nd
+            fid_fn = _pair_fidelity_fn(
                 qr.n_qubits,
                 bool(qr.config.use_analytic_fidelity),
                 qr.config.encoding,
             )
-            scores = np.asarray(fid_fn(q_vecs, doc_vecs), dtype=np.float32)
+            scores = np.asarray(fid_fn(pair_q, pair_d), dtype=np.float32)
             self.batches += 1
-            self.batched_queries += r
+            self.batched_queries += len(coalesced)
             for ri, it in enumerate(coalesced):
                 query, documents, top_k = it.payload
                 scored = [
                     (doc, float(s))
-                    for doc, s in zip(documents, scores[ri])
+                    for doc, s in zip(documents, scores[spans[ri]])
                 ]
                 reranked = sorted(scored, key=lambda x: x[1], reverse=True)
                 if top_k is not None:

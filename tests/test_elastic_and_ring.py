@@ -131,6 +131,27 @@ def test_probe_device_reports_health(rng):
     assert idx.localize_failures() == [idx.devices[0]]
 
 
+def test_probe_deadline_on_hung_device(rng, monkeypatch):
+    """A HUNG device call (not an erroring one) must not hang the
+    prober: the deadline abandons the stuck daemon thread and reports
+    unhealthy on schedule (review finding r3: ThreadPoolExecutor's
+    context manager joined the stuck worker, deadlocking probe)."""
+    import time
+
+    import qrag_tpu.parallel.elastic as elastic_mod
+
+    x = rng.randn(64, 8).astype(np.float32)
+    idx = ElasticShardedIndex(x, topk_mode="exact")
+    idx.probe_timeout_s = 0.2
+
+    hang = lambda *a, **k: time.sleep(60)  # noqa: E731
+    monkeypatch.setattr(elastic_mod.jax, "device_put", hang)
+    t0 = time.monotonic()
+    assert not idx.probe_device(idx.devices[0])
+    assert not idx.probe()
+    assert time.monotonic() - t0 < 5.0  # returned on deadline, not after 60s
+
+
 def test_elastic_no_devices_left(rng):
     x = rng.randn(100, 8).astype(np.float32)
     idx = ElasticShardedIndex(x, devices=jax.devices()[:1], topk_mode="exact")

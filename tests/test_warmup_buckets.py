@@ -12,7 +12,7 @@ from qrag_tpu.documents import Document
 from qrag_tpu.engine import QragEngine, fused_search_rerank
 from qrag_tpu.index.flat_index import DeviceFlatIndex
 from qrag_tpu.ops.topk import _scan_topk_device
-from qrag_tpu.serving.batcher import SearchBatcher, _multi_fidelity_fn
+from qrag_tpu.serving.batcher import SearchBatcher, _pair_fidelity_fn
 
 D = 32
 
@@ -37,7 +37,7 @@ def warm_engine(rng):
 
 def _jit_cache_sizes(eng):
     qr = eng.controller.quantum_reranker
-    fid_fn = _multi_fidelity_fn(
+    fid_fn = _pair_fidelity_fn(
         qr.n_qubits,
         bool(qr.config.use_analytic_fidelity),
         qr.config.encoding,
@@ -67,12 +67,47 @@ def test_batched_requests_hit_warm_caches(warm_engine):
     )
     assert len(out["results"]) == 3
 
+    # coalesced /search at a MID-ladder rung the old warmup missed:
+    # 13 queries pad to bucket 16 (review finding r3 — 16/64/256 were
+    # unwarmed when doc_buckets skipped rungs)
+    res16 = batcher.search(rng.randn(13, D).astype(np.float32), k=10)
+    assert res16.indices.shape == (13, 10)
+
     # coalesced quantum doc-list /rerank: 6 docs pad to doc bucket 8
     docs = [Document(str(i), f"document text {i}") for i in range(6)]
     rr = batcher.rerank_documents(
         "find the sponsor advertisement", docs, top_k=3
     )
     assert rr["reranker_used"] == "quantum" and len(rr["documents"]) == 3
+
+    # a doc count in a previously-unwarmed rung: 12 docs -> pair
+    # bucket 16
+    docs12 = [Document(f"b{i}", f"promo spot {i}") for i in range(12)]
+    rr12 = batcher.rerank_documents(
+        "find the sponsor advertisement", docs12, top_k=4
+    )
+    assert len(rr12["documents"]) == 4
+
+    # TWO coalesced doc-rerank requests (R=2, 6+12=18 pairs -> bucket
+    # 32): the pair-flattened graph must already be compiled — the old
+    # (R, D)-shaped op had no warmed graph for any R > 1
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(
+            batcher.rerank_documents,
+            "find the sponsor advertisement",
+            docs,
+            3,
+        )
+        f2 = ex.submit(
+            batcher.rerank_documents,
+            "find the sponsor advertisement",
+            docs12,
+            4,
+        )
+        assert len(f1.result()["documents"]) == 3
+        assert len(f2.result()["documents"]) == 4
 
     after = _jit_cache_sizes(eng)
     batcher.close()

@@ -270,6 +270,43 @@ def test_gather_free_int8_l2_distances(rng):
     assert (np.diff(dist, axis=1) >= -1e-4).all()
 
 
+def test_gather_free_int8_l2_prequantized_queries(rng):
+    """Callers that pre-quantize (pass q_scale, `queries` holding int8
+    CODES) must get the same approximate distances as the float-query
+    call: |q|^2 comes from the dequantized codes, not from summing the
+    raw codes (review finding r3 — that was off by q_scale^-2)."""
+    from qrag_tpu.ops.quantize import quantize_rows
+
+    n, d, b, k = 65536, 64, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sq = np.sum(x * x, axis=1)
+    x8, bscale = quantize_block_rows(x)
+    common = dict(
+        k=k, metric="l2", corpus_sqnorms=jnp.asarray(sq),
+        window_scale=jnp.asarray(bscale), refine_factor=8,
+        selector="top_k", exact_scores=False,
+    )
+    v_f, i_f = windowed_scan_topk(
+        jnp.asarray(q), jnp.asarray(x8), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), **common,
+    )
+    q8, qs = quantize_rows(jnp.asarray(q))
+    v_q, i_q = windowed_scan_topk(
+        q8, jnp.asarray(x8), jnp.asarray(x),
+        jnp.asarray(make_lane_rank(n)), q_scale=qs, **common,
+    )
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_q))
+    # same dot plane, same dequantized |q|^2 -> (near-)identical scores
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_q), atol=2e-3)
+    # and still close to the true d^2 of the returned rows
+    i_q = np.asarray(i_q)
+    true_d2 = ((q[:, None, :] - x[i_q]) ** 2).sum(-1)
+    np.testing.assert_allclose(-np.asarray(v_q), true_d2, atol=0.08)
+
+
 def test_flat_scan_use_pallas_windowed_route(rng):
     """use_pallas + non-exact mode routes through the windowed packed
     pipeline: results match the XLA approx pipeline's quality class
