@@ -108,7 +108,9 @@ class IndexConfig:
     # partial-reduce + oversample), "verified" (approx + exactness
     # certificate + exact re-run of failing rows; exact values at
     # ~approx speed), "refined" (bf16 selection traffic + exact
-    # re-scoring of gathered candidates).
+    # re-scoring of gathered candidates), "bounded" (provably-exact
+    # top-k via norm-bounded window pruning — ops/bounded_topk.py;
+    # identity AND tie order exact, one scan pass, no (B, N) matrix).
     topk_mode: str = "verified"
     # "none" | "int8": int8 scan with exact refinement
     # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.

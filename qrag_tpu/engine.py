@@ -172,7 +172,7 @@ def _index_cls_and_kwargs(config: QragConfig):
         from qrag_tpu.parallel.sharded_index import ShardedFlatIndex
 
         mode = config.index.topk_mode
-        if mode in ("verified", "refined"):
+        if mode in ("verified", "refined", "bounded"):
             # the sharded scan has no host patch-up stage; make the
             # downgrade loud (stats surfaces the effective topk_mode)
             logger.warning(
@@ -329,7 +329,7 @@ class QragEngine:
             snap = self.index.device_buffers()  # one atomic generation
             fused_mode = (
                 "approx"
-                if self.index.topk_mode == "verified"
+                if self.index.topk_mode in ("verified", "bounded")
                 else self.index.topk_mode
             )
             if reranker_type == "auto" and query_texts is None:

@@ -102,7 +102,7 @@ class DeviceFlatIndex:
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
-        if topk_mode not in ("exact", "approx", "verified", "refined"):
+        if topk_mode not in ("exact", "approx", "verified", "refined", "bounded"):
             raise ValueError(f"unknown topk_mode {topk_mode!r}")
         self.d = int(d)
         self.metric = metric
@@ -285,13 +285,80 @@ class DeviceFlatIndex:
     # search
     # ------------------------------------------------------------------
 
+    def _bounded_buffers(self):
+        """Derived buffers for topk_mode="bounded" (norm-bounded
+        window pruning, ops/bounded_topk.py), cached per snapshot
+        generation: a bf16 scan copy (aliases the matrix when it
+        already stores bf16), per-window max row norms, lane ranks."""
+        from qrag_tpu.ops.bounded_topk import WINDOW
+        from qrag_tpu.ops.window_scan import make_lane_rank
+
+        snap = self.device_buffers()
+        bufs = snap.extras.get("bounded")
+        if bufs is None:
+            scan = (
+                snap.matrix
+                if snap.matrix.dtype == jnp.bfloat16
+                else snap.matrix.astype(jnp.bfloat16)
+            )
+            mx = jnp.sqrt(
+                jnp.max(snap.sqnorms.reshape(-1, WINDOW), axis=1)
+            )
+            lr = jnp.asarray(make_lane_rank(snap.matrix.shape[0]))
+            bufs = (scan, mx, lr)
+            snap.extras["bounded"] = bufs
+        return snap, bufs
+
+    def _bounded_eligible(self, k: int) -> bool:
+        if self.topk_mode != "bounded" or self.ntotal == 0:
+            return False
+        cap = self.device_buffers().matrix.shape[0]
+        # small corpora route to the exact sort (already cheap there)
+        return cap >= 4096 and cap % 128 == 0 and cap // 128 >= max(k, 16)
+
+    def _bounded_search(self, queries: jnp.ndarray, k: int):
+        """Provably-exact search via norm-bounded window pruning.
+        Returns the raw op output (goodness, idx, fell_back,
+        n_patched) — callers finalize."""
+        from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+
+        snap, (scan, mx, lr) = self._bounded_buffers()
+        n, d = snap.matrix.shape
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and n % 512 == 0
+            and d % 128 == 0
+            else "xla"
+        )
+        return bounded_exact_topk(
+            queries,
+            scan,
+            snap.matrix,
+            snap.sqnorms,
+            mx,
+            lr,
+            k,
+            metric=self.metric,
+            valid_rows=snap.valid,
+            backend=backend,
+        )
+
     def search_device(
         self, queries: jnp.ndarray, k: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-level search: (B, d) queries → (scores, indices) on
         device, padded rows masked out.  Stays inside jit if called
         under one (the "verified" mode's host patch-up degrades to
-        "approx" here; use `search` for verified-exact results)."""
+        "approx" here; "bounded" runs its real exact path; use
+        `search` for verified-exact results with observability)."""
+        if self._bounded_eligible(k):
+            from qrag_tpu.ops.topk import _finalize
+
+            vals, idx, _, _ = self._bounded_search(
+                queries.astype(jnp.float32), k
+            )
+            return _finalize(vals, idx, self.metric)
         snap = self.device_buffers()
         return flat_scan_topk(
             queries.astype(self.store_dtype),
@@ -325,6 +392,18 @@ class DeviceFlatIndex:
                 valid_rows=snap.valid,
             )
             self.fallback_rows += n_bad
+        elif self._bounded_eligible(k_eff):
+            from qrag_tpu.ops.topk import _finalize
+
+            vals, idx, fell_back, _ = self._bounded_search(
+                jnp.asarray(queries, jnp.float32), k_eff
+            )
+            # observability: count whole-batch cert fallbacks in the
+            # same counter /stats surfaces (row-granular for verified,
+            # batch-granular here; both are "exactness needed a slow
+            # path" events)
+            self.fallback_rows += int(np.asarray(fell_back))
+            scores, indices = _finalize(vals, idx, self.metric)
         else:
             scores, indices = self.search_device(jnp.asarray(queries), k_eff)
         scores = np.asarray(scores)

@@ -1,0 +1,380 @@
+"""Provably-exact top-k via norm-bounded window pruning.
+
+The round-3 answer to the north star's literal metric ("exact top-10"):
+an on-device, jit-compatible exact top-k whose cost is ONE windowed
+scan pass plus small targeted gathers — no second full pass over the
+(B, N) goodness (``scan_topk_verified_jit``'s certificate is a second
+4 GB pass at 1M x 768 / B=1024) and no full sort (``lax.top_k`` over
+1M columns is ~75x the matmul; docs/PERFORMANCE.md).
+
+How it stays exact — bound-and-prune (the TPU-shaped analogue of a
+branch-and-bound pruned scan; the reference outsourced its whole scan
+to faiss-cpu, ``mcp/server/tools/store_in_faiss.py:105``):
+
+  1. ONE scan computes, per 128-row window, the top-2 score values and
+     the argmax row (``packed_window_scan_top2`` / the Pallas twin) —
+     a (B, N/128) plane, 128x smaller than the score matrix.
+  2. A rigorous per-window error MARGIN converts plane values into
+     upper bounds on any row's REFINE-domain score:
+         |e_r - s_r| <= alpha * eps_rel * |q|_2 * maxnorm_w
+     where s is the scan evaluation (scan-dtype inputs, f32
+     accumulation), e the refine evaluation (f32 gather + einsum),
+     eps_rel covers input rounding (2^-9 per operand cast to bf16,
+     via |Sum dq_i x_i| <= |dq||x| Cauchy-Schwarz) plus worst-case
+     f32 summation-order drift (d * eps_f32), and maxnorm_w =
+     max_{r in w} |x_r|_2.
+  3. Candidate windows = top-C by upper bound v1+margin; their argmax
+     rows are gathered and EXACTLY re-scored -> threshold thr = k-th
+     candidate score.  cert_a: if #{windows: v1+margin >= thr} <= C,
+     every window outside the selection provably contains no top-k row.
+  4. Windows whose SECOND-best plane value clears thr-margin might
+     hide a non-argmax top-k row: those (rare — two global-top rows
+     sharing one 128-row window) are PATCHED — the flagged queries'
+     flagged windows are sliced contiguously (128 rows, no random
+     gather), exactly re-scored, and merged.  cert_b: <= 2 flagged
+     windows per query, <= F flagged queries per batch (static
+     budgets).
+  5. Any cert failure falls back (``lax.cond``) to the deep-oversample
+     verified kernel — exactness is unconditional, the fast path just
+     stops applying.
+
+Result contract: the EXACT top-k (values, indices, ties broken by
+lower global index — lax.top_k parity) of the refine-domain scoring
+function, the same scoring ``refine_candidates``/``_goodness`` define.
+Margins make rows near the decision boundary extra CANDIDATES (cheap)
+rather than failures, so the fast path survives near-ties; only
+multi-row-per-window collisions cost anything.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qrag_tpu.ops.window_scan import (
+    WINDOW,
+    _float_from_key,
+    _float_sort_key,
+    make_lane_rank,
+)
+
+# worst-case relative f32 accumulation-order drift between two
+# evaluations of the same d-term dot product (d * eps_f32 each, two
+# evaluations, product-rounding dust), d <= ~8192
+_EPS_ACC = 2.4e-4
+# bf16 has SEVEN fraction bits: ulp at 1.0 is 2^-7, so round-to-
+# nearest input error is <= 2^-8 * |x| per operand (NOT 2^-9 — that
+# off-by-one under-covered the margin band and let planted
+# near-boundary rows escape the certificates).
+_BF16_HALF_ULP = 2.0 ** -8
+_SAFETY = 1.25
+_I32_MIN = jnp.int32(-(2 ** 31))
+
+
+def window_maxnorms(corpus_sqnorms: np.ndarray) -> np.ndarray:
+    """(NW,) f32: max row L2-norm per 128-row window (pad with 0)."""
+    sq = np.asarray(corpus_sqnorms, np.float32)
+    n = sq.shape[0]
+    nw = -(-n // WINDOW)
+    padded = np.zeros((nw * WINDOW,), np.float32)
+    padded[:n] = sq
+    return np.sqrt(padded.reshape(nw, WINDOW).max(axis=1))
+
+
+def margin_coeff(
+    query_dtype, scan_dtype, exact_dtype, d: int
+) -> float:
+    """Rigorous relative error coefficient between the scan evaluation
+    and the refine evaluation of one dot product (see module doc)."""
+    q_round = 0.0 if query_dtype == scan_dtype else _BF16_HALF_ULP
+    x_round = 0.0 if exact_dtype == scan_dtype else _BF16_HALF_ULP
+    cross = 2.0 ** -16 if (q_round or x_round) else 0.0
+    acc = max(d, 768) / 768.0 * _EPS_ACC
+    return (q_round + x_round + cross + acc) * _SAFETY
+
+
+def packed_window_scan_top2(
+    queries: jnp.ndarray,  # (B, d) scan dtype (bf16/f32)
+    corpus: jnp.ndarray,  # (N, d) scan dtype; N % 128 == 0
+    lane_rank: jnp.ndarray,  # (1, N) from make_lane_rank
+    row_add: Optional[jnp.ndarray] = None,  # (1, N) f32
+    col_add: Optional[jnp.ndarray] = None,  # (B, 1) f32
+    alpha: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA reference top-2 window scan.
+
+    Returns (pk1, pk2) (B, NW) int32 packed (truncated-score | lane)
+    planes: the window argmax key (``window_scan.packed_window_scan``
+    contract) and the runner-up key (argmax lane masked; packed keys
+    are unique within a window so exactly one lane is excluded).
+    Value BOUNDS are recovered with ``plane_value_bounds`` — the
+    packed domain keeps the fused epilogue to two integer reductions.
+    On a sub-trunc-quantum near-tie pk2 can carry the true max's
+    twin — sound: bounds, not identities, feed the certificates."""
+    b = queries.shape[0]
+    n = corpus.shape[0]
+    nw = n // WINDOW
+    g = jax.lax.dot_general(
+        queries,
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if alpha != 1.0:
+        g = g * alpha
+    if row_add is not None:
+        g = g + row_add
+    if col_add is not None:
+        g = g + col_add
+    key = _float_sort_key(g) & ~jnp.int32(127)
+    packed = (key | lane_rank).reshape(b, nw, WINDOW)
+    pk1 = jnp.max(packed, axis=2)
+    pk2 = jnp.max(
+        jnp.where(packed == pk1[:, :, None], _I32_MIN, packed), axis=2
+    )
+    return pk1, pk2
+
+
+def plane_value_bounds(pk: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lower, upper) f32 bounds of the true scan score behind a
+    packed plane entry: the trunc key is a lower bound, the NEXT
+    truncation step (+128 in the sign-folded int) a strict upper
+    bound.  Fully-masked entries (_I32_MIN, e.g. pk2 of a one-lane
+    window) map to (-inf, -inf)."""
+    key = pk & ~jnp.int32(127)
+    lo = _float_from_key(key)
+    hi = _float_from_key(key + 128)
+    masked = pk == _I32_MIN
+    return (
+        jnp.where(masked, -jnp.inf, lo),
+        jnp.where(masked, -jnp.inf, hi),
+    )
+
+
+def topk_tiebreak(
+    g: jnp.ndarray, idx: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k of (goodness, global index) candidate lists with the
+    framework-wide tie-break: higher goodness first, ties -> lower
+    global index (lax.top_k-over-the-full-matrix parity)."""
+    sneg, sidx = jax.lax.sort(
+        (-g, idx.astype(jnp.int32)), dimension=1, num_keys=2
+    )
+    return -sneg[:, :k], sidx[:, :k]
+
+
+def _exact_scores(
+    q32: jnp.ndarray,  # (B, d) f32
+    rows: jnp.ndarray,  # (..., d) gathered corpus rows
+    xsq: jnp.ndarray,  # (...,) f32 sqnorms of those rows
+    qsq: jnp.ndarray,  # (B, 1) f32 broadcastable
+    metric: str,
+) -> jnp.ndarray:
+    """The refine-domain scoring function (matches
+    ``quantize.refine_candidates``): f32 einsum + l2 identity."""
+    dots = jnp.einsum(
+        "bd,b...d->b...", q32, rows.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        return 2.0 * dots - qsq.reshape(qsq.shape[0], *([1] * (dots.ndim - 1))) - xsq
+    return dots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "candidates", "patch_queries", "backend", "interpret"
+    ),
+)
+def bounded_exact_topk(
+    queries: jnp.ndarray,  # (B, d) f32 or scan dtype
+    corpus_scan: jnp.ndarray,  # (N, d) bf16/f32 scan form; N % 128 == 0
+    corpus_f: jnp.ndarray,  # (N, d) refine-domain rows (may alias scan)
+    corpus_sqnorms: jnp.ndarray,  # (N,) f32 (refine-domain row sqnorms)
+    maxnorms: jnp.ndarray,  # (NW,) f32 from window_maxnorms
+    lane_rank: jnp.ndarray,  # (1, N)
+    k: int,
+    metric: str = "l2",
+    valid_rows: Optional[jnp.ndarray] = None,  # (N,) bool
+    candidates: int = 48,  # C: top windows exactly re-scored
+    patch_queries: int = 64,  # F: per-batch flagged-query budget
+    backend: str = "xla",  # "xla" | "pallas"
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Provably-exact top-k (see module doc).
+
+    Returns (goodness desc (B, k), indices (B, k), fell_back (bool
+    scalar), n_patched (int32 scalar)).  Finalize to distances at the
+    API edge (``ops.topk._finalize``)."""
+    b, d = queries.shape
+    n = corpus_scan.shape[0]
+    nw = n // WINDOW
+    C = min(candidates, nw)
+    if C < k:
+        raise ValueError(f"candidates={C} must be >= k={k}")
+    F = min(patch_queries, b)
+
+    q32 = queries.astype(jnp.float32)
+    qsq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+    qnorm = jnp.sqrt(qsq)
+
+    alpha, row_add, col_add = 1.0, None, None
+    if metric == "l2":
+        alpha = 2.0
+        row_add = -corpus_sqnorms[None, :].astype(jnp.float32)
+        col_add = -qsq
+    if valid_rows is not None:
+        bias = jnp.where(valid_rows, 0.0, -jnp.inf)[None, :]
+        row_add = bias if row_add is None else row_add + bias
+
+    q_scan = queries.astype(corpus_scan.dtype)
+    if backend == "pallas":
+        from qrag_tpu.ops.pallas.fused_scan import (
+            pallas_packed_window_scan_top2,
+        )
+
+        pk1, pk2 = pallas_packed_window_scan_top2(
+            q_scan, corpus_scan,
+            row_add=row_add, col_add=col_add, alpha=alpha,
+            interpret=interpret or jax.default_backend() != "tpu",
+        )
+    else:
+        pk1, pk2 = packed_window_scan_top2(
+            q_scan, corpus_scan, lane_rank,
+            row_add=row_add, col_add=col_add, alpha=alpha,
+        )
+    v1_lb, v1_ub = plane_value_bounds(pk1)
+    _, v2_ub = plane_value_bounds(pk2)
+
+    coeff = alpha * margin_coeff(
+        queries.dtype, corpus_scan.dtype, corpus_f.dtype, d
+    )
+    margin = coeff * qnorm * maxnorms[None, :] + 1e-30  # (B, NW)
+
+    # ---- candidates: top-C windows by upper bound, argmax rows exact.
+    # approx_max_k (hardware partial-reduce) instead of a full sort
+    # over the (B, NW) plane: cert_a below verifies COVERAGE — every
+    # qualifying window must actually be in the selection — so a
+    # recall miss here can cost a fallback, never exactness.
+    ub = v1_ub + margin
+    if nw > 4096:
+        ubv, wsel = jax.lax.approx_max_k(ub, C, recall_target=0.999)
+    else:
+        ubv, wsel = jax.lax.top_k(ub, C)  # (B, C)
+    lane1 = WINDOW - 1 - (pk1 & jnp.int32(WINDOW - 1))  # (B, NW)
+    cand_idx = wsel * WINDOW + jnp.take_along_axis(lane1, wsel, axis=1)
+    # a window whose best score is exactly -inf is all-masked: never
+    # a real candidate (its +128-step upper bound is finite, so test
+    # the LOWER bound)
+    cand_ok = jnp.take_along_axis(v1_lb, wsel, axis=1) > -jnp.inf
+    cand_idx = jnp.where(cand_ok, cand_idx, 0)
+    cand_rows = jnp.take(corpus_f, cand_idx, axis=0)  # (B, C, d)
+    cand_xsq = jnp.take(corpus_sqnorms, cand_idx, axis=0)
+    cand_g = _exact_scores(q32, cand_rows, cand_xsq, qsq, metric)
+    cand_g = jnp.where(cand_ok, cand_g, -jnp.inf)
+
+    ck_vals, _ = topk_tiebreak(cand_g, cand_idx, k)
+    thr = ck_vals[:, k - 1]  # (B,)
+
+    # ---- cert_a: every window that could clear thr is IN the
+    # selection (counts both the budget and approx-selection recall)
+    qualifies = ub >= thr[:, None]
+    count_a = jnp.sum(qualifies, axis=1)
+    sel_qual = jnp.sum(
+        jnp.take_along_axis(qualifies, wsel, axis=1), axis=1
+    )
+    cert_a_fail = jnp.any((count_a > C) | (count_a != sel_qual))
+
+    # ---- cert_b: windows whose SECOND row might clear thr -> patch
+    flags = (v2_ub + margin) >= thr[:, None]  # (B, NW)
+    fcount = jnp.sum(flags, axis=1)  # (B,)
+    prio = jnp.where(flags, v2_ub, -jnp.inf)
+    # top-2 flagged windows per query via two argmax passes (a full
+    # top_k sort over the plane costs ms at NW ~ 8k; argmax is a
+    # cheap reduction)
+    w0 = jnp.argmax(prio, axis=1)
+    prio_masked = prio.at[jnp.arange(b), w0].set(-jnp.inf)
+    w1 = jnp.argmax(prio_masked, axis=1)
+    pw = jnp.stack([w0, w1], axis=1)  # (B, 2)
+    # slot-1 liveness from the MASKED plane: if only window 0 is
+    # flagged, both argmaxes return 0 — reading prio for slot 1 would
+    # patch the same window twice (duplicate rows in the merge)
+    pv = jnp.stack(
+        [
+            jnp.take_along_axis(prio, w0[:, None], axis=1)[:, 0],
+            jnp.take_along_axis(prio_masked, w1[:, None], axis=1)[:, 0],
+        ],
+        axis=1,
+    )
+    n_flagged_q = jnp.sum(fcount > 0)
+    cert_b_fail = jnp.any(fcount > 2) | (n_flagged_q > F)
+
+    # flagged-query compaction (top-F queries by flag count)
+    _, qsel = jax.lax.top_k(fcount.astype(jnp.float32), F)  # (F,)
+    q_active = fcount[qsel] > 0  # (F,)
+    pq32 = q32[qsel]  # (F, d)
+    pqsq = qsq[qsel]  # (F, 1)
+    p_w = pw[qsel]  # (F, 2)
+    p_live = jnp.isfinite(pv[qsel]) & q_active[:, None]  # (F, 2)
+    p_lane1 = jnp.take_along_axis(lane1[qsel], p_w, axis=1)  # (F, 2)
+
+    def slice_window(w):
+        rows = jax.lax.dynamic_slice(
+            corpus_f, (w * WINDOW, 0), (WINDOW, corpus_f.shape[1])
+        )
+        xsq = jax.lax.dynamic_slice(corpus_sqnorms, (w * WINDOW,), (WINDOW,))
+        return rows, xsq
+
+    p_rows, p_xsq = jax.vmap(
+        lambda ws: jax.vmap(slice_window)(ws)
+    )(jnp.where(p_live, p_w, 0))  # (F, 2, WINDOW, d), (F, 2, WINDOW)
+    p_g = _exact_scores(pq32, p_rows, p_xsq, pqsq, metric)  # (F, 2, WINDOW)
+    lanes = jnp.arange(WINDOW, dtype=jnp.int32)[None, None, :]
+    p_idx = jnp.where(p_live, p_w, 0)[:, :, None] * WINDOW + lanes
+    dead = (
+        (lanes == p_lane1[:, :, None])  # argmax row: already a candidate
+        | ~p_live[:, :, None]
+    )
+    if valid_rows is not None:
+        dead = dead | ~jnp.take(valid_rows, p_idx)
+    p_g = jnp.where(dead, -jnp.inf, p_g)
+
+    extras_g = jnp.full((b, 2 * WINDOW), -jnp.inf, jnp.float32)
+    extras_g = extras_g.at[qsel].set(p_g.reshape(F, 2 * WINDOW))
+    extras_idx = jnp.zeros((b, 2 * WINDOW), jnp.int32)
+    extras_idx = extras_idx.at[qsel].set(p_idx.reshape(F, 2 * WINDOW))
+
+    n_patched = jnp.sum(p_live)
+    fell_back = cert_a_fail | cert_b_fail
+
+    g_all = jnp.concatenate([cand_g, extras_g], axis=1)
+    idx_all = jnp.concatenate([cand_idx, extras_idx], axis=1)
+    fast_vals, fast_idx = topk_tiebreak(g_all, idx_all, k)
+
+    def fallback():
+        # exact full sort, chunked over queries so the branch's
+        # reserved buffers stay ~(chunk, N) instead of (B, N) — a
+        # rarely-taken cond branch must not pressure HBM for the
+        # fast path
+        from qrag_tpu.ops.topk import _goodness
+
+        chunk = min(b, 128)
+        pad = (-b) % chunk
+        qq = jnp.pad(q32, ((0, pad), (0, 0))) if pad else q32
+
+        def one(qc):
+            g = _goodness(qc, corpus_f, metric, corpus_sqnorms, valid_rows)
+            return tuple(jax.lax.top_k(g, k))
+
+        vs, is_ = jax.lax.map(one, qq.reshape(-1, chunk, d))
+        return vs.reshape(-1, k)[:b], is_.reshape(-1, k)[:b]
+
+    vals, idx = jax.lax.cond(
+        fell_back, fallback, lambda: (fast_vals, fast_idx)
+    )
+    return vals, idx, fell_back, n_patched

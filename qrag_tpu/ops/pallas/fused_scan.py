@@ -41,6 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 128
 _INT_CLAMP = (1 << 23) - 1  # |key| <= 2^23 so << 7 never overflows
+# plain Python int: a jnp scalar here would be a captured constant,
+# which pallas_call kernels reject
+_I32_MIN_P = -(2 ** 31)
 
 
 def _packed_kernel(
@@ -138,6 +141,117 @@ def pallas_packed_window_scan(
         interpret=interpret,
     )(queries, col_add, corpus, row_add)
     return jnp.transpose(out, (1, 0, 2)).reshape(b, n // WINDOW)
+
+
+def _packed_top2_kernel(
+    q_ref, ca_ref, x_ref, ra_ref, pk1_ref, pk2_ref, *, bn: int, alpha: float
+):
+    """Matmul + per-window packed (argmax, runner-up) epilogue — the
+    scan pass of ``ops.bounded_topk`` (norm-bounded exact top-k).
+
+    Float domain only (int8 quantization bounds are too fat to prune
+    with — docs/PERFORMANCE.md round-3).  Both planes stay in the
+    packed int32 domain (value-truncated | lane): the consumer
+    recovers RIGOROUS value bounds via ``(key & ~127) + 128`` (the
+    next truncation step is a strict upper bound of the true score),
+    which keeps the epilogue to two integer window reductions — no
+    f32 value planes.  pk2 masks exactly one lane per window (packed
+    keys are unique), so a sub-2^-16 trunc-tie can surface the true
+    max in pk2 — sound: bounds, not identities, feed the certs."""
+    nw = bn // WINDOW
+    bm = q_ref.shape[0]
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g = dots.astype(jnp.float32)
+    if alpha != 1.0:
+        g = g * alpha
+    g = g + ca_ref[:] + ra_ref[:]
+    u = jax.lax.bitcast_convert_type(g, jnp.int32)
+    mono = jnp.where(u < 0, jnp.int32(-(2 ** 31)) - u, u)
+    key = mono & ~jnp.int32(127)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    packed = key | (127 - (lane & 127))
+    pk1_parts, pk2_parts = [], []
+    for w in range(nw):
+        ps = packed[:, w * WINDOW : (w + 1) * WINDOW]
+        pmax = jnp.max(ps, axis=1, keepdims=True)
+        pk1_parts.append(pmax)
+        pk2_parts.append(
+            jnp.max(
+                jnp.where(ps == pmax, _I32_MIN_P, ps), axis=1, keepdims=True
+            )
+        )
+    pk1_ref[:] = jnp.concatenate(pk1_parts, axis=1)[None]
+    pk2_ref[:] = jnp.concatenate(pk2_parts, axis=1)[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "alpha", "interpret")
+)
+def pallas_packed_window_scan_top2(
+    queries: jnp.ndarray,  # (B, d) bf16/f32; B % bm == 0
+    corpus: jnp.ndarray,  # (N, d); N % bn == 0, d % 128 == 0
+    bm: int = 0,
+    bn: int = 512,
+    row_add=None,  # (1, N) f32 per-row add (-|x|^2 for l2, -inf masks)
+    col_add=None,  # (B, 1) f32 per-query add (-|q|^2)
+    alpha: float = 1.0,
+    interpret: bool = False,
+):
+    """(pk1 (B, NW) int32, pk2 (B, NW) int32) packed (value | lane)
+    window argmax + runner-up planes — the Mosaic twin of
+    ``bounded_topk.packed_window_scan_top2``."""
+    b, d = queries.shape
+    n = corpus.shape[0]
+    bm = bm or _pick_bm_packed(b)
+    if queries.dtype == jnp.int8:
+        raise ValueError("bounded top-2 scan is float-domain only")
+    if b % bm or n % bn or d % WINDOW:
+        raise ValueError(
+            f"shapes must tile: B={b}%{bm}, N={n}%{bn}, d={d}%{WINDOW}"
+        )
+    nw = bn // WINDOW
+    n_tiles = n // bn
+    itemsize = queries.dtype.itemsize
+    if row_add is None:
+        row_add = jnp.zeros((1, n), jnp.float32)
+    if col_add is None:
+        col_add = jnp.zeros((b, 1), jnp.float32)
+    plane = jax.ShapeDtypeStruct((n_tiles, b, nw), jnp.int32)
+    spec = pl.BlockSpec(
+        (1, bm, nw), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    pk1, pk2 = pl.pallas_call(
+        functools.partial(_packed_top2_kernel, bn=bn, alpha=alpha),
+        grid=(b // bm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(plane, plane),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * itemsize + b * d * itemsize
+            + 2 * b * (n // WINDOW) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, col_add, corpus, row_add)
+
+    def fold(x):
+        return jnp.transpose(x, (1, 0, 2)).reshape(b, n // WINDOW)
+
+    return fold(pk1), fold(pk2)
 
 
 def _pick_bm_packed(b: int) -> int:

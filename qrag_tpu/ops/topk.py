@@ -210,8 +210,14 @@ def flat_scan_topk(
     products descending for "ip".  Jit-traceable (no host sync); the
     "verified" mode's host patch-up lives in
     `DeviceFlatIndex.search` — under jit, "verified" behaves as
-    "approx".
+    "approx".  "bounded" (norm-bounded window pruning,
+    ops/bounded_topk.py) has its own path behind
+    `DeviceFlatIndex.search_device`; if it reaches this generic
+    dispatch (ineligible shapes) it degrades to "exact" — both are
+    exact, this one is just the sort.
     """
+    if mode == "bounded":
+        mode = "exact"
     if use_pallas:
         n, d = corpus.shape
         if mode != "exact" and n >= 4096 and n % 512 == 0 and d % 128 == 0:

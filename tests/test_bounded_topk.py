@@ -1,0 +1,335 @@
+"""Bounded-exact top-k (norm-bounded window pruning): exactness is
+UNCONDITIONAL — every test asserts bit-equal indices (tie order
+included) against the full refine-domain oracle, across the fast path,
+the patch path, and the cert-failure fallback."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qrag_tpu.ops.bounded_topk import (
+    bounded_exact_topk,
+    margin_coeff,
+    packed_window_scan_top2,
+    topk_tiebreak,
+    window_maxnorms,
+)
+from qrag_tpu.ops.topk import _goodness
+from qrag_tpu.ops.window_scan import WINDOW, make_lane_rank
+
+
+def _oracle(q, x, metric, sq, valid, k):
+    g = _goodness(
+        jnp.asarray(q, jnp.float32),
+        jnp.asarray(x, jnp.float32),
+        metric,
+        jnp.asarray(sq),
+        None if valid is None else jnp.asarray(valid),
+    )
+    return jax.lax.top_k(g, k)
+
+
+def _run(q, x, metric, k, x_scan=None, valid=None, **kw):
+    sq = (np.asarray(x, np.float32) ** 2).sum(1)
+    xs = x if x_scan is None else x_scan
+    return bounded_exact_topk(
+        jnp.asarray(q),
+        jnp.asarray(xs),
+        jnp.asarray(x),
+        jnp.asarray(sq),
+        jnp.asarray(window_maxnorms(sq)),
+        jnp.asarray(make_lane_rank(x.shape[0])),
+        k,
+        metric=metric,
+        valid_rows=None if valid is None else jnp.asarray(valid),
+        **kw,
+    )
+
+
+def _assert_exact(q, x, metric, k, res, atol=1e-4):
+    """Exactness up to the contract: identity equals the full-matrix
+    oracle, EXCEPT where the oracle's own values show a sub-noise tie
+    (two f32 evaluation orders of the same dot can drift ~1e-5
+    relative; refine-domain and matmul-domain orderings of such ties
+    legitimately differ — the same caveat the verified mode
+    documents).  Any disagreement wider than the rigorous
+    accumulation-noise bound is a REAL bug."""
+    sq = (np.asarray(x, np.float32) ** 2).sum(1)
+    ov, oi = _oracle(q, x, metric, sq, None, k)
+    vals, idx, fb, npatch = res
+    idx, oi = np.asarray(idx), np.asarray(oi)
+    vals, ov = np.asarray(vals), np.asarray(ov)
+    if not np.array_equal(idx, oi):
+        g = np.asarray(
+            _goodness(
+                jnp.asarray(q, jnp.float32), jnp.asarray(x, jnp.float32),
+                metric, jnp.asarray(sq), None,
+            )
+        )
+        rows, pos = np.where(idx != oi)
+        tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))  # rigorous accum bound
+        # the row I returned must tie the oracle's row at this rank
+        # within evaluation noise — else it's a genuine wrong answer
+        gap = np.abs(g[rows, idx[rows, pos]] - ov[rows, pos])
+        assert (gap <= tol).all(), (
+            f"non-tie index mismatch: rows {rows}, pos {pos}, gap {gap}"
+        )
+    np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=atol)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_random_exact(rng, metric):
+    n, d, b, k = 131072, 64, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    res = _run(q, x, metric, k)
+    assert not bool(res[2])  # fast path
+    _assert_exact(q, x, metric, k, res)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_window_collision_patch_path(rng, metric):
+    """3 of the global top-k rows packed into ONE window: the argmax
+    covers one, the patch path must find the other two."""
+    n, d, b, k = 16384, 32, 4, 8
+    x = 0.05 * rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    target = q[0] / np.linalg.norm(q[0])
+    w = 17
+    for j, off in enumerate((3, 40, 100)):
+        x[w * WINDOW + off] = target * (4.0 + 0.001 * j)
+    res = _run(q, x, metric, k)
+    vals, idx, fb, npatch = res
+    assert not bool(fb)
+    assert int(npatch) >= 1  # the collision window got patched
+    _assert_exact(q, x, metric, k, res)
+    got = set(map(int, np.asarray(idx)[0]))
+    assert {w * WINDOW + 3, w * WINDOW + 40, w * WINDOW + 100} <= got
+
+
+def test_exact_tie_break_lower_index(rng):
+    """Duplicate rows spread across windows: ties resolve to the lower
+    global index, exactly as lax.top_k over the full matrix."""
+    n, d, b, k = 4096, 16, 3, 12
+    base = rng.randn(32, d).astype(np.float32)
+    x = np.tile(base, (n // 32, 1))
+    q = rng.randn(b, d).astype(np.float32)
+    res = _run(q, x, "ip", k)
+    _assert_exact(q, x, "ip", k, res)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_bf16_scan_f32_refine_margins(rng, metric):
+    """Scan in bf16, exactness w.r.t. the f32 corpus: the margins must
+    absorb the input rounding, including rows planted within a hair of
+    the decision boundary."""
+    n, d, b, k = 32768, 128, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # plant near-boundary rows: slightly-decayed copies of the top
+    # dir.  l2 needs wider decay steps: its goodness for a scaled
+    # copy is -(1-s)^2, so 1e-4 steps give ~1e-8 quadratic spacing —
+    # BELOW f32 accumulation noise, i.e. effectively exact ties whose
+    # order is evaluation-dependent in ANY implementation.
+    t = q[0]
+    step = 5e-3 if metric == "l2" else 1e-4
+    for j in range(24):
+        x[128 * (7 * j + 1) + (j % WINDOW)] = t * (1.0 - step * j)
+    res = _run(q, x, metric, k, x_scan=x.astype(jnp.bfloat16))
+    _assert_exact(q, x, metric, k, res, atol=5e-3)
+
+
+def test_cert_failure_falls_back_exact(rng):
+    """More qualifying windows than the candidate budget: cert_a must
+    fail and the fallback still returns the exact answer."""
+    n, d, b, k = 8192, 16, 4, 6
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    t = q[0] / np.linalg.norm(q[0])
+    # 20 near-tied top rows in 20 DIFFERENT windows > C=8 budget
+    for j in range(20):
+        x[j * WINDOW * 2 + 5] = t * (5.0 + 1e-6 * j)
+    res = _run(q, x, "ip", k, candidates=8)
+    assert bool(res[2])  # fell back
+    _assert_exact(q, x, "ip", k, res)
+
+
+def test_multiflag_query_falls_back_exact(rng):
+    """Three windows each hiding TWO top rows for one query (> the
+    2-window patch budget) -> cert_b fallback, still exact."""
+    n, d, b, k = 8192, 16, 4, 10
+    x = 0.05 * rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    t = q[0] / np.linalg.norm(q[0])
+    for wi, w in enumerate((3, 19, 40)):
+        x[w * WINDOW + 7] = t * (4.0 + 0.01 * wi)
+        x[w * WINDOW + 90] = t * (4.0 + 0.005 * wi)
+    res = _run(q, x, "ip", k)
+    assert bool(res[2])
+    _assert_exact(q, x, "ip", k, res)
+
+
+def test_valid_rows_mask(rng):
+    n, d, b, k = 4096, 32, 4, 5
+    x = rng.randn(n, d).astype(np.float32)
+    q = x[:b] + 0.01 * rng.randn(b, d).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[: b // 2] = False  # mask some of the likely winners
+    sq = (x ** 2).sum(1)
+    res = _run(q, x, "l2", k, valid=valid)
+    ov, oi = _oracle(q, x, "l2", sq, valid, k)
+    np.testing.assert_array_equal(np.asarray(res[1]), np.asarray(oi))
+    np.testing.assert_allclose(
+        np.asarray(res[0]), np.asarray(ov), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_top2_scan_oracle(rng):
+    from qrag_tpu.ops.bounded_topk import plane_value_bounds
+
+    n, d, b = 2048, 32, 6
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    pk1, pk2 = packed_window_scan_top2(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(make_lane_rank(n))
+    )
+    g = np.asarray(q @ x.T, np.float32)
+    gr = g.reshape(b, n // WINDOW, WINDOW)
+    lo1, hi1 = (np.asarray(a) for a in plane_value_bounds(pk1))
+    _, hi2 = (np.asarray(a) for a in plane_value_bounds(pk2))
+    # bounds bracket the true top-2 values (strict upper bound)
+    assert (lo1 <= gr.max(2) + 1e-6).all()
+    assert (gr.max(2) < hi1).all()
+    s = np.sort(gr, axis=2)
+    assert (s[:, :, -2] < hi2 + 1e-6).all()
+    # bounds are TIGHT: within one trunc quantum (~2^-16 relative)
+    np.testing.assert_allclose(hi1, gr.max(2), rtol=1e-4)
+    lane = WINDOW - 1 - (np.asarray(pk1) & (WINDOW - 1))
+    np.testing.assert_array_equal(lane, gr.argmax(2))
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_pallas_top2_parity(rng, metric):
+    """The Mosaic top-2 kernel (interpret mode off-TPU) matches the
+    XLA reference twin: plane value bounds within last-ulp
+    accumulation drift (the two backends may fuse the affine epilogue
+    differently — a score sitting exactly on a truncation boundary
+    can flip one quantum; the bounded margins cover exactly this
+    class of drift)."""
+    from qrag_tpu.ops.bounded_topk import plane_value_bounds
+    from qrag_tpu.ops.pallas.fused_scan import pallas_packed_window_scan_top2
+
+    n, d, b = 4096, 128, 8
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    sq = (x ** 2).sum(1)
+    alpha, ra, ca = 1.0, None, None
+    if metric == "l2":
+        alpha = 2.0
+        ra = -jnp.asarray(sq)[None, :]
+        ca = -jnp.sum(jnp.asarray(q) ** 2, axis=1, keepdims=True)
+    ref = packed_window_scan_top2(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(make_lane_rank(n)),
+        row_add=ra, col_add=ca, alpha=alpha,
+    )
+    got = pallas_packed_window_scan_top2(
+        jnp.asarray(q), jnp.asarray(x),
+        row_add=ra, col_add=ca, alpha=alpha, interpret=True,
+    )
+    for r, g_ in zip(ref, got):
+        _, hi_r = plane_value_bounds(r)
+        _, hi_g = plane_value_bounds(g_)
+        np.testing.assert_allclose(
+            np.asarray(hi_r), np.asarray(hi_g), rtol=1e-4, atol=1e-3
+        )
+    # argmax lanes agree wherever the trunc keys agree (they differ
+    # only when a score sits on a truncation boundary)
+    same_key = np.asarray(ref[0] & ~127) == np.asarray(got[0] & ~127)
+    assert same_key.mean() > 0.99
+    lane_ref = np.asarray(ref[0]) & 127
+    lane_got = np.asarray(got[0]) & 127
+    np.testing.assert_array_equal(lane_ref[same_key], lane_got[same_key])
+
+
+def test_bounded_pallas_backend_exact(rng):
+    n, d, b, k = 16384, 128, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    res = _run(q, x, "l2", k, backend="pallas")
+    assert not bool(res[2])
+    _assert_exact(q, x, "l2", k, res)
+
+
+def test_topk_tiebreak_matches_lax(rng):
+    g = np.array([[1.0, 3.0, 3.0, -np.inf, 2.0]], np.float32)
+    idx = np.array([[40, 30, 10, 0, 20]], np.int32)
+    v, i = topk_tiebreak(jnp.asarray(g), jnp.asarray(idx), 3)
+    np.testing.assert_array_equal(np.asarray(i)[0], [10, 30, 20])
+    np.testing.assert_allclose(np.asarray(v)[0], [3.0, 3.0, 2.0])
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_device_flat_index_bounded_mode(rng, metric):
+    """topk_mode="bounded" through DeviceFlatIndex.search /
+    search_device matches the exact index bit-for-bit (indices + tie
+    order), finalized distances included."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    n, d, b, k = 8192, 64, 8, 10
+    x = rng.randn(n, d).astype(np.float32)
+    q = x[rng.choice(n, b)] + 0.01 * rng.randn(b, d).astype(np.float32)
+    bounded = DeviceFlatIndex.from_numpy(
+        x, metric=metric, topk_mode="bounded", normalize=False
+    )
+    exact = DeviceFlatIndex.from_numpy(
+        x, metric=metric, topk_mode="exact", normalize=False
+    )
+    rb = bounded.search(q, k=k)
+    re_ = exact.search(q, k=k)
+    np.testing.assert_array_equal(rb.indices, re_.indices)
+    np.testing.assert_allclose(rb.scores, re_.scores, rtol=1e-5, atol=1e-4)
+    # device-level too (jit-compatible path)
+    sv, si = bounded.search_device(jnp.asarray(q), k)
+    np.testing.assert_array_equal(np.asarray(si), re_.indices)
+
+
+def test_bounded_mode_small_corpus_degrades_exact(rng):
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    x = rng.randn(500, 32).astype(np.float32)
+    q = rng.randn(3, 32).astype(np.float32)
+    idx = DeviceFlatIndex.from_numpy(x, topk_mode="bounded", normalize=False)
+    exact = DeviceFlatIndex.from_numpy(x, topk_mode="exact", normalize=False)
+    np.testing.assert_array_equal(
+        idx.search(q, k=5).indices, exact.search(q, k=5).indices
+    )
+
+
+def test_bounded_mode_incremental_add(rng):
+    """Snapshot-cached bounded buffers regenerate after add()."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    x = rng.randn(4096, 32).astype(np.float32)
+    idx = DeviceFlatIndex.from_numpy(x, topk_mode="bounded", normalize=False)
+    q = rng.randn(2, 32).astype(np.float32)
+    idx.search(q, k=3)  # build + cache bounded buffers
+    extra = rng.randn(512, 32).astype(np.float32)
+    idx.add(extra)
+    exact = DeviceFlatIndex.from_numpy(
+        np.concatenate([x, extra]), topk_mode="exact", normalize=False
+    )
+    np.testing.assert_array_equal(
+        idx.search(q, k=5).indices, exact.search(q, k=5).indices
+    )
+
+
+def test_margin_coeff_domains():
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    same = margin_coeff(bf16, bf16, bf16, 768)
+    mixed = margin_coeff(f32, bf16, f32, 768)
+    assert same < 1e-3 < mixed < 2e-2
+    # the mixed coefficient must cover 2^-8 per bf16-rounded operand
+    assert mixed >= 2 * 2.0 ** -8
