@@ -172,7 +172,7 @@ def _index_cls_and_kwargs(config: QragConfig):
         from qrag_tpu.parallel.sharded_index import ShardedFlatIndex
 
         mode = config.index.topk_mode
-        if mode in ("verified", "refined", "bounded"):
+        if mode in ("verified", "refined"):
             # the sharded scan has no host patch-up stage; make the
             # downgrade loud (stats surfaces the effective topk_mode)
             logger.warning(

@@ -201,8 +201,8 @@ def bounded_exact_topk(
     k: int,
     metric: str = "l2",
     valid_rows: Optional[jnp.ndarray] = None,  # (N,) bool
-    candidates: int = 48,  # C: top windows exactly re-scored
-    patch_queries: int = 64,  # F: per-batch flagged-query budget
+    candidates: int = 32,  # C: top windows exactly re-scored
+    patch_queries: int = 32,  # F: per-batch flagged-query budget
     backend: str = "xla",  # "xla" | "pallas"
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

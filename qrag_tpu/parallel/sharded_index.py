@@ -65,9 +65,40 @@ def _sharded_search(
     merge: str = "allgather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     def local(q, x, sq, vl):
-        # per-shard scan: identical kernel to the single-chip path
-        g = _goodness(q, x, metric, sq, vl)
-        vals, idx = goodness_topk(g, k, mode=mode)
+        if mode == "bounded":
+            # provably-exact sharded retrieval: per-shard bounded-exact
+            # top-k (ops/bounded_topk.py) + the exact tie-break merge
+            # below = exact GLOBAL top-k.  Shards too small for the
+            # windowed machinery use the exact sort (cheap there) —
+            # either way every shard's candidates are exact, so the
+            # merged result is.  With store_dtype="float32" the bf16
+            # scan copy is cast per call — prefer "bfloat16" storage
+            # for production bounded+sharded serving.
+            nl = x.shape[0]
+            if nl >= 4096 and nl % 128 == 0 and nl // 128 >= max(k, 16):
+                from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+
+                scan = x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16)
+                mx = jnp.sqrt(jnp.max(sq.reshape(-1, 128), axis=1))
+                lr = (127 - (jnp.arange(nl, dtype=jnp.int32) % 128))[None, :]
+                backend = (
+                    "pallas"
+                    if jax.default_backend() == "tpu"
+                    and nl % 512 == 0
+                    and x.shape[1] % 128 == 0
+                    else "xla"
+                )
+                vals, idx, _, _ = bounded_exact_topk(
+                    q, scan, x, sq, mx, lr, k,
+                    metric=metric, valid_rows=vl, backend=backend,
+                )
+            else:
+                g = _goodness(q, x, metric, sq, vl)
+                vals, idx = goodness_topk(g, k, mode="exact")
+        else:
+            # per-shard scan: identical kernel to the single-chip path
+            g = _goodness(q, x, metric, sq, vl)
+            vals, idx = goodness_topk(g, k, mode=mode)
         shard = jax.lax.axis_index(MODEL_AXIS)
         idx = idx + shard * x.shape[0]  # globalize row ids
         s = jax.lax.axis_size(MODEL_AXIS)

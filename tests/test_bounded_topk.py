@@ -326,6 +326,55 @@ def test_bounded_mode_incremental_add(rng):
     )
 
 
+@pytest.mark.parametrize("merge", ["allgather", "ring"])
+def test_sharded_bounded_exact(rng, merge):
+    """topk_mode="bounded" on the sharded index: per-shard bounded +
+    exact tie-break merge = exact GLOBAL top-k, bit-equal to the
+    single-device exact index (duplicates included)."""
+    from qrag_tpu.config import MeshConfig
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    from qrag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    n, d, b, k = 8 * 4608, 32, 6, 10  # 4608 rows/shard (>=4096, %128)
+    base = rng.randn(64, d).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32)
+    x[:: n // 64] = base[: len(x[:: n // 64])]  # planted duplicates
+    q = rng.randn(b, d).astype(np.float32)
+    for metric in ("ip", "l2"):
+        sharded = ShardedFlatIndex(
+            x, mesh, metric=metric, topk_mode="bounded", merge=merge
+        )
+        exact = DeviceFlatIndex.from_numpy(
+            x, metric=metric, topk_mode="exact", normalize=False
+        )
+        rs = sharded.search(q, k=k)
+        re_ = exact.search(q, k=k)
+        np.testing.assert_array_equal(rs.indices, re_.indices)
+        np.testing.assert_allclose(
+            rs.scores, re_.scores, rtol=1e-5, atol=1e-4
+        )
+
+
+def test_sharded_bounded_small_shards_degrade(rng):
+    from qrag_tpu.config import MeshConfig
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    from qrag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    x = rng.randn(2000, 16).astype(np.float32)  # 256 rows/shard: exact
+    q = rng.randn(3, 16).astype(np.float32)
+    sharded = ShardedFlatIndex(x, mesh, topk_mode="bounded")
+    exact = DeviceFlatIndex.from_numpy(x, topk_mode="exact", normalize=False)
+    np.testing.assert_array_equal(
+        sharded.search(q, k=5).indices, exact.search(q, k=5).indices
+    )
+
+
 def test_margin_coeff_domains():
     f32, bf16 = jnp.float32, jnp.bfloat16
     same = margin_coeff(bf16, bf16, bf16, 768)
