@@ -14,11 +14,17 @@ device batch — its default (64) matches the top of the warmed query
 ladder (``ServingConfig.warmup_batch_buckets``), so coalesced batches
 only ever hit shapes ``engine.warmup()`` already compiled.  Requests
 with different k are served with max(k) and trimmed per caller.
+
+Requests carry an integer ``priority`` (default 0): when the queue is
+backlogged, higher-priority requests jump ahead (PriorityQueue keyed
+(-priority, arrival)); equal priorities stay FIFO, and an idle queue
+serves everything immediately, so priorities only matter under load.
 """
 
 from __future__ import annotations
 
 import functools
+import itertools
 import queue
 import threading
 import time
@@ -38,6 +44,7 @@ class _Pending:
     future: Future = field(default_factory=Future)
     params: tuple = ()  # extra grouping key (rerank candidates/type)
     payload: Any = None  # (query, documents, top_k) for doc-list reranks
+    priority: int = 0  # higher serves first when the queue is backlogged
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,27 +95,34 @@ class SearchBatcher:
         self.max_wait_s = max_wait_s
         self.max_batch = max_batch
         self.bucket_floor = bucket_floor
-        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        # priority queue keyed (-priority, arrival seq): when the
+        # queue is backlogged, higher-priority requests jump ahead;
+        # equal priorities stay FIFO (ROADMAP serving item)
+        self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
+        self._seq = itertools.count()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self.batches = 0
         self.batched_queries = 0
+        self.prioritized_served = 0  # requests served with priority > 0
 
     # ------------------------------------------------------------- client
 
     def _submit(self, item: _Pending):
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
-        self._queue.put(item)
+        self._queue.put((-int(item.priority), next(self._seq), item))
         return item.future.result()
 
-    def search(self, vectors: np.ndarray, k: int = 10):
+    def search(self, vectors: np.ndarray, k: int = 10, priority: int = 0):
         """Blocking search through the batcher; returns SearchResult."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
-        return self._submit(_Pending(vectors=vectors, k=k))
+        return self._submit(
+            _Pending(vectors=vectors, k=k, priority=priority)
+        )
 
     def search_rerank(
         self,
@@ -116,6 +130,7 @@ class SearchBatcher:
         k: int = 10,
         candidates: int = 100,
         reranker_type: str = "quantum",
+        priority: int = 0,
     ) -> dict:
         """Blocking fused search+rerank through the batcher; returns
         the engine's result dict for THESE vectors only."""
@@ -127,6 +142,7 @@ class SearchBatcher:
                 vectors=vectors,
                 k=k,
                 params=("rerank", k, candidates, reranker_type),
+                priority=priority,
             )
         )
 
@@ -136,6 +152,7 @@ class SearchBatcher:
         documents: list,
         top_k: Optional[int] = None,
         reranker_type: str = "auto",
+        priority: int = 0,
     ) -> dict:
         """Blocking document-list rerank (the reference's POST /rerank
         hot path, ``classical.py:281-284``) through the batcher.
@@ -158,6 +175,7 @@ class SearchBatcher:
                 k=top_k if top_k is not None else -1,
                 params=("docrr", expert),
                 payload=(query, documents, top_k),
+                priority=priority,
             )
         )
 
@@ -168,7 +186,7 @@ class SearchBatcher:
         self._worker.join(timeout=5)
         while True:
             try:
-                item = self._queue.get_nowait()
+                _, _, item = self._queue.get_nowait()
             except queue.Empty:
                 break
             if not item.future.done():
@@ -183,13 +201,14 @@ class SearchBatcher:
                 if self.batches
                 else 0.0
             ),
+            "prioritized_served": self.prioritized_served,
         }
 
     # ------------------------------------------------------------- worker
 
     def _drain(self) -> List[_Pending]:
         try:
-            first = self._queue.get(timeout=0.05)
+            _, _, first = self._queue.get(timeout=0.05)
         except queue.Empty:
             return []
         def size(it: _Pending) -> int:
@@ -205,11 +224,12 @@ class SearchBatcher:
             if remaining <= 0:
                 break
             try:
-                nxt = self._queue.get(timeout=remaining)
+                _, _, nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             items.append(nxt)
             total += size(nxt)
+        self.prioritized_served += sum(1 for it in items if it.priority > 0)
         return items
 
     def _run(self) -> None:

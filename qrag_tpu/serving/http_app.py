@@ -12,7 +12,10 @@ reference lacked:
                          {documents: [{document, score}], reranker_used,
                          query} (explicit schema; SURVEY.md A.3)
   POST /search         — {query: str | queries: [str] | vectors: [[f]],
-                         k?} → exact top-k over the HBM index
+                         k?, stream?, priority?} → top-k over the HBM
+                         index; ``stream: true`` returns chunked
+                         NDJSON (hits in <=512-row spans per line +
+                         a final {"done": true} line) for large k
   POST /search_rerank  — fused retrieval→quantum-rerank
   POST /add            — {texts: [str], metadata?: [str]} ingestion
   GET  /               — service info (mirrors ``app.py:81-92``)
@@ -123,6 +126,8 @@ def _make_handler(engine: QragEngine, batcher=None):
                                 "body": {
                                     "query | queries | vectors": "...",
                                     "k": "int?",
+                                    "stream": "bool? (chunked NDJSON)",
+                                    "priority": "int? (-10..10)",
                                 },
                             },
                             "POST /search_rerank": {
@@ -131,6 +136,7 @@ def _make_handler(engine: QragEngine, batcher=None):
                                     "k": "int?",
                                     "candidates": "int?",
                                     "reranker_type": "quantum|classical|auto",
+                                    "priority": "int? (-10..10)",
                                 },
                             },
                             "POST /add": {
@@ -159,6 +165,8 @@ def _make_handler(engine: QragEngine, batcher=None):
             try:
                 if self.path == "/rerank":
                     self._send_json(self._handle_rerank(body))
+                elif self.path == "/search" and body.get("stream"):
+                    self._stream_search(body)
                 elif self.path == "/search":
                     self._send_json(self._handle_search(body))
                 elif self.path == "/search_rerank":
@@ -192,10 +200,11 @@ def _make_handler(engine: QragEngine, batcher=None):
             rtype = body.get("reranker_type", "auto")
             if batcher is not None:
                 # coalesce concurrent document-list reranks into one
-                # (R, D)-shaped device fidelity call (grouped by
-                # routed expert + doc-count bucket)
+                # pair-flattened device fidelity call (grouped by
+                # routed expert)
                 result = batcher.rerank_documents(
-                    query, documents, top_k=top_k, reranker_type=rtype
+                    query, documents, top_k=top_k, reranker_type=rtype,
+                    priority=max(-10, min(10, int(body.get("priority", 0)))),
                 )
                 engine.metrics.incr("rerank_requests")
                 engine.metrics.incr(f"rerank_{result['reranker_used']}")
@@ -208,10 +217,14 @@ def _make_handler(engine: QragEngine, batcher=None):
                 )
             return rerank_response_dict(result)
 
-        def _handle_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        def _search_result(self, body: Dict[str, Any]):
+            """Shared /search resolution: parse queries, run through
+            the batcher (with request priority) or the engine.
+            Returns (SearchResult, None) or (None, error dict)."""
             import numpy as np
 
             k = int(body.get("k", 10))
+            prio = max(-10, min(10, int(body.get("priority", 0))))
             if "vectors" in body:
                 queries = np.asarray(body["vectors"], dtype=np.float32)
             elif "queries" in body:
@@ -219,7 +232,7 @@ def _make_handler(engine: QragEngine, batcher=None):
             elif "query" in body:
                 queries = [body["query"]]
             else:
-                return {"error": "provide query, queries, or vectors"}
+                return None, {"error": "provide query, queries, or vectors"}
             if batcher is not None:
                 # dynamic batching: coalesce concurrent requests into
                 # one device call (embed text host-side first)
@@ -228,9 +241,56 @@ def _make_handler(engine: QragEngine, batcher=None):
                     if not isinstance(queries, np.ndarray)
                     else queries
                 )
-                res = batcher.search(vecs, k=k)
+                res = batcher.search(vecs, k=k, priority=prio)
             else:
                 res = engine.search(queries, k=k)
+            return res, None
+
+        def _stream_search(self, body: Dict[str, Any]) -> None:
+            """``"stream": true`` — chunked NDJSON for LARGE k
+            (ROADMAP serving item): each line is
+            ``{"query": qi, "offset": j, "hits": [... <=512 ...]}``
+            followed by a final ``{"done": true, "metric": ...}``
+            line, so clients render results incrementally instead of
+            buffering one giant JSON body."""
+            res, err = self._search_result(body)
+            if err is not None:
+                self._send_json(err)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(obj: Dict[str, Any]) -> None:
+                line = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(line):X}\r\n".encode())
+                self.wfile.write(line + b"\r\n")
+                self.wfile.flush()
+
+            span = 512
+            for qi in range(res.indices.shape[0]):
+                hits = [
+                    {"index": int(i), "score": float(s), "metadata": m}
+                    for i, s, m in res.top(qi)
+                ]
+                for off in range(0, max(len(hits), 1), span):
+                    chunk(
+                        {
+                            "query": qi,
+                            "offset": off,
+                            "hits": hits[off : off + span],
+                        }
+                    )
+            chunk({"done": True, "metric": engine.index.metric})
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+
+        def _handle_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
+            res, err = self._search_result(body)
+            if err is not None:
+                return err
             return {
                 "results": [
                     [
@@ -263,7 +323,8 @@ def _make_handler(engine: QragEngine, batcher=None):
                     else queries
                 )
                 return batcher.search_rerank(
-                    vecs, k=k, candidates=candidates, reranker_type=rtype
+                    vecs, k=k, candidates=candidates, reranker_type=rtype,
+                    priority=max(-10, min(10, int(body.get("priority", 0)))),
                 )
             return engine.search_rerank(
                 queries, k=k, candidates=candidates, reranker_type=rtype

@@ -253,3 +253,34 @@ def test_http_rerank_under_concurrency(engine):
         assert stats["batcher"]["batches"] < 8
     finally:
         server.shutdown()
+
+
+def test_priority_orders_backlogged_queue(rng):
+    """With the worker stopped, a backlog drains highest-priority
+    first, FIFO within a priority level."""
+    import numpy as np
+
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    from qrag_tpu.serving.batcher import _Pending
+
+    cfg = QragConfig.from_dict(
+        {"embedding": {"provider": "hash", "dim": 16},
+         "classical": {"method": "cosine"}}
+    )
+    x = rng.randn(64, 16).astype("float32")
+    eng = QragEngine(config=cfg, index=DeviceFlatIndex.from_numpy(x))
+    batcher = SearchBatcher(eng)
+    batcher._stop.set()
+    batcher._worker.join(timeout=5)
+    import numpy as np
+
+    for prio in (0, 5, 0, 9, -2):
+        it = _Pending(
+            vectors=np.zeros((1, 16), np.float32), k=1, priority=prio
+        )
+        batcher._queue.put((-prio, next(batcher._seq), it))
+    items = batcher._drain()
+    assert [it.priority for it in items] == [9, 5, 0, 0, -2]
+    assert batcher.prioritized_served == 2

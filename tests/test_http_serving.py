@@ -204,3 +204,48 @@ def test_docs_endpoint(server_url):
     status, body = _get(server_url, "/docs")
     assert status == 200
     assert "POST /rerank" in body["endpoints"]
+
+
+def test_streamed_search_ndjson(server_url):
+    """"stream": true returns chunked NDJSON whose reassembled hits
+    equal the plain /search response (ROADMAP serving item)."""
+    vec = np.random.RandomState(3).randn(2, 32).astype(np.float32)
+    payload = {"vectors": vec.tolist(), "k": 7}
+    _, plain = _post(server_url, "/search", payload)
+    req = urllib.request.Request(
+        server_url + "/search",
+        data=json.dumps({**payload, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(ln) for ln in resp.read().splitlines() if ln]
+    assert lines[-1]["done"] is True
+    assert lines[-1]["metric"] == plain["metric"]
+    per_query = {}
+    for ln in lines[:-1]:
+        per_query.setdefault(ln["query"], []).extend(ln["hits"])
+    assert len(per_query) == 2
+    for qi, hits in per_query.items():
+        want = plain["results"][qi]
+        assert [h["index"] for h in hits] == [h["index"] for h in want]
+        np.testing.assert_allclose(
+            [h["score"] for h in hits], [h["score"] for h in want]
+        )
+
+
+def test_search_priority_accepted(server_url):
+    """priority is accepted on the plain path (no batcher here) and
+    on /search_rerank without changing results."""
+    vec = np.random.RandomState(4).randn(1, 32).astype(np.float32)
+    _, a = _post(server_url, "/search", {"vectors": vec.tolist(), "k": 3})
+    _, b = _post(
+        server_url,
+        "/search",
+        {"vectors": vec.tolist(), "k": 3, "priority": 7},
+    )
+    assert [h["index"] for h in a["results"][0]] == [
+        h["index"] for h in b["results"][0]
+    ]
