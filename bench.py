@@ -315,7 +315,8 @@ def bench_bounded_mode(n, d, b, k, iters):
     def loop(q0, corpus_, sq_, mx_, lr_):
         def body(carry, _):
             vals, idx, fb, npatch = bounded_exact_topk(
-                carry, corpus_, corpus_, sq_, mx_, lr_, k, metric="l2"
+                carry, corpus_, corpus_, sq_, mx_, lr_, k, metric="l2",
+                backend="pallas" if jax.default_backend() == "tpu" else "xla",
             )
             carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
             return carry, (vals.sum(), idx.sum(), fb)

@@ -647,7 +647,9 @@ class QragEngine:
                 snap.valid,
                 c,
                 index.metric,
-                "approx" if index.topk_mode == "verified" else index.topk_mode,
+                "approx"
+                if index.topk_mode in ("verified", "bounded")
+                else index.topk_mode,
             )
 
         def stage_rerank(q, retr_scores, idx, k, snap):

@@ -290,7 +290,7 @@ class DeviceFlatIndex:
         window pruning, ops/bounded_topk.py), cached per snapshot
         generation: a bf16 scan copy (aliases the matrix when it
         already stores bf16), per-window max row norms, lane ranks."""
-        from qrag_tpu.ops.bounded_topk import WINDOW
+        from qrag_tpu.ops.bounded_topk import window_maxnorms_device
         from qrag_tpu.ops.window_scan import make_lane_rank
 
         snap = self.device_buffers()
@@ -301,9 +301,7 @@ class DeviceFlatIndex:
                 if snap.matrix.dtype == jnp.bfloat16
                 else snap.matrix.astype(jnp.bfloat16)
             )
-            mx = jnp.sqrt(
-                jnp.max(snap.sqnorms.reshape(-1, WINDOW), axis=1)
-            )
+            mx = window_maxnorms_device(snap.sqnorms)
             lr = jnp.asarray(make_lane_rank(snap.matrix.shape[0]))
             bufs = (scan, mx, lr)
             snap.extras["bounded"] = bufs

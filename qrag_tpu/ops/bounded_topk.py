@@ -85,6 +85,16 @@ def window_maxnorms(corpus_sqnorms: np.ndarray) -> np.ndarray:
     return np.sqrt(padded.reshape(nw, WINDOW).max(axis=1))
 
 
+def window_maxnorms_device(corpus_sqnorms: jnp.ndarray) -> jnp.ndarray:
+    """jnp twin of ``window_maxnorms`` for buffers already on device
+    (requires len % WINDOW == 0) — the ONE derivation of the per-window
+    norm bound, shared by the flat snapshot cache and the sharded
+    per-shard path."""
+    return jnp.sqrt(
+        jnp.max(corpus_sqnorms.reshape(-1, WINDOW), axis=1)
+    )
+
+
 def margin_coeff(
     query_dtype, scan_dtype, exact_dtype, d: int
 ) -> float:
@@ -214,9 +224,14 @@ def bounded_exact_topk(
     b, d = queries.shape
     n = corpus_scan.shape[0]
     nw = n // WINDOW
-    C = min(candidates, nw)
-    if C < k:
-        raise ValueError(f"candidates={C} must be >= k={k}")
+    if nw < k:
+        raise ValueError(
+            f"bounded top-k needs >= k windows (k={k}, windows={nw}) — "
+            "route small corpora to the exact sort"
+        )
+    # the candidate budget must cover k (a k=100 rerank pass through a
+    # default-config index must widen the budget, not crash)
+    C = min(max(candidates, k), nw)
     F = min(patch_queries, b)
 
     q32 = queries.astype(jnp.float32)
@@ -255,6 +270,13 @@ def bounded_exact_topk(
         queries.dtype, corpus_scan.dtype, corpus_f.dtype, d
     )
     margin = coeff * qnorm * maxnorms[None, :] + 1e-30  # (B, NW)
+    if metric == "l2":
+        # the affine epilogue (+(-|q|^2) +(-|x|^2)) rounds in f32 with
+        # association orders that differ between scan and refine; that
+        # drift scales with the NORM TERMS, not |q||x| — an absolute
+        # eps_f32-scale term keeps the bound rigorous for
+        # norm-mismatched data (|q| >> |x| or vice versa)
+        margin = margin + 5e-7 * (qsq + maxnorms[None, :] ** 2)
 
     # ---- candidates: top-C windows by upper bound, argmax rows exact.
     # approx_max_k (hardware partial-reduce) instead of a full sort
@@ -263,9 +285,9 @@ def bounded_exact_topk(
     # recall miss here can cost a fallback, never exactness.
     ub = v1_ub + margin
     if nw > 4096:
-        ubv, wsel = jax.lax.approx_max_k(ub, C, recall_target=0.999)
+        _, wsel = jax.lax.approx_max_k(ub, C, recall_target=0.999)
     else:
-        ubv, wsel = jax.lax.top_k(ub, C)  # (B, C)
+        _, wsel = jax.lax.top_k(ub, C)  # (B, C)
     lane1 = WINDOW - 1 - (pk1 & jnp.int32(WINDOW - 1))  # (B, NW)
     cand_idx = wsel * WINDOW + jnp.take_along_axis(lane1, wsel, axis=1)
     # a window whose best score is exactly -inf is all-masked: never

@@ -74,13 +74,22 @@ def _sharded_search(
             # merged result is.  With store_dtype="float32" the bf16
             # scan copy is cast per call — prefer "bfloat16" storage
             # for production bounded+sharded serving.
-            nl = x.shape[0]
-            if nl >= 4096 and nl % 128 == 0 and nl // 128 >= max(k, 16):
-                from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+            from qrag_tpu.ops.bounded_topk import (
+                WINDOW,
+                bounded_exact_topk,
+                window_maxnorms_device,
+            )
+            from qrag_tpu.ops.window_scan import make_lane_rank
 
+            nl = x.shape[0]
+            if (
+                nl >= 4096
+                and nl % WINDOW == 0
+                and nl // WINDOW >= max(k, 16)
+            ):
                 scan = x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16)
-                mx = jnp.sqrt(jnp.max(sq.reshape(-1, 128), axis=1))
-                lr = (127 - (jnp.arange(nl, dtype=jnp.int32) % 128))[None, :]
+                mx = window_maxnorms_device(sq)
+                lr = jnp.asarray(make_lane_rank(nl))
                 backend = (
                     "pallas"
                     if jax.default_backend() == "tpu"

@@ -204,7 +204,7 @@ def _make_handler(engine: QragEngine, batcher=None):
                 # routed expert)
                 result = batcher.rerank_documents(
                     query, documents, top_k=top_k, reranker_type=rtype,
-                    priority=max(-10, min(10, int(body.get("priority", 0)))),
+                    priority=self._priority(body),
                 )
                 engine.metrics.incr("rerank_requests")
                 engine.metrics.incr(f"rerank_{result['reranker_used']}")
@@ -217,6 +217,10 @@ def _make_handler(engine: QragEngine, batcher=None):
                 )
             return rerank_response_dict(result)
 
+        def _priority(self, body: Dict[str, Any]) -> int:
+            """Request priority, clamped to the documented -10..10."""
+            return max(-10, min(10, int(body.get("priority", 0))))
+
         def _search_result(self, body: Dict[str, Any]):
             """Shared /search resolution: parse queries, run through
             the batcher (with request priority) or the engine.
@@ -224,7 +228,7 @@ def _make_handler(engine: QragEngine, batcher=None):
             import numpy as np
 
             k = int(body.get("k", 10))
-            prio = max(-10, min(10, int(body.get("priority", 0))))
+            prio = self._priority(body)
             if "vectors" in body:
                 queries = np.asarray(body["vectors"], dtype=np.float32)
             elif "queries" in body:
@@ -269,23 +273,41 @@ def _make_handler(engine: QragEngine, batcher=None):
                 self.wfile.write(line + b"\r\n")
                 self.wfile.flush()
 
-            span = 512
-            for qi in range(res.indices.shape[0]):
-                hits = [
-                    {"index": int(i), "score": float(s), "metadata": m}
-                    for i, s, m in res.top(qi)
-                ]
-                for off in range(0, max(len(hits), 1), span):
-                    chunk(
-                        {
-                            "query": qi,
-                            "offset": off,
-                            "hits": hits[off : off + span],
-                        }
-                    )
-            chunk({"done": True, "metric": engine.index.metric})
-            self.wfile.write(b"0\r\n\r\n")
-            self.wfile.flush()
+            # once headers are out, failures must be handled IN-STREAM:
+            # falling through to _send_json would write a second status
+            # line into the middle of the chunked body (keep-alive
+            # framing corruption); a broken pipe just drops the
+            # connection
+            try:
+                span = 512
+                for qi in range(res.indices.shape[0]):
+                    hits = [
+                        {"index": int(i), "score": float(s), "metadata": m}
+                        for i, s, m in res.top(qi)
+                    ]
+                    for off in range(0, max(len(hits), 1), span):
+                        chunk(
+                            {
+                                "query": qi,
+                                "offset": off,
+                                "hits": hits[off : off + span],
+                            }
+                        )
+                chunk({"done": True, "metric": engine.index.metric})
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                logger.debug("stream client disconnected mid-response")
+                self.close_connection = True
+            except Exception as e:  # noqa: BLE001 - in-stream error line
+                logger.error("error mid-stream: %s", e)
+                try:
+                    chunk({"error": str(e)})
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except Exception:  # noqa: BLE001
+                    pass
+                self.close_connection = True
 
         def _handle_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
             res, err = self._search_result(body)
@@ -324,7 +346,7 @@ def _make_handler(engine: QragEngine, batcher=None):
                 )
                 return batcher.search_rerank(
                     vecs, k=k, candidates=candidates, reranker_type=rtype,
-                    priority=max(-10, min(10, int(body.get("priority", 0)))),
+                    priority=self._priority(body),
                 )
             return engine.search_rerank(
                 queries, k=k, candidates=candidates, reranker_type=rtype
@@ -419,6 +441,14 @@ def main(argv=None) -> None:
         "and candidate rows are never gathered; returned scores are "
         "approximate (block-int8, ~1%%; docs/PERFORMANCE.md)",
     )
+    parser.add_argument(
+        "--topk-mode",
+        default=None,
+        choices=["exact", "approx", "verified", "refined", "bounded"],
+        help="top-k selection mode (IndexConfig.topk_mode): 'bounded' "
+        "= provably-exact norm-bounded window pruning "
+        "(ops/bounded_topk.py; works single-device AND --sharded)",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
@@ -427,6 +457,15 @@ def main(argv=None) -> None:
         parser.error("--shard-merge/--elastic require --sharded")
     if args.lean_scan and args.sharded:
         parser.error("--lean-scan is a single-device index mode")
+    if args.topk_mode and args.lean_scan:
+        parser.error("--lean-scan fixes its own scan mode")
+    if args.topk_mode:
+        from dataclasses import replace as _r
+
+        config = _r(config, index=_r(config.index, topk_mode=args.topk_mode))
+        import os as _os
+
+        _os.environ["QRAG_INDEX_TOPK_MODE"] = args.topk_mode
     if args.lean_scan:
         from dataclasses import replace as _r
 

@@ -296,6 +296,21 @@ def test_device_flat_index_bounded_mode(rng, metric):
     np.testing.assert_array_equal(np.asarray(si), re_.indices)
 
 
+def test_bounded_k_exceeds_candidate_default(rng):
+    """k > the default candidate budget must WIDEN the budget, not
+    crash (review finding r3: the engine's rerank pass asks for
+    candidates=100 through a default-config bounded index)."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    n, d, b = 8192, 64, 4
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    idx = DeviceFlatIndex.from_numpy(x, topk_mode="bounded", normalize=False)
+    ex = DeviceFlatIndex.from_numpy(x, topk_mode="exact", normalize=False)
+    r1, r2 = idx.search(q, k=40), ex.search(q, k=40)
+    np.testing.assert_array_equal(r1.indices, r2.indices)
+
+
 def test_bounded_mode_small_corpus_degrades_exact(rng):
     from qrag_tpu.index.flat_index import DeviceFlatIndex
 

@@ -130,3 +130,29 @@ def test_lean_scan_cli_flag_sets_config(monkeypatch, tmp_path):
     assert engine.config.index.exact_scores is False
     assert isinstance(engine.index, QuantizedFlatIndex)
     assert engine.index.exact_scores is False
+
+
+def test_topk_mode_cli_flag_sets_config(monkeypatch):
+    """--topk-mode bounded wires IndexConfig.topk_mode through the
+    serve CLI's config + env channel (parsed, not served)."""
+    import os
+
+    import qrag_tpu.serving.http_app as http_app
+
+    captured = {}
+
+    def fake_create_server(engine, host, port, batching=False, **kw):
+        captured["engine"] = engine
+        raise SystemExit(0)
+
+    monkeypatch.setattr(http_app, "create_server", fake_create_server)
+    try:
+        with pytest.raises(SystemExit):
+            http_app.main(
+                ["--topk-mode", "bounded", "--port", "0", "--no-warmup"]
+            )
+    finally:
+        os.environ.pop("QRAG_INDEX_TOPK_MODE", None)
+    engine = captured["engine"]
+    assert engine.config.index.topk_mode == "bounded"
+    assert engine.index.topk_mode == "bounded"
