@@ -251,7 +251,12 @@ def pallas_packed_window_scan_top2(
     def fold(x):
         return jnp.transpose(x, (1, 0, 2)).reshape(b, n // WINDOW)
 
-    return fold(pk1), fold(pk2)
+    # the kernel's tile-leading output layout has a 4-lane minor dim;
+    # BARRIER the fold so downstream plane arithmetic (bounds, margins,
+    # certs — ops/bounded_topk.py) runs on the relaid (B, NW) copy
+    # instead of being fused into the bad layout (profiled: the fused
+    # form cost ~12 ms/batch of VPU passes at 3% lane utilization)
+    return jax.lax.optimization_barrier((fold(pk1), fold(pk2)))
 
 
 def _pick_bm_packed(b: int) -> int:

@@ -390,6 +390,30 @@ def test_sharded_bounded_small_shards_degrade(rng):
     )
 
 
+def test_fuzz_exactness_many_shapes(rng):
+    """Randomized sweep over shapes, metrics, dtypes, k, and data
+    styles (normalized / wild-norm / clustered): exactness must hold
+    on every draw — any non-tie index disagreement with the oracle is
+    a real bug."""
+    for trial in range(12):
+        n = int(rng.choice([4096, 8192, 16384]))
+        d = int(rng.choice([16, 48, 96]))
+        b = int(rng.choice([1, 3, 9]))
+        k = int(rng.choice([1, 5, 17]))
+        metric = ["ip", "l2"][trial % 2]
+        style = trial % 3
+        x = rng.randn(n, d).astype(np.float32)
+        if style == 1:  # wild norms (margin scaling must track)
+            x *= rng.lognormal(0.0, 2.0, size=(n, 1)).astype(np.float32)
+        elif style == 2:  # clustered: many near-duplicates
+            centers = rng.randn(8, d).astype(np.float32)
+            x = centers[rng.randint(0, 8, n)] + 0.01 * x
+        q = rng.randn(b, d).astype(np.float32)
+        scan = x.astype(jnp.bfloat16) if trial % 2 else None
+        res = _run(q, x, metric, k, x_scan=scan)
+        _assert_exact(q, x, metric, k, res, atol=5e-3)
+
+
 def test_margin_coeff_domains():
     f32, bf16 = jnp.float32, jnp.bfloat16
     same = margin_coeff(bf16, bf16, bf16, 768)
