@@ -140,7 +140,14 @@ def pallas_packed_window_scan(
         ),
         interpret=interpret,
     )(queries, col_add, corpus, row_add)
-    return jnp.transpose(out, (1, 0, 2)).reshape(b, n // WINDOW)
+    # BARRIER the fold: the tile-leading output layout has a 4-lane
+    # minor dim, and without the barrier XLA fuses every downstream
+    # plane consumer (unpack, scale rejoin, selection prep) into that
+    # layout at 4/128 lane utilization — the same ~15 ms/batch trap
+    # the top-2 kernel hit (docs/PERFORMANCE.md round-3 final)
+    return jax.lax.optimization_barrier(
+        jnp.transpose(out, (1, 0, 2)).reshape(b, n // WINDOW)
+    )
 
 
 def _packed_top2_kernel(

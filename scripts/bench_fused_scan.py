@@ -30,6 +30,8 @@ def main():
     p.add_argument("--variant", required=True,
                    choices=["xla_approx", "window_pallas", "window_xla"])
     p.add_argument("--rf", type=int, default=4)
+    p.add_argument("--gather-free", action="store_true",
+                   help="exact_scores=False (scores from the planes)")
     args = p.parse_args()
     n, d, b, k, iters = args.n, args.d, args.b, args.k, args.iters
     n = (n // 512) * 512
@@ -63,7 +65,8 @@ def main():
                 v, i = windowed_scan_topk(
                     c, sx, xf, lr, k, metric="l2", corpus_sqnorms=xsq,
                     window_scale=bs, refine_factor=args.rf,
-                    selector="approx", backend=backend)
+                    selector="approx", backend=backend,
+                    exact_scores=not args.gather_free)
                 return c + 1e-9 * v[:, :1], (v[0, 0], i[0, 0])
             qo, (v, i) = jax.lax.scan(body, q, None, length=iters)
             return v.sum() + qo[0, 0], i.sum()
