@@ -46,6 +46,19 @@ _INT_CLAMP = (1 << 23) - 1  # |key| <= 2^23 so << 7 never overflows
 _I32_MIN_P = -(2 ** 31)
 
 
+def _fold_planes(out, b: int, nw_total: int):
+    """(n_tiles, b, nw) kernel output -> (b, NW) plane, BARRIERED.
+
+    The tile-leading layout has a 4-lane minor dim; without the
+    barrier XLA fuses every downstream plane consumer (unpack, scale
+    rejoin, bounds/margins/cert arithmetic) into that layout at 4/128
+    lane utilization — a measured ~15 ms/batch tax at 1M x 768
+    (docs/PERFORMANCE.md round-3 final)."""
+    return jax.lax.optimization_barrier(
+        jnp.transpose(out, (1, 0, 2)).reshape(b, nw_total)
+    )
+
+
 def _packed_kernel(
     q_ref, ca_ref, x_ref, ra_ref, out_ref, *, bn: int, acc_dtype, alpha: float
 ):
@@ -140,14 +153,7 @@ def pallas_packed_window_scan(
         ),
         interpret=interpret,
     )(queries, col_add, corpus, row_add)
-    # BARRIER the fold: the tile-leading output layout has a 4-lane
-    # minor dim, and without the barrier XLA fuses every downstream
-    # plane consumer (unpack, scale rejoin, selection prep) into that
-    # layout at 4/128 lane utilization — the same ~15 ms/batch trap
-    # the top-2 kernel hit (docs/PERFORMANCE.md round-3 final)
-    return jax.lax.optimization_barrier(
-        jnp.transpose(out, (1, 0, 2)).reshape(b, n // WINDOW)
-    )
+    return _fold_planes(out, b, n // WINDOW)
 
 
 def _packed_top2_kernel(
@@ -255,15 +261,10 @@ def pallas_packed_window_scan_top2(
         interpret=interpret,
     )(queries, col_add, corpus, row_add)
 
-    def fold(x):
-        return jnp.transpose(x, (1, 0, 2)).reshape(b, n // WINDOW)
-
-    # the kernel's tile-leading output layout has a 4-lane minor dim;
-    # BARRIER the fold so downstream plane arithmetic (bounds, margins,
-    # certs — ops/bounded_topk.py) runs on the relaid (B, NW) copy
-    # instead of being fused into the bad layout (profiled: the fused
-    # form cost ~12 ms/batch of VPU passes at 3% lane utilization)
-    return jax.lax.optimization_barrier((fold(pk1), fold(pk2)))
+    return (
+        _fold_planes(pk1, b, n // WINDOW),
+        _fold_planes(pk2, b, n // WINDOW),
+    )
 
 
 def _pick_bm_packed(b: int) -> int:
