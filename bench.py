@@ -233,7 +233,8 @@ def bench_matmul_floor(n, d, b, iters, dtype=jnp.bfloat16):
     return best / iters
 
 
-def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16, cands=100):
+def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16, cands=100,
+                       iters=8):
     """Quantum-rerank overhead (north star: 10-qubit fidelity over the
     candidates at <5%% added query latency): retrieval of C candidates
     vs retrieval + feature-gather fidelity + final top-k, same C.
@@ -250,7 +251,7 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16, cands=100):
     )
     q0 = jax.random.normal(jax.random.PRNGKey(3), (b, d), dtype=jnp.float32)
     q0 = (q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)).astype(dtype)
-    iters, k, n_qubits = 8, 10, 10
+    k, n_qubits = 10, 10
     feats = jax.jit(rotation_features, static_argnames="n_qubits")(
         corpus.astype(jnp.float32), n_qubits, sqnorms=sq
     )
@@ -372,8 +373,10 @@ def main() -> None:
     )
     # within-session companion metrics (chip sessions drift ±10-18%,
     # docs/PERFORMANCE.md — these share the headline's session):
-    floor_ms = bench_matmul_floor(n, d, b, max(4, iters // 2))
-    base_ms, fused_ms, overhead_pct = bench_fused_rerank(n, d, b, args.mode)
+    floor_ms = bench_matmul_floor(n, d, b, iters)
+    base_ms, fused_ms, overhead_pct = bench_fused_rerank(
+        n, d, b, args.mode, iters=iters
+    )
 
     if args.all:
         print(

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--gather-free", action="store_true",
                    help="exact_scores=False (scores from the planes)")
     args = p.parse_args()
+    if args.gather_free and args.variant == "xla_approx":
+        p.error("--gather-free applies to the windowed variants only")
     n, d, b, k, iters = args.n, args.d, args.b, args.k, args.iters
     n = (n // 512) * 512
 

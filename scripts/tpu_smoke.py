@@ -205,7 +205,11 @@ def main() -> None:
                 f"non-tie identity mismatch: gaps {gap[gap > tol]}"
             )
             print(f"       ({len(rows)} sub-noise tie swaps vs oracle)")
-        np.testing.assert_allclose(vals, ov, rtol=1e-4, atol=1e-3)
+        # value tolerance = the SAME accumulation-noise bound the tie
+        # check uses (a tighter rtol would flakily fail on legitimate
+        # sub-noise evaluation drift)
+        vtol = 3e-4 * (1.0 + np.abs(ov))
+        assert (np.abs(vals - ov) <= vtol).all(), "values beyond noise bound"
         assert not bool(fb), "unexpected cert fallback on random data"
 
     if FAILURES:
