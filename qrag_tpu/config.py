@@ -162,9 +162,12 @@ class ServingConfig:
     default_top_k: int = 5
     # Request padding buckets (XLA static shapes; SURVEY.md §7 hard
     # part 5).  The FULL pow2 ladder pow2_bucket() can produce for
-    # <=512 docs — warmup compiles every rung, so production doc
-    # counts (single-request fidelity padding AND the batcher's
-    # flattened pair axis) never hit an unwarmed shape.
+    # <=512 docs — warmup compiles every rung, and the batcher caps
+    # its COALESCED pair axis at max(doc_buckets) (SearchBatcher
+    # max_pairs, splitting oversized groups), so batcher-driven device
+    # calls never hit an unwarmed shape.  A single client request
+    # with more docs than max(doc_buckets) still pays a one-time
+    # compile for its own pow2 bucket — client-driven.
     doc_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
     # Query-batch buckets engine.warmup() pre-compiles: the batcher
     # pads coalesced batches to pow2 buckets >= 8 (utils/buckets.py)

@@ -279,6 +279,14 @@ def windowed_scan_topk(
             vals = jnp.where(
                 jnp.isfinite(vals), 2.0 * vals - qsq - xsq, vals
             )
+            # the dot->l2 conversion is NOT monotone in dot when doc
+            # norms vary, so the k winners must be re-sorted in the
+            # returned domain (ADVICE r3) — otherwise hits[0] may not
+            # be the best of the returned set.  (B, k) sort: free next
+            # to the scan.  -inf (invalid) rows sort last either way.
+            order = jnp.lexsort((idx_out, -vals), axis=-1)
+            vals = jnp.take_along_axis(vals, order, axis=1)
+            idx_out = jnp.take_along_axis(idx_out, order, axis=1)
         return vals, idx_out
 
     cand_goodness = jnp.where(cand_ok, 0.0, -jnp.inf)

@@ -16,16 +16,20 @@ only ever hit shapes ``engine.warmup()`` already compiled.  Requests
 with different k are served with max(k) and trimmed per caller.
 
 Requests carry an integer ``priority`` (default 0): when the queue is
-backlogged, higher-priority requests jump ahead (PriorityQueue keyed
-(-priority, arrival)); equal priorities stay FIFO, and an idle queue
-serves everything immediately, so priorities only matter under load.
+backlogged, higher-priority requests jump ahead; equal priorities stay
+FIFO, and an idle queue serves everything immediately, so priorities
+only matter under load.  Effective priority AGES with queue wait time
+(+1 priority unit per ``priority_aging_s`` waited, applied at drain
+time), so sustained high-priority traffic cannot starve
+default-priority requests indefinitely (ADVICE r3): a priority-0
+request outranks fresh priority-p arrivals after ~p*priority_aging_s
+in the queue.
 """
 
 from __future__ import annotations
 
 import functools
 import itertools
-import queue
 import threading
 import time
 from concurrent.futures import Future
@@ -90,15 +94,24 @@ class SearchBatcher:
         max_wait_s: float = 0.002,
         max_batch: int = 64,
         bucket_floor: int = 8,
+        max_pairs: int = 512,
+        priority_aging_s: float = 0.25,
     ):
         self.engine = engine
         self.max_wait_s = max_wait_s
         self.max_batch = max_batch
         self.bucket_floor = bucket_floor
-        # priority queue keyed (-priority, arrival seq): when the
-        # queue is backlogged, higher-priority requests jump ahead;
-        # equal priorities stay FIFO (ROADMAP serving item)
-        self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
+        # cap on the COALESCED doc-rerank pair axis: must equal
+        # max(ServingConfig.doc_buckets) so coalescing never produces a
+        # pair bucket engine.warmup() didn't compile (ADVICE r3) —
+        # oversized groups split into multiple device calls instead
+        self.max_pairs = max_pairs
+        # +1 effective priority per this many seconds of queue wait
+        self.priority_aging_s = max(priority_aging_s, 1e-6)
+        # pending list drained by effective (aged) priority at drain
+        # time; equal effective priorities stay FIFO via seq
+        self._items: List[Tuple[int, int, float, _Pending]] = []
+        self._cv = threading.Condition()
         self._seq = itertools.count()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -112,7 +125,11 @@ class SearchBatcher:
     def _submit(self, item: _Pending):
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
-        self._queue.put((-int(item.priority), next(self._seq), item))
+        with self._cv:
+            self._items.append(
+                (int(item.priority), next(self._seq), time.time(), item)
+            )
+            self._cv.notify()
         return item.future.result()
 
     def search(self, vectors: np.ndarray, k: int = 10, priority: int = 0):
@@ -183,12 +200,12 @@ class SearchBatcher:
         """Stop the worker and FAIL any still-pending requests so no
         caller blocks forever on a dead queue."""
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
         self._worker.join(timeout=5)
-        while True:
-            try:
-                _, _, item = self._queue.get_nowait()
-            except queue.Empty:
-                break
+        with self._cv:
+            pending, self._items = self._items, []
+        for _, _, _, item in pending:
             if not item.future.done():
                 item.future.set_exception(RuntimeError("batcher closed"))
 
@@ -206,27 +223,49 @@ class SearchBatcher:
 
     # ------------------------------------------------------------- worker
 
+    def _pop_best_locked(self) -> _Pending:
+        """Pop the pending item with the highest EFFECTIVE priority
+        (nominal + age/priority_aging_s), FIFO within ties.  Aging is
+        applied at drain time, so a long-waiting priority-0 request
+        eventually outranks a stream of fresh high-priority arrivals
+        (no starvation).  Caller holds the cv lock."""
+        now = time.time()
+        best = min(
+            range(len(self._items)),
+            key=lambda i: (
+                -(
+                    self._items[i][0]
+                    + (now - self._items[i][2]) / self.priority_aging_s
+                ),
+                self._items[i][1],
+            ),
+        )
+        return self._items.pop(best)[3]
+
     def _drain(self) -> List[_Pending]:
-        try:
-            _, _, first = self._queue.get(timeout=0.05)
-        except queue.Empty:
-            return []
         def size(it: _Pending) -> int:
             if it.vectors is not None:
                 return it.vectors.shape[0]
             return max(1, len(it.payload[1]))  # doc-list rerank
 
-        items = [first]
-        total = size(first)
+        with self._cv:
+            if not self._items:
+                self._cv.wait(timeout=0.05)
+            if not self._items:
+                return []
+            items = [self._pop_best_locked()]
+        total = size(items[0])
         deadline = time.time() + self.max_wait_s
         while total < self.max_batch:
             remaining = deadline - time.time()
             if remaining <= 0:
                 break
-            try:
-                _, _, nxt = self._queue.get(timeout=remaining)
-            except queue.Empty:
-                break
+            with self._cv:
+                if not self._items and not self._cv.wait(timeout=remaining):
+                    break
+                if not self._items:
+                    continue
+                nxt = self._pop_best_locked()
             items.append(nxt)
             total += size(nxt)
         self.prioritized_served += sum(1 for it in items if it.priority > 0)
@@ -315,6 +354,26 @@ class SearchBatcher:
                 coalesced.append(it)
         if not coalesced:
             return
+        # cap each device call's pair axis at max_pairs (the top of
+        # the warmed pair-bucket ladder): unbounded coalescing could
+        # push pow2_bucket past every warmed shape and pay a surprise
+        # multi-second compile under load (ADVICE r3).  A single
+        # request with more than max_pairs docs still runs alone —
+        # that's client-driven, like an oversized query batch.
+        chunks: List[List[_Pending]] = [[]]
+        pairs = 0
+        for it in coalesced:
+            nd = len(it.payload[1])
+            if chunks[-1] and pairs + nd > self.max_pairs:
+                chunks.append([])
+                pairs = 0
+            chunks[-1].append(it)
+            pairs += nd
+        for chunk in chunks:
+            self._serve_doc_rerank_chunk(chunk)
+
+    def _serve_doc_rerank_chunk(self, coalesced: List[_Pending]) -> None:
+        qr = self.engine.controller.quantum_reranker
         try:
             # ONE embedder call + ONE device fidelity call for the
             # whole group: every (query, doc) pair flattens onto a

@@ -539,16 +539,27 @@ def main(argv=None) -> None:
                         ShardedFlatIndex,
                     )
 
+                    # plumb the configured selection mode through —
+                    # load_native otherwise keeps the constructor
+                    # default and --topk-mode would be silently
+                    # ignored on the --index path (ADVICE r3)
                     index = ShardedFlatIndex.load_native(
                         args.index,
                         mesh=make_mesh(config.mesh),
                         merge=config.index.shard_merge,
+                        topk_mode=config.index.topk_mode,
                     )
                 elif config.index.quantization == "int8":
                     from qrag_tpu.index.quantized_index import (
                         QuantizedFlatIndex,
                     )
 
+                    if args.topk_mode:
+                        parser.error(
+                            "--topk-mode does not apply to the int8 "
+                            "quantized index (its scan/refine modes "
+                            "come from quant_scan/exact_scores)"
+                        )
                     index = QuantizedFlatIndex.load_native(
                         args.index,
                         refine_factor=config.index.refine_factor,
@@ -558,7 +569,9 @@ def main(argv=None) -> None:
                 else:
                     from qrag_tpu.index.flat_index import DeviceFlatIndex
 
-                    index = DeviceFlatIndex.load_native(args.index)
+                    index = DeviceFlatIndex.load_native(
+                        args.index, topk_mode=config.index.topk_mode
+                    )
                 engine = QragEngine(config=config, index=index)
         else:
             engine = QragEngine.from_faiss(args.index, config=config)
@@ -568,7 +581,19 @@ def main(argv=None) -> None:
     # Bind before warmup so clients can connect immediately; warmup
     # compiles the hot graphs concurrently (first queries that race it
     # simply compile on demand).
-    server = create_server(engine, host, port, batching=args.batching)
+    server = create_server(
+        engine,
+        host,
+        port,
+        batching=args.batching,
+        **(
+            # keep the batcher's coalesced pair axis inside the warmed
+            # doc-bucket ladder (ADVICE r3)
+            {"max_pairs": max(config.serving.doc_buckets)}
+            if args.batching
+            else {}
+        ),
+    )
     if args.reload:
         from qrag_tpu.serving.devreload import start_reloader
 

@@ -255,15 +255,10 @@ def test_http_rerank_under_concurrency(engine):
         server.shutdown()
 
 
-def test_priority_orders_backlogged_queue(rng):
-    """With the worker stopped, a backlog drains highest-priority
-    first, FIFO within a priority level."""
-    import numpy as np
-
+def _stopped_batcher(rng, **kwargs):
     from qrag_tpu.config import QragConfig
     from qrag_tpu.engine import QragEngine
     from qrag_tpu.index.flat_index import DeviceFlatIndex
-    from qrag_tpu.serving.batcher import _Pending
 
     cfg = QragConfig.from_dict(
         {"embedding": {"provider": "hash", "dim": 16},
@@ -271,16 +266,106 @@ def test_priority_orders_backlogged_queue(rng):
     )
     x = rng.randn(64, 16).astype("float32")
     eng = QragEngine(config=cfg, index=DeviceFlatIndex.from_numpy(x))
-    batcher = SearchBatcher(eng)
+    batcher = SearchBatcher(eng, **kwargs)
     batcher._stop.set()
+    with batcher._cv:
+        batcher._cv.notify_all()
     batcher._worker.join(timeout=5)
-    import numpy as np
+    return batcher
 
-    for prio in (0, 5, 0, 9, -2):
-        it = _Pending(
-            vectors=np.zeros((1, 16), np.float32), k=1, priority=prio
+
+def _enqueue(batcher, prio, t_enq=None):
+    import time as _time
+
+    from qrag_tpu.serving.batcher import _Pending
+
+    it = _Pending(vectors=np.zeros((1, 16), np.float32), k=1, priority=prio)
+    with batcher._cv:
+        batcher._items.append(
+            (prio, next(batcher._seq), t_enq or _time.time(), it)
         )
-        batcher._queue.put((-prio, next(batcher._seq), it))
+    return it
+
+
+def test_priority_orders_backlogged_queue(rng):
+    """With the worker stopped, a backlog drains highest-priority
+    first, FIFO within a priority level."""
+    batcher = _stopped_batcher(rng)
+    for prio in (0, 5, 0, 9, -2):
+        _enqueue(batcher, prio)
     items = batcher._drain()
     assert [it.priority for it in items] == [9, 5, 0, 0, -2]
     assert batcher.prioritized_served == 2
+
+
+def test_priority_ages_with_queue_wait(rng):
+    """ADVICE r3: a long-waiting priority-0 request must outrank fresh
+    high-priority arrivals (no starvation under sustained load)."""
+    import time as _time
+
+    batcher = _stopped_batcher(rng, priority_aging_s=0.25)
+    # priority 0, enqueued 10 s ago -> effective priority ~40
+    old = _enqueue(batcher, 0, t_enq=_time.time() - 10.0)
+    fresh = [_enqueue(batcher, 5) for _ in range(3)]
+    items = batcher._drain()
+    assert items[0] is old
+    assert {id(it) for it in items[1:]} == {id(it) for it in fresh}
+
+
+def test_doc_rerank_pair_axis_capped(engine):
+    """ADVICE r3: coalesced doc-rerank device calls must split so the
+    flattened pair axis never exceeds max_pairs (the warmed ladder)."""
+    from unittest import mock
+
+    from qrag_tpu.documents import Document
+
+    eng, _ = engine
+    batcher = SearchBatcher(eng, max_wait_s=0.2, max_pairs=16)
+    seen_pair_axes = []
+    from qrag_tpu.serving import batcher as batcher_mod
+
+    real_fn = batcher_mod._pair_fidelity_fn
+
+    def spy(n_qubits, analytic, encoding):
+        fn = real_fn(n_qubits, analytic, encoding)
+
+        def wrapped(pq, pd):
+            seen_pair_axes.append(pq.shape[0])
+            return fn(pq, pd)
+
+        return wrapped
+
+    queries = [f"best product deal number {i}" for i in range(6)]
+    doc_sets = [
+        [Document(id=f"{i}-{j}", content=f"doc {i} {j} text") for j in range(5)]
+        for i in range(6)
+    ]
+    results = {}
+
+    def worker(i):
+        results[i] = batcher.rerank_documents(
+            queries[i], doc_sets[i], top_k=3, reranker_type="quantum"
+        )
+
+    try:
+        with mock.patch.object(batcher_mod, "_pair_fidelity_fn", spy):
+            threads = [
+                threading.Thread(target=worker, args=(i,)) for i in range(6)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        for i in range(6):
+            assert results[i]["reranker_used"] == "quantum"
+            assert len(results[i]["documents"]) == 3
+        # 30 pairs at cap 16 -> every device call's padded pair axis
+        # stays within the cap
+        assert seen_pair_axes and all(p <= 16 for p in seen_pair_axes)
+        # scores still match the unbatched controller path
+        direct = eng.controller.rerank(queries[0], doc_sets[0], 3, "quantum")
+        assert [(d.id, round(s, 5)) for d, s in results[0]["documents"]] == [
+            (d.id, round(s, 5)) for d, s in direct["documents"]
+        ]
+    finally:
+        batcher.close()

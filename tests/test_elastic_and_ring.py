@@ -152,6 +152,51 @@ def test_probe_deadline_on_hung_device(rng, monkeypatch):
     assert time.monotonic() - t0 < 5.0  # returned on deadline, not after 60s
 
 
+def test_hung_probe_threads_bounded(rng):
+    """VERDICT r3 weak #8: hammering probes at a persistently HUNG
+    device must not accumulate one abandoned thread per attempt — at
+    most one live abandoned thread per probe target (a target whose
+    previous probe is still hung reports unhealthy immediately)."""
+    import threading
+
+    x = rng.randn(64, 8).astype(np.float32)
+    idx = ElasticShardedIndex(
+        x, topk_mode="exact", probe_timeout_s=0.05, probe_cache_ttl_s=0.0
+    )
+    victim = idx.devices[0]
+    idx.inject_device_hang(victim, 1.5)
+    n_before = threading.active_count()
+    for _ in range(30):
+        assert not idx.probe_device(victim)
+    assert idx.leaked_probe_threads <= 1  # one abandoned thread, not 30
+    assert threading.active_count() <= n_before + 2
+    assert idx.layout()["leaked_probe_threads"] <= 1  # /stats surface
+    # healthy devices still probe fine while the victim hangs
+    assert idx.probe_device(idx.devices[1])
+
+
+def test_unhealthy_probe_verdict_ttl_cached(rng):
+    """ADVICE r3: an unhealthy device verdict is TTL-cached, so
+    repeated recovery attempts don't serially re-pay the probe
+    deadline per already-known-dead device."""
+    import time
+
+    x = rng.randn(64, 8).astype(np.float32)
+    idx = ElasticShardedIndex(
+        x, topk_mode="exact", probe_timeout_s=0.1, probe_cache_ttl_s=30.0
+    )
+    victim = idx.devices[0]
+    idx.inject_device_hang(victim, 0.5)
+    assert not idx.probe_device(victim)  # pays the deadline once
+    t0 = time.monotonic()
+    for _ in range(20):
+        assert not idx.probe_device(victim)
+    assert time.monotonic() - t0 < 0.1  # cache hits — no re-probe
+    # eviction clears the cache entry for the gone device
+    idx.remove_devices([victim])
+    assert victim not in idx._probe_verdicts
+
+
 def test_elastic_no_devices_left(rng):
     x = rng.randn(100, 8).astype(np.float32)
     idx = ElasticShardedIndex(x, devices=jax.devices()[:1], topk_mode="exact")
