@@ -112,6 +112,13 @@ class IndexConfig:
     # top-k via norm-bounded window pruning — ops/bounded_topk.py;
     # identity AND tie order exact, one scan pass, no (B, N) matrix).
     topk_mode: str = "verified"
+    # With topk_mode="bounded": the scan arithmetic. "bf16" (packed
+    # float planes) or "int8" (EXACT integer dots of per-window int8
+    # codes at the int8 MXU rate — ~1.7x the bf16 matmul on v5e via
+    # XLA, r4 lab — with margins extended to the quantization
+    # residual; ops/bounded_topk.bounded_exact_topk_int8).  Both are
+    # provably exact w.r.t. the stored corpus.
+    bounded_scan: str = "bf16"
     # "none" | "int8": int8 scan with exact refinement
     # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.
     quantization: str = "none"

@@ -49,35 +49,51 @@ def _fused_candidates(
     topk_mode: str,
     bounded_bufs,
     bounded_backend: str,
+    bounded_kind: str = "bf16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate generation for the fused rerank graphs: finalized
     (B, C) retrieval scores + indices.
 
     ``topk_mode="bounded"`` (with ``bounded_bufs`` = the index's
-    (bf16 scan copy, window maxnorms, lane ranks)) runs the provably-
-    exact norm-bounded pruning (ops/bounded_topk.py) IN-GRAPH — a
-    bounded-configured engine gets provably-exact candidate sets on the
-    fused paths instead of the silent approx downgrade VERDICT r3 weak
-    #5 called out.  Other modes keep the partial-reduce scan
-    ("verified" has a host patch-up stage and degrades to "approx"
-    here — the rerank fully re-scores the set either way)."""
+    bounded buffers — bf16 scan copy or int8 codes+margin inputs per
+    ``bounded_kind``) runs the provably-exact norm-bounded pruning
+    (ops/bounded_topk.py) IN-GRAPH — a bounded-configured engine gets
+    provably-exact candidate sets on the fused paths instead of the
+    silent approx downgrade VERDICT r3 weak #5 called out.  Other
+    modes keep the partial-reduce scan ("verified" has a host patch-up
+    stage and degrades to "approx" here — the rerank fully re-scores
+    the set either way)."""
     if topk_mode == "bounded" and bounded_bufs is not None:
-        from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+        from qrag_tpu.ops.bounded_topk import (
+            bounded_exact_topk,
+            bounded_exact_topk_int8,
+        )
         from qrag_tpu.ops.topk import _finalize
 
-        scan, maxnorms, lane_rank = bounded_bufs
-        vals, idx, _, _ = bounded_exact_topk(
-            query_vecs.astype(jnp.float32),
-            scan,
-            corpus,
-            corpus_sqnorms,
-            maxnorms,
-            lane_rank,
-            candidates,
-            metric=metric,
-            valid_rows=valid_rows,
-            backend=bounded_backend,
-        )
+        if bounded_kind == "int8":
+            q8x, wscale, mx, minsq, resid, lr = bounded_bufs
+            vals, idx, _, _ = bounded_exact_topk_int8(
+                query_vecs.astype(jnp.float32),
+                q8x, wscale, corpus, corpus_sqnorms, mx, minsq, resid,
+                lr, candidates,
+                metric=metric,
+                valid_rows=valid_rows,
+                backend=bounded_backend,
+            )
+        else:
+            scan, maxnorms, lane_rank = bounded_bufs
+            vals, idx, _, _ = bounded_exact_topk(
+                query_vecs.astype(jnp.float32),
+                scan,
+                corpus,
+                corpus_sqnorms,
+                maxnorms,
+                lane_rank,
+                candidates,
+                metric=metric,
+                valid_rows=valid_rows,
+                backend=bounded_backend,
+            )
         return _finalize(vals, idx, metric)
     return flat_scan_topk(
         query_vecs.astype(corpus.dtype),
@@ -97,7 +113,7 @@ def _fused_candidates(
     jax.jit,
     static_argnames=(
         "k", "candidates", "n_qubits", "metric", "analytic", "topk_mode",
-        "bounded_backend",
+        "bounded_backend", "bounded_kind",
     ),
 )
 def fused_search_rerank(
@@ -112,8 +128,9 @@ def fused_search_rerank(
     analytic: bool = True,
     topk_mode: str = "exact",
     fid_feats: Optional[jnp.ndarray] = None,  # (N, n_qubits) cached
-    bounded_bufs=None,  # (scan, maxnorms, lane_rank) for topk_mode="bounded"
+    bounded_bufs=None,  # index bounded buffers for topk_mode="bounded"
     bounded_backend: str = "xla",
+    bounded_kind: str = "bf16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused graph: retrieval top-C → quantum fidelity → top-k.
 
@@ -126,7 +143,7 @@ def fused_search_rerank(
     """
     retr_scores, idx = _fused_candidates(
         query_vecs, corpus, corpus_sqnorms, valid_rows, candidates,
-        metric, topk_mode, bounded_bufs, bounded_backend,
+        metric, topk_mode, bounded_bufs, bounded_backend, bounded_kind,
     )  # (B, C)
     if analytic and fid_feats is not None:
         from qrag_tpu.ops.statevector import (
@@ -158,7 +175,7 @@ def fused_search_rerank(
     jax.jit,
     static_argnames=(
         "k", "candidates", "n_qubits", "metric", "topk_mode",
-        "bounded_backend",
+        "bounded_backend", "bounded_kind",
     ),
 )
 def fused_search_rerank_routed(
@@ -174,6 +191,7 @@ def fused_search_rerank_routed(
     topk_mode: str = "exact",
     bounded_bufs=None,
     bounded_backend: str = "xla",
+    bounded_kind: str = "bf16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-query expert-routed rerank in one jit (SURVEY.md §2 EP row).
 
@@ -186,7 +204,7 @@ def fused_search_rerank_routed(
     """
     retr_scores, idx = _fused_candidates(
         query_vecs, corpus, corpus_sqnorms, valid_rows, candidates,
-        metric, topk_mode, bounded_bufs, bounded_backend,
+        metric, topk_mode, bounded_bufs, bounded_backend, bounded_kind,
     )
     cand_vecs = jnp.take(corpus, idx, axis=0).astype(jnp.float32)  # (B, C, d)
     q32 = query_vecs.astype(jnp.float32)
@@ -250,6 +268,7 @@ def _index_cls_and_kwargs(config: QragConfig):
         use_pallas=config.index.use_pallas,
         topk_mode=config.index.topk_mode,
         store_dtype=config.index.dtype,
+        bounded_scan=config.index.bounded_scan,
     )
     if config.index.quantization == "int8":
         from qrag_tpu.index.quantized_index import QuantizedFlatIndex
@@ -489,18 +508,31 @@ class QragEngine:
             if getattr(self.index, "_bounded_eligible", lambda k: False)(
                 candidates
             ):
-                snap, bufs = self.index._bounded_buffers()
-                n, d = snap.matrix.shape
-                backend = (
-                    "pallas"
-                    if jax.default_backend() == "tpu"
-                    and n % 512 == 0
-                    and d % 128 == 0
-                    else "xla"
-                )
+                kind = getattr(self.index, "bounded_scan", "bf16")
+                if kind == "int8":
+                    snap, bufs = self.index._bounded_buffers_int8()
+                    n, d = snap.matrix.shape
+                    backend = (
+                        "pallas"
+                        if jax.default_backend() == "tpu"
+                        and n % 1024 == 0
+                        and d % 128 == 0
+                        else "xla"
+                    )
+                else:
+                    snap, bufs = self.index._bounded_buffers()
+                    n, d = snap.matrix.shape
+                    backend = (
+                        "pallas"
+                        if jax.default_backend() == "tpu"
+                        and n % 512 == 0
+                        and d % 128 == 0
+                        else "xla"
+                    )
                 return "bounded", {
                     "bounded_bufs": bufs,
                     "bounded_backend": backend,
+                    "bounded_kind": kind,
                 }
             return "exact", {}
         if mode == "verified":
@@ -698,17 +730,17 @@ class QragEngine:
             )
 
         @functools.partial(
-            jax.jit, static_argnames=("c", "metric", "backend")
+            jax.jit, static_argnames=("c", "metric", "backend", "kind")
         )
         def _retrieve_bounded_impl(
-            q, matrix, sqnorms, valid, bufs, c, metric, backend
+            q, matrix, sqnorms, valid, bufs, c, metric, backend, kind
         ):
             # provably-exact pipelined stage-1 (VERDICT r3 weak #5):
             # same in-graph bounded candidate generation as the fused
             # single-graph paths
             return _fused_candidates(
                 q, matrix, sqnorms, valid, c, metric, "bounded", bufs,
-                backend,
+                backend, kind,
             )
 
         @functools.partial(
@@ -748,6 +780,7 @@ class QragEngine:
                     c,
                     index.metric,
                     bkw["bounded_backend"],
+                    bkw["bounded_kind"],
                 )
             return _retrieve_impl(
                 q, snap.matrix, snap.sqnorms, snap.valid, c, index.metric,

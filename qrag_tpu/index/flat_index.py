@@ -98,12 +98,16 @@ class DeviceFlatIndex:
         use_pallas: bool = False,
         topk_mode: str = "verified",
         store_dtype: str = "float32",
+        bounded_scan: str = "bf16",
         device=None,
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
         if topk_mode not in ("exact", "approx", "verified", "refined", "bounded"):
             raise ValueError(f"unknown topk_mode {topk_mode!r}")
+        if bounded_scan not in ("bf16", "int8"):
+            raise ValueError(f"unknown bounded_scan {bounded_scan!r}")
+        self.bounded_scan = bounded_scan
         self.d = int(d)
         self.metric = metric
         self.normalize = normalize
@@ -314,12 +318,75 @@ class DeviceFlatIndex:
         # small corpora route to the exact sort (already cheap there)
         return cap >= 4096 and cap % 128 == 0 and cap // 128 >= max(k, 16)
 
+    def _bounded_buffers_int8(self):
+        """Derived buffers for topk_mode="bounded" + bounded_scan=
+        "int8": per-window int8 codes of the REFINE-domain rows (the
+        margin derivation requires codes quantized from the exact rows
+        the refine re-scores), window scales, min sqnorms and exact
+        quantization-residual norms.  Cached per snapshot generation."""
+        from qrag_tpu.ops.bounded_topk import (
+            window_maxnorms_device,
+            window_minsqnorms_device,
+            window_quant_residuals_device,
+        )
+        from qrag_tpu.ops.window_scan import (
+            make_lane_rank,
+            quantize_block_rows_device,
+        )
+
+        snap = self.device_buffers()
+        bufs = snap.extras.get("bounded_int8")
+        if bufs is None:
+            q8x, wscale = jax.jit(quantize_block_rows_device)(
+                snap.matrix.astype(jnp.float32)
+            )
+            bufs = (
+                q8x,
+                wscale,
+                window_maxnorms_device(snap.sqnorms),
+                window_minsqnorms_device(snap.sqnorms),
+                window_quant_residuals_device(snap.matrix, q8x, wscale),
+                jnp.asarray(make_lane_rank(snap.matrix.shape[0])),
+            )
+            snap.extras["bounded_int8"] = bufs
+        return snap, bufs
+
     def _bounded_search(self, queries: jnp.ndarray, k: int):
         """Provably-exact search via norm-bounded window pruning.
         Returns the raw op output (goodness, idx, fell_back,
         n_patched) — callers finalize."""
-        from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+        from qrag_tpu.ops.bounded_topk import (
+            bounded_exact_topk,
+            bounded_exact_topk_int8,
+        )
 
+        if self.bounded_scan == "int8":
+            snap, (q8x, wscale, mx, minsq, resid, lr) = (
+                self._bounded_buffers_int8()
+            )
+            n, d = snap.matrix.shape
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and n % 1024 == 0
+                and d % 128 == 0
+                else "xla"
+            )
+            return bounded_exact_topk_int8(
+                queries,
+                q8x,
+                wscale,
+                snap.matrix,
+                snap.sqnorms,
+                mx,
+                minsq,
+                resid,
+                lr,
+                k,
+                metric=self.metric,
+                valid_rows=snap.valid,
+                backend=backend,
+            )
         snap, (scan, mx, lr) = self._bounded_buffers()
         n, d = snap.matrix.shape
         backend = (

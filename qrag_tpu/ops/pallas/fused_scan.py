@@ -267,6 +267,151 @@ def pallas_packed_window_scan_top2(
     )
 
 
+def _packed_top2_t_kernel(
+    q_ref, ca_ref, x_ref, ra_ref, pk1_ref, pk2_ref, *, bn: int,
+    acc_dtype, alpha: float
+):
+    """Transposed twin of ``_packed_top2_kernel``: computes
+    ``dots_T = X_tile @ Q^T`` so window rows land on SUBLANES.
+
+    Why: the straight kernel's (n_tiles, B, nw) output has an nw-lane
+    minor dim, and folding it to (B, NW) costs a low-utilization
+    relayout (~1.4 ms/plane at nw=4 — docs/PERFORMANCE.md round-3;
+    VERDICT r4 item 1 names the two plane transposes as the fat).
+    Here the per-window max is a sublane reduction whose result is a
+    NATIVE (1, bm) lane vector, the output block is (nw, bm) into a
+    (NW, B) plane, and the caller pays ONE full-lane-utilization 2D
+    transpose for both planes.
+
+    Int domain (int8 inputs -> int32 accumulation): keys pack the RAW
+    clamped integer dots (EXACT — no rounding anywhere), shifted by 7
+    for the lane bits; affine terms don't apply (per-window scales and
+    the l2 corrections rejoin at the plane level —
+    ``ops.bounded_topk.bounded_exact_topk_int8``)."""
+    nw = bn // WINDOW
+    bm = q_ref.shape[0]
+    dots = jax.lax.dot_general(
+        x_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (bn, bm)
+    if acc_dtype == jnp.int32:
+        key = jnp.clip(dots, -_INT_CLAMP, _INT_CLAMP) << 7
+    else:
+        g = dots
+        if alpha != 1.0:
+            g = g * alpha
+        g = g + ca_ref[:] + ra_ref[:]  # ca (1, bm), ra (bn, 1)
+        u = jax.lax.bitcast_convert_type(g, jnp.int32)
+        mono = jnp.where(u < 0, jnp.int32(-(2 ** 31)) - u, u)
+        key = mono & ~jnp.int32(127)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, bm), 0)
+    packed = key | (127 - (lane & 127))
+    pk1_parts, pk2_parts = [], []
+    for w in range(nw):
+        ps = packed[w * WINDOW : (w + 1) * WINDOW, :]
+        pmax = jnp.max(ps, axis=0, keepdims=True)  # (1, bm) lane vector
+        pk1_parts.append(pmax)
+        pk2_parts.append(
+            jnp.max(
+                jnp.where(ps == pmax, _I32_MIN_P, ps), axis=0, keepdims=True
+            )
+        )
+    pk1_ref[:] = jnp.concatenate(pk1_parts, axis=0)
+    pk2_ref[:] = jnp.concatenate(pk2_parts, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "alpha", "interpret")
+)
+def pallas_packed_window_scan_top2_t(
+    queries: jnp.ndarray,  # (B, d) bf16/f32 (float domain) or int8
+    corpus: jnp.ndarray,  # (N, d); N % bn == 0, d % 128 == 0
+    bm: int = 0,
+    bn: int = 1024,
+    row_add=None,  # (1, N) f32 per-row add (-|x|^2 for l2, -inf masks)
+    col_add=None,  # (B, 1) f32 per-query add (-|q|^2)
+    alpha: float = 1.0,
+    interpret: bool = False,
+):
+    """(pk1, pk2) (B, NW) packed planes via the TRANSPOSED kernel —
+    same contract as ``pallas_packed_window_scan_top2``, with the plane
+    fold reduced to one clean 2D transpose.  NOT bit-identical to the
+    straight/XLA twins: the contraction order (X@Q^T vs Q@X^T) shifts
+    f32 accumulation, so scores sitting on a truncation boundary can
+    flip one quantum — exactly the drift class ``bounded_topk``'s
+    margins (_EPS_ACC) cover; end-to-end exactness is unchanged
+    (tests/test_bounded_topk.py)."""
+    b0, d = queries.shape
+    n = corpus.shape[0]
+    acc_dtype = jnp.int32 if queries.dtype == jnp.int8 else jnp.float32
+    if acc_dtype == jnp.int32 and (row_add is not None or col_add is not None):
+        raise ValueError("int domain packs raw dots; no affine terms")
+    # the (nw, bm) output block's minor dim must be 128-divisible or
+    # equal to the full batch axis (Mosaic lane tiling): pad the batch
+    # so a conforming bm exists — padded queries are zeros whose plane
+    # columns are sliced off after the fold
+    if b0 <= 128:
+        b = 1 << (b0 - 1).bit_length() if b0 > 1 else b0
+    else:
+        b = -(-b0 // 128) * 128
+    if b != b0:
+        queries = jnp.pad(queries, ((0, b - b0), (0, 0)))
+        if col_add is not None:
+            col_add = jnp.pad(col_add, ((0, b - b0), (0, 0)))
+    bm = bm or _pick_bm_packed(b)
+    if b % bm or n % bn or d % WINDOW:
+        raise ValueError(
+            f"shapes must tile: B={b}%{bm}, N={n}%{bn}, d={d}%{WINDOW}"
+        )
+    nw = bn // WINDOW
+    n_tiles = n // bn
+    itemsize = 1 if queries.dtype == jnp.int8 else queries.dtype.itemsize
+    row_add_t = (
+        jnp.zeros((n, 1), jnp.float32) if row_add is None
+        else row_add.reshape(n, 1)
+    )
+    col_add_t = (
+        jnp.zeros((1, b), jnp.float32) if col_add is None
+        else col_add.reshape(1, b)
+    )
+    plane = jax.ShapeDtypeStruct((n // WINDOW, b), jnp.int32)
+    spec = pl.BlockSpec(
+        (nw, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM
+    )
+    pk1, pk2 = pl.pallas_call(
+        functools.partial(
+            _packed_top2_t_kernel, bn=bn, acc_dtype=acc_dtype, alpha=alpha
+        ),
+        grid=(b // bm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(plane, plane),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * itemsize + b * d * itemsize
+            + 2 * b * (n // WINDOW) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, col_add_t, corpus, row_add_t)
+    # one full-utilization 2D transpose per plane (vs the nw-lane-minor
+    # relayout of the straight kernel); barrier per the CLAUDE.md rule
+    return (
+        jax.lax.optimization_barrier(pk1.T[:b0]),
+        jax.lax.optimization_barrier(pk2.T[:b0]),
+    )
+
+
 def _pick_bm_packed(b: int) -> int:
     """Largest power-of-two block <= min(b, 1024) dividing b (bm=1024
     measured ~30% faster than 256: the Q block stays MXU-resident)."""

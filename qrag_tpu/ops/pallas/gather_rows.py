@@ -1,0 +1,123 @@
+"""Coalesced candidate-row gather kernel (VERDICT r4 item 3).
+
+TPU random row gathers via ``jnp.take`` run at ~15-30 GB/s effective
+(docs/PERFORMANCE.md round-2; re-measured 22.5 GB/s in the r4 lab) —
+XLA's gather lowers to vector loads that cannot keep enough HBM
+requests in flight.  Every gather-then-rescore stage pays it: bounded
+mode's candidate gather, ``refine_candidates``, the fused-rerank
+feature gather.
+
+This kernel instead issues one async DMA per candidate row
+(HBM -> VMEM output block), R rows per grid step, so tens of row
+fetches are in flight at once and Mosaic double-buffers the output
+block write-back.  Issue cost is per-row and byte-independent, so the
+win grows with the row size (f32 768 = 3 KB rows: the VERDICT
+microbench target).
+
+The index list arrives via scalar prefetch (SMEM) — available before
+the kernel body runs, which is what lets the DMAs start immediately.
+Out-of-range indices are clamped by the caller (padding rows fetch row
+0 and are masked downstream, same contract as ``jnp.take`` mode
+"clip").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_kernel(idx_ref, corpus_ref, out_ref, sem, *, rows: int):
+    g = pl.program_id(0)
+
+    def dma(r):
+        row = idx_ref[g * rows + r]
+        return pltpu.make_async_copy(
+            corpus_ref.at[row], out_ref.at[r], sem
+        )
+
+    def issue(r, carry):
+        dma(r).start()
+        return carry
+
+    jax.lax.fori_loop(0, rows, issue, 0, unroll=8)
+
+    def wait(r, carry):
+        dma(r).wait()
+        return carry
+
+    jax.lax.fori_loop(0, rows, wait, 0, unroll=8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_block", "interpret")
+)
+def gather_rows(
+    corpus: jnp.ndarray,  # (N, d) any dtype
+    idx: jnp.ndarray,  # (M,) int32 row indices (caller-clamped)
+    rows_per_block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(M, d) = corpus[idx] via per-row async DMAs.
+
+    M is padded up to ``rows_per_block`` internally (padding fetches
+    row 0; the pad rows are sliced off).  The corpus stays in HBM
+    (``pl.ANY``) — only the gathered rows ever touch VMEM."""
+    m = idx.shape[0]
+    n, d = corpus.shape
+    mp = -(-m // rows_per_block) * rows_per_block
+    idx_p = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    if mp != m:
+        idx_p = jnp.pad(idx_p, (0, mp - m))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // rows_per_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (rows_per_block, d),
+            lambda g, idx_ref: (g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, rows=rows_per_block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, d), corpus.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * mp * d * corpus.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx_p, corpus)
+    return out[:m] if mp != m else out
+
+
+def gather_rows_2d(
+    corpus: jnp.ndarray,  # (N, d)
+    idx: jnp.ndarray,  # (B, C) int32
+    rows_per_block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, C, d) = corpus[idx] — the candidate-gather shape."""
+    b, c = idx.shape
+    flat = gather_rows(
+        corpus,
+        idx.reshape(-1),
+        rows_per_block=rows_per_block,
+        interpret=interpret,
+    )
+    return flat.reshape(b, c, corpus.shape[1])
+
+
+def gather_ready(n: int, d: int) -> bool:
+    """Kernel applicability: whole rows, lane-aligned feature dim."""
+    return d % 128 == 0 and n >= 1

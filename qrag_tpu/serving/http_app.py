@@ -449,6 +449,14 @@ def main(argv=None) -> None:
         "= provably-exact norm-bounded window pruning "
         "(ops/bounded_topk.py; works single-device AND --sharded)",
     )
+    parser.add_argument(
+        "--bounded-scan",
+        default=None,
+        choices=["bf16", "int8"],
+        help="with --topk-mode bounded: scan arithmetic — 'int8' runs "
+        "the exact-integer scan at the int8 MXU rate with margins "
+        "covering the quantization residual (still provably exact)",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
@@ -459,6 +467,8 @@ def main(argv=None) -> None:
         parser.error("--lean-scan is a single-device index mode")
     if args.topk_mode and args.lean_scan:
         parser.error("--lean-scan fixes its own scan mode")
+    if args.bounded_scan and (args.topk_mode or config.index.topk_mode) != "bounded":
+        parser.error("--bounded-scan requires --topk-mode bounded")
     if args.topk_mode:
         from dataclasses import replace as _r
 
@@ -466,6 +476,15 @@ def main(argv=None) -> None:
         import os as _os
 
         _os.environ["QRAG_INDEX_TOPK_MODE"] = args.topk_mode
+    if args.bounded_scan:
+        from dataclasses import replace as _r
+
+        config = _r(
+            config, index=_r(config.index, bounded_scan=args.bounded_scan)
+        )
+        import os as _os
+
+        _os.environ["QRAG_INDEX_BOUNDED_SCAN"] = args.bounded_scan
     if args.lean_scan:
         from dataclasses import replace as _r
 
@@ -570,7 +589,9 @@ def main(argv=None) -> None:
                     from qrag_tpu.index.flat_index import DeviceFlatIndex
 
                     index = DeviceFlatIndex.load_native(
-                        args.index, topk_mode=config.index.topk_mode
+                        args.index,
+                        topk_mode=config.index.topk_mode,
+                        bounded_scan=config.index.bounded_scan,
                     )
                 engine = QragEngine(config=config, index=index)
         else:

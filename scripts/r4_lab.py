@@ -127,6 +127,50 @@ def section_top2(q, corpus, sq, iters, b, bns, fold):
         fsm._fold_planes = real_fold
 
 
+def section_top2t(q, corpus, sq, iters, b, bns, bms=(1024,)):
+    from qrag_tpu.ops.pallas import fused_scan as fs
+
+    for bn in bns:
+        for bm in bms:
+            @jax.jit
+            def loop(q0, corpus_, sq_, bn=bn, bm=bm):
+                ra = -sq_[None, :]
+
+                def body(carry, _):
+                    ca = -jnp.sum(
+                        carry.astype(jnp.float32) ** 2, axis=1, keepdims=True
+                    )
+                    pk1, pk2 = fs.pallas_packed_window_scan_top2_t(
+                        carry, corpus_, bm=bm, bn=bn,
+                        row_add=ra, col_add=ca, alpha=2.0,
+                    )
+                    carry = carry + (
+                        1e-9 * pk1[:, :1].astype(jnp.float32)
+                    ).astype(carry.dtype)
+                    return carry, (pk1.sum(), pk2.sum())
+
+                q_out, (p1, p2) = jax.lax.scan(body, q0, None, length=iters)
+                return (
+                    p1.sum().astype(jnp.float32)
+                    + q_out[0, 0].astype(jnp.float32),
+                    p2.sum(),
+                )
+
+            try:
+                dt, _ = _timed_best(loop, q, corpus, sq)
+                print(
+                    f"top2 TRANSPOSED bn={bn} bm={bm}: {dt/iters*1e3:.2f} "
+                    f"ms/batch{b}",
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"top2 TRANSPOSED bn={bn} bm={bm}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}",
+                    flush=True,
+                )
+
+
 def section_int8(q, corpus, sq, iters, b, bns):
     from qrag_tpu.ops.pallas import fused_scan as fs
     from qrag_tpu.ops.window_scan import quantize_block_rows_device
@@ -210,6 +254,66 @@ def section_gather(q, corpus, sq, iters, b, cands):
         )
 
 
+def section_gatherk(q, corpus, sq, iters, b, cands):
+    """Pallas DMA gather kernel vs jnp.take (VERDICT r4 item 3:
+    >=3x on a ~40k-row x 1.5 KB f32 same-session microbench)."""
+    from qrag_tpu.ops.pallas.gather_rows import gather_rows
+
+    n = corpus.shape[0]
+    key = jax.random.PRNGKey(3)
+    m = b * cands
+    idx = jax.random.randint(key, (m,), 0, n, dtype=jnp.int32)
+
+    for name, corp in (("bf16", corpus), ("f32", corpus.astype(jnp.float32))):
+        nbytes = m * corp.shape[1] * corp.dtype.itemsize
+
+        @jax.jit
+        def take_loop(ids_, corpus_):
+            def body(carry, _):
+                rows = jnp.take(corpus_, carry, axis=0)
+                s = jnp.sum(rows.astype(jnp.float32), axis=1)
+                carry = (carry + (s > 1e30).astype(jnp.int32)) % n
+                return carry, s.sum()
+
+            ids_out, ss = jax.lax.scan(body, ids_, None, length=iters)
+            return ss.sum() + ids_out[0].astype(jnp.float32), ss
+
+        dt, _ = _timed_best(take_loop, idx, corp)
+        base = dt / iters * 1e3
+        print(
+            f"take {name} ({m} rows, {nbytes/1e6:.0f} MB): {base:.2f} ms "
+            f"= {nbytes/(dt/iters)/1e9:.1f} GB/s",
+            flush=True,
+        )
+        for rpb in (128, 256, 512):
+            @jax.jit
+            def k_loop(ids_, corpus_, rpb=rpb):
+                def body(carry, _):
+                    rows = gather_rows(corpus_, carry, rows_per_block=rpb)
+                    s = jnp.sum(rows.astype(jnp.float32), axis=1)
+                    carry = (carry + (s > 1e30).astype(jnp.int32)) % n
+                    return carry, s.sum()
+
+                ids_out, ss = jax.lax.scan(body, ids_, None, length=iters)
+                return ss.sum() + ids_out[0].astype(jnp.float32), ss
+
+            try:
+                dt, _ = _timed_best(k_loop, idx, corp)
+                ms = dt / iters * 1e3
+                print(
+                    f"gather_rows {name} rpb={rpb}: {ms:.2f} ms "
+                    f"= {nbytes/(dt/iters)/1e9:.1f} GB/s "
+                    f"({base/ms:.2f}x take)",
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"gather_rows {name} rpb={rpb}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}",
+                    flush=True,
+                )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
@@ -238,10 +342,14 @@ def main():
         section_floor(q, corpus, sq, args.iters, args.b)
     if "top2" in secs:
         section_top2(q, corpus, sq, args.iters, args.b, bns, fold=True)
+    if "top2t" in secs:
+        section_top2t(q, corpus, sq, args.iters, args.b, bns)
     if "int8" in secs:
         section_int8(q, corpus, sq, args.iters, args.b, [512, 2048])
     if "gather" in secs:
         section_gather(q, corpus, sq, args.iters, args.b, args.cands)
+    if "gatherk" in secs:
+        section_gatherk(q, corpus, sq, args.iters, args.b, args.cands)
 
 
 if __name__ == "__main__":

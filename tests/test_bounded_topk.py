@@ -254,6 +254,53 @@ def test_pallas_top2_parity(rng, metric):
     np.testing.assert_array_equal(lane_ref[same_key], lane_got[same_key])
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("bsize", [8, 24])
+def test_pallas_top2_transposed_parity(rng, metric, bsize):
+    """The TRANSPOSED Mosaic top-2 kernel (sublane window max, (NW, B)
+    blocks — the r4 fold-killer) matches the XLA twin within the same
+    one-trunc-quantum accumulation-drift contract as the straight
+    kernel; non-pow2 batches exercise the internal batch padding."""
+    from qrag_tpu.ops.bounded_topk import plane_value_bounds
+    from qrag_tpu.ops.pallas.fused_scan import (
+        pallas_packed_window_scan_top2_t,
+    )
+
+    n, d, b = 4096, 128, bsize
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    sq = (x ** 2).sum(1)
+    alpha, ra, ca = 1.0, None, None
+    if metric == "l2":
+        alpha = 2.0
+        ra = -jnp.asarray(sq)[None, :]
+        ca = -jnp.sum(jnp.asarray(q) ** 2, axis=1, keepdims=True)
+    ref = packed_window_scan_top2(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(make_lane_rank(n)),
+        row_add=ra, col_add=ca, alpha=alpha,
+    )
+    got = pallas_packed_window_scan_top2_t(
+        jnp.asarray(q), jnp.asarray(x), bn=1024,
+        row_add=ra, col_add=ca, alpha=alpha, interpret=True,
+    )
+    assert got[0].shape == ref[0].shape
+    for r, g_ in zip(ref, got):
+        _, hi_r = plane_value_bounds(r)
+        _, hi_g = plane_value_bounds(g_)
+        np.testing.assert_allclose(
+            np.asarray(hi_r), np.asarray(hi_g), rtol=1e-4, atol=1e-3
+        )
+    # the transposed contraction (X@Q^T) genuinely reorders the f32
+    # accumulation: at d=128 the order drift (~d*eps_f32) is a full
+    # trunc quantum, so boundary flips are expected at the percent
+    # level — the VALUE bounds above are the binding check
+    same_key = np.asarray(ref[0] & ~127) == np.asarray(got[0] & ~127)
+    assert same_key.mean() > 0.9
+    lane_ref = np.asarray(ref[0]) & 127
+    lane_got = np.asarray(got[0]) & 127
+    np.testing.assert_array_equal(lane_ref[same_key], lane_got[same_key])
+
+
 def test_bounded_pallas_backend_exact(rng):
     n, d, b, k = 16384, 128, 8, 10
     x = rng.randn(n, d).astype(np.float32)

@@ -104,6 +104,31 @@ def test_stats_effective_modes(corpus_big):
     assert modes["fused_candidates"] == "approx"
 
 
+def test_fused_bounded_int8_matches_exact(corpus_big):
+    """bounded_scan='int8': the fused candidate generation runs the
+    int8 bounded-exact op in-graph and still matches the exact engine."""
+    x = corpus_big
+    cfg = QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 64}})
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", topk_mode="bounded", bounded_scan="int8",
+        metadata=[f"m/{i}" for i in range(x.shape[0])],
+    )
+    eng_b = QragEngine(config=cfg, index=idx)
+    eng_e = _engine(x, "exact", 64)
+    mode, kw = eng_b._fused_candidate_mode(20)
+    assert mode == "bounded" and kw["bounded_kind"] == "int8"
+    q = x[[3, 77, 500]] + 1e-3
+    out_b = eng_b.search_rerank(q, k=5, candidates=20, reranker_type="quantum")
+    out_e = eng_e.search_rerank(q, k=5, candidates=20, reranker_type="quantum")
+    for hb, he in zip(out_b["results"], out_e["results"]):
+        assert [h["index"] for h in hb] == [h["index"] for h in he]
+    # index.search (host path) through the int8 bounded arm too
+    res_b = eng_b.index.search(q, k=5)
+    res_e = eng_e.index.search(q, k=5)
+    np.testing.assert_array_equal(res_b.indices, res_e.indices)
+    np.testing.assert_allclose(res_b.scores, res_e.scores, rtol=1e-5, atol=1e-5)
+
+
 # ------------------------------------------------------- sharded verified
 
 
