@@ -16,6 +16,7 @@ Also speaks the reference's artifact formats both ways:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from dataclasses import dataclass, field
@@ -35,6 +36,42 @@ METADATA_NAME = "metadata.json"
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pow2_bucket(x: int, floor: int = 8) -> int:
+    """Pad append sizes to a pow2 bucket so the incremental-append jit
+    compiles a bounded ladder of shapes, not one per add size."""
+    b = floor
+    while b < x:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _append_into_capacity(
+    matrix: jax.Array,  # (capacity, d) store dtype
+    sqnorms: jax.Array,  # (capacity,) f32
+    valid: jax.Array,  # (capacity,) bool
+    new_rows: jax.Array,  # (bucket, d) f32, zero-padded past n_new
+    n_new: jax.Array,  # int32 scalar: real rows in new_rows
+    start: jax.Array,  # int32 scalar: write offset (== old ntotal)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side append (VERDICT r4 item 4): only the new rows ever
+    cross host->device; the capacity buffers update on device via
+    dynamic_update_slice.  NOT donated: concurrent lock-free readers
+    may still hold the previous snapshot generation, so the update
+    must produce fresh buffers (a device-side copy at HBM bandwidth —
+    the same transient 2x the old full re-upload path peaked at, with
+    ~corpus-size less host->device traffic)."""
+    cap = matrix.shape[0]
+    matrix = jax.lax.dynamic_update_slice(
+        matrix, new_rows.astype(matrix.dtype), (start, 0)
+    )
+    new_sq = jnp.sum(new_rows * new_rows, axis=1, dtype=jnp.float32)
+    sqnorms = jax.lax.dynamic_update_slice(sqnorms, new_sq, (start,))
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid = valid | ((pos >= start) & (pos < start + n_new))
+    return matrix, sqnorms, valid
 
 
 @dataclass
@@ -122,6 +159,11 @@ class DeviceFlatIndex:
         self._snapshot: Optional[DeviceBuffers] = None
         self._capacity = 0
         self._dirty = True
+        # incremental-append state: rows added since the last upload
+        # (device append within capacity transfers only these) and
+        # whether the next upload must be a full one
+        self._pending: List[np.ndarray] = []
+        self._needs_full = True
         # Single-writer contract (SURVEY.md §5 race detection): the
         # reference's index read-modify-write and score cache were
         # unguarded; here mutation and device-upload are serialized.
@@ -171,6 +213,11 @@ class DeviceFlatIndex:
                 self.metadata.extend(str(m) for m in metadata)
             else:
                 self.metadata.extend([""] * vectors.shape[0])
+            if self._snapshot is not None and not self._needs_full:
+                # stash the canonical (validated/normalized) rows for
+                # the incremental device append — within capacity the
+                # next upload transfers ONLY these
+                self._pending.append(vectors)
             self._dirty = True
         return self.ntotal
 
@@ -211,9 +258,33 @@ class DeviceFlatIndex:
             return
         n = self.ntotal
         needed = max(self.row_pad_multiple, _round_up(n, self.row_pad_multiple))
+        if (
+            self._snapshot is not None
+            and not self._needs_full
+            and self._pending
+            and needed <= self._capacity
+        ):
+            new_rows = np.concatenate(self._pending, axis=0)
+            start = self._snapshot.ntotal
+            bucket = _pow2_bucket(new_rows.shape[0])
+            if start + bucket > self._capacity >= start + new_rows.shape[0]:
+                # clamp the bucket at the capacity boundary (one
+                # odd-shaped compile, once per capacity generation)
+                bucket = self._capacity - start
+            if start + bucket <= self._capacity:
+                # incremental device append: transfer ONLY the new rows
+                # (VERDICT r4 item 4 — the old path re-uploaded the
+                # whole padded matrix on every add within capacity)
+                self._append_pending_locked(new_rows, start, bucket)
+                return
+            # past capacity: fall through to the full growth upload
         if needed > self._capacity:
-            # geometric growth so repeated adds amortize recompiles
-            cap = max(needed, self._capacity * 2 if self._capacity else needed)
+            if self._capacity:
+                cap = max(needed, self._capacity * 2)  # geometric growth
+            else:
+                # first build: 25% headroom so early appends take the
+                # incremental path instead of an immediate full regrow
+                cap = needed + max(needed // 4, self.row_pad_multiple)
             self._capacity = _round_up(cap, self.row_pad_multiple)
         padded = np.zeros((self._capacity, self.d), dtype=np.float32)
         padded[:n] = self._host_vectors
@@ -238,6 +309,45 @@ class DeviceFlatIndex:
         # atomically — lock-free readers never see mixed buffers
         self._snapshot = snap
         self._dirty = False
+        self._pending = []
+        self._needs_full = False
+
+    def _append_pending_locked(
+        self, new_rows: np.ndarray, start: int, bucket: int
+    ) -> None:
+        """Incremental path of ``_upload_locked``: device-side
+        dynamic_update_slice of the pending rows into the existing
+        capacity buffers.  Derived extras (fidelity features, bounded
+        buffers, quantized forms) are INVALIDATED and rebuild lazily —
+        device-side computation, no host transfer."""
+        old = self._snapshot
+        n_new = new_rows.shape[0]
+        padded = np.zeros((bucket, self.d), dtype=np.float32)
+        padded[:n_new] = new_rows
+        put = (
+            (lambda x: jax.device_put(x, self.device))
+            if self.device is not None
+            else jax.device_put
+        )
+        matrix, sqnorms, valid = _append_into_capacity(
+            old.matrix,
+            old.sqnorms,
+            old.valid,
+            put(padded),
+            jnp.int32(n_new),
+            jnp.int32(start),
+        )
+        snap = DeviceBuffers(
+            matrix=matrix,
+            sqnorms=sqnorms,
+            valid=valid,
+            ntotal=self.ntotal,
+            extras={},
+        )
+        self._finalize_snapshot(snap)
+        self._snapshot = snap
+        self._dirty = False
+        self._pending = []
 
     def _finalize_snapshot(self, snap: "DeviceBuffers") -> None:
         """Hook for subclasses to attach derived buffers (quantized

@@ -31,7 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(idx_ref, corpus_ref, out_ref, sem, *, rows: int):
+def _gather_kernel(
+    idx_ref, corpus_ref, out_ref, sem, *, rows: int, full_unroll: bool
+):
     g = pl.program_id(0)
 
     def dma(r):
@@ -44,22 +46,28 @@ def _gather_kernel(idx_ref, corpus_ref, out_ref, sem, *, rows: int):
         dma(r).start()
         return carry
 
-    jax.lax.fori_loop(0, rows, issue, 0, unroll=8)
+    # Mosaic kernel loops support only unroll=1 or full unroll; the
+    # issue loop is pure scalar work (this loop IS the kernel's
+    # critical path), but full unroll of hundreds of DMA starts can
+    # trip Mosaic internal errors — keep both forms selectable
+    unroll = rows if full_unroll else 1
+    jax.lax.fori_loop(0, rows, issue, 0, unroll=unroll)
 
     def wait(r, carry):
         dma(r).wait()
         return carry
 
-    jax.lax.fori_loop(0, rows, wait, 0, unroll=8)
+    jax.lax.fori_loop(0, rows, wait, 0, unroll=unroll)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_block", "interpret")
+    jax.jit, static_argnames=("rows_per_block", "full_unroll", "interpret")
 )
 def gather_rows(
     corpus: jnp.ndarray,  # (N, d) any dtype
     idx: jnp.ndarray,  # (M,) int32 row indices (caller-clamped)
     rows_per_block: int = 256,
+    full_unroll: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(M, d) = corpus[idx] via per-row async DMAs.
@@ -85,7 +93,9 @@ def gather_rows(
         scratch_shapes=[pltpu.SemaphoreType.DMA(())],
     )
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, rows=rows_per_block),
+        functools.partial(
+            _gather_kernel, rows=rows_per_block, full_unroll=full_unroll
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, d), corpus.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -121,3 +131,34 @@ def gather_rows_2d(
 def gather_ready(n: int, d: int) -> bool:
     """Kernel applicability: whole rows, lane-aligned feature dim."""
     return d % 128 == 0 and n >= 1
+
+
+_KERNEL_AVAILABLE: dict = {}
+
+
+def kernel_available() -> bool:
+    """Does this toolchain compile the dynamic-index DMA kernel?
+
+    On the current axon TPU AOT compile helper it does NOT: any
+    dynamic-index async copy crashes the helper (exit 1) in every
+    variant (fori_loop / unrolled / python-unrolled, rank-1/2, ANY or
+    HBM source), while static-index DMAs and scalar prefetch compile
+    fine — isolated r4, recorded in docs/PERFORMANCE.md.  The probe
+    compiles a tiny gather ONCE per process and caches the verdict so
+    callers (refine/bounded gathers) can decide statically, falling
+    back to jnp.take (~22-28 GB/s measured)."""
+    import jax
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return _KERNEL_AVAILABLE.setdefault(backend, False)
+    if backend not in _KERNEL_AVAILABLE:
+        try:
+            x = jnp.zeros((256, 128), jnp.float32)
+            idx = jnp.arange(8, dtype=jnp.int32)
+            out = gather_rows(x, idx, rows_per_block=8)
+            out.block_until_ready()
+            _KERNEL_AVAILABLE[backend] = True
+        except Exception:  # noqa: BLE001 - any compile failure
+            _KERNEL_AVAILABLE[backend] = False
+    return _KERNEL_AVAILABLE[backend]

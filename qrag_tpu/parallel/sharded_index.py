@@ -232,6 +232,7 @@ class ShardedFlatIndex:
         merge: str = "allgather",
         d: Optional[int] = None,
         normalize: bool = False,
+        keep_host_master: bool = True,
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -259,12 +260,20 @@ class ShardedFlatIndex:
         )
         self._store_dtype_name = store_dtype
         self._dp = mesh.shape[DATA_AXIS]
+        self.keep_host_master = keep_host_master
         self._host_vectors = np.zeros((0, self.d), np.float32)
+        self._ntotal = 0
         self.metadata: List[str] = []
         self._dirty = True
         self._dev_matrix = None
         self._dev_sqnorms = None
         self._dev_valid = None
+        self._dev_ntotal = 0
+        self._capacity = 0
+        # rows added since the last device build: within capacity the
+        # next _ensure_device transfers ONLY these (VERDICT r4 item 4)
+        self._pending: List[np.ndarray] = []
+        self._needs_full = True
         import threading
 
         self._write_lock = threading.Lock()
@@ -273,7 +282,7 @@ class ShardedFlatIndex:
 
     @property
     def ntotal(self) -> int:
-        return self._host_vectors.shape[0]
+        return self._ntotal
 
     def add(
         self, vectors: np.ndarray, metadata: Optional[Sequence[str]] = None
@@ -291,9 +300,12 @@ class ShardedFlatIndex:
                 f"metadata length {len(metadata)} != vectors {vectors.shape[0]}"
             )
         with self._write_lock:
-            self._host_vectors = np.concatenate(
-                [self._host_vectors, vectors], axis=0
-            )
+            if self.keep_host_master:
+                self._host_vectors = np.concatenate(
+                    [self._host_vectors, vectors], axis=0
+                )
+            self._pending.append(vectors)
+            self._ntotal += vectors.shape[0]
             if metadata is not None:
                 self.metadata.extend(str(m) for m in metadata)
             else:
@@ -302,23 +314,42 @@ class ShardedFlatIndex:
         return self.ntotal
 
     def sample_rows(self, rows: Sequence[int]) -> np.ndarray:
-        return np.asarray(
-            self._host_vectors[np.asarray(rows, dtype=np.int64)]
+        if self.keep_host_master:
+            return np.asarray(
+                self._host_vectors[np.asarray(rows, dtype=np.int64)]
+            )
+        # streaming mode: the corpus lives only on the mesh — gather
+        # the requested rows across shards (store-dtype precision).
+        # The distributed gather shards its batch axis over "data":
+        # replicate the single request row to fill the axis.
+        idx = np.tile(
+            np.asarray(rows, dtype=np.int32)[None, :], (self._dp, 1)
         )
+        out = self.gather_rows_device(jnp.asarray(idx))
+        return np.asarray(out)[0]
 
     def layout(self) -> dict:
         """Shard layout for observability (/stats) — computed from the
-        padding formula, NOT by touching device buffers (an
-        observability call must never trigger a corpus upload)."""
+        padding formula / build state, NOT by touching device buffers
+        (an observability call must never trigger a corpus upload)."""
         mp = self.mesh.shape[MODEL_AXIS]
-        npad = _round_up(max(self.ntotal, mp), mp * 128) if self.ntotal else 0
+        npad = self._capacity or (
+            _round_up(max(self.ntotal, mp), mp * 128) if self.ntotal else 0
+        )
         return {
             "sharded": True,
             "mesh": {DATA_AXIS: self._dp, MODEL_AXIS: mp},
             "merge": self.merge,
             "rows_per_shard": npad // mp if mp else 0,
             "devices": self.mesh.devices.size,
+            "host_master": self.keep_host_master,
         }
+
+    def _row_sharding(self):
+        return NamedSharding(self.mesh, P(MODEL_AXIS, None))
+
+    def _vec_sharding(self):
+        return NamedSharding(self.mesh, P(MODEL_AXIS))
 
     def _ensure_device(self) -> None:
         if not self._dirty and self._dev_matrix is not None:
@@ -328,21 +359,160 @@ class ShardedFlatIndex:
                 return
             mp = self.mesh.shape[MODEL_AXIS]
             n = self.ntotal
-            npad = _round_up(max(n, mp), mp * 128)
-            padded = np.zeros((npad, self.d), np.float32)
-            padded[:n] = self._host_vectors
-            valid = np.zeros((npad,), bool)
-            valid[:n] = True
-            row = NamedSharding(self.mesh, P(MODEL_AXIS, None))
-            vec = NamedSharding(self.mesh, P(MODEL_AXIS))
-            self._dev_matrix = jax.device_put(
-                padded.astype(self.store_dtype), row
+            needed = _round_up(max(n, mp), mp * 128)
+            if (
+                self._dev_matrix is not None
+                and not self._needs_full
+                and self._pending
+            ):
+                new_rows = np.concatenate(self._pending, axis=0)
+                if needed > self._capacity:
+                    if not self.keep_host_master:
+                        # streaming mode: grow capacity DEVICE-SIDE
+                        # (copy into a bigger sharded buffer — no host
+                        # materialization of the corpus, ever)
+                        self._grow_device_locked(needed, mp)
+                    else:
+                        self._full_upload_locked(n, needed, mp)
+                        return
+                self._append_pending_locked(new_rows)
+                return
+            if not self.keep_host_master and self._dev_matrix is None:
+                # streaming first build: allocate empty capacity then
+                # append the pending chunks — the host never holds
+                # more than one chunk
+                if needed > self._capacity:
+                    self._capacity = _round_up(
+                        max(needed, 2 * self._capacity), mp * 128
+                    )
+                self._alloc_device_locked(mp)
+                if self._pending:
+                    self._append_pending_locked(
+                        np.concatenate(self._pending, axis=0)
+                    )
+                else:
+                    self._dirty = False
+                self._needs_full = False
+                return
+            self._full_upload_locked(n, needed, mp)
+
+    def _full_upload_locked(self, n: int, needed: int, mp: int) -> None:
+        if not self.keep_host_master:
+            raise RuntimeError(
+                "full re-shard requires the host master copy "
+                "(keep_host_master=False streaming index cannot rebuild)"
             )
-            self._dev_sqnorms = jax.device_put(
-                np.sum(padded * padded, axis=1, dtype=np.float32), vec
+        if needed > self._capacity:
+            if self._capacity:
+                cap = max(needed, self._capacity * 2)
+            else:
+                # first build: headroom so early appends stay
+                # incremental (mirrors DeviceFlatIndex)
+                cap = needed + max(needed // 4, mp * 128)
+            self._capacity = _round_up(cap, mp * 128)
+        npad = self._capacity
+        padded = np.zeros((npad, self.d), np.float32)
+        padded[:n] = self._host_vectors
+        valid = np.zeros((npad,), bool)
+        valid[:n] = True
+        self._dev_matrix = jax.device_put(
+            padded.astype(self.store_dtype), self._row_sharding()
+        )
+        self._dev_sqnorms = jax.device_put(
+            np.sum(padded * padded, axis=1, dtype=np.float32),
+            self._vec_sharding(),
+        )
+        self._dev_valid = jax.device_put(valid, self._vec_sharding())
+        self._dev_ntotal = n
+        self._dirty = False
+        self._pending = []
+        self._needs_full = False
+
+    def _alloc_device_locked(self, mp: int) -> None:
+        """Zero-filled sharded capacity buffers (streaming build)."""
+        cap = self._capacity
+        row, vec = self._row_sharding(), self._vec_sharding()
+        self._dev_matrix = jax.jit(
+            lambda: jnp.zeros((cap, self.d), self.store_dtype),
+            out_shardings=row,
+        )()
+        self._dev_sqnorms = jax.jit(
+            lambda: jnp.zeros((cap,), jnp.float32), out_shardings=vec
+        )()
+        self._dev_valid = jax.jit(
+            lambda: jnp.zeros((cap,), bool), out_shardings=vec
+        )()
+        self._dev_ntotal = 0
+
+    def _grow_device_locked(self, needed: int, mp: int) -> None:
+        """Device-side capacity growth for the streaming (no-host-
+        master) mode: copy the old sharded buffers into bigger ones —
+        all on the mesh, nothing re-crosses the host boundary."""
+        new_cap = _round_up(
+            max(needed, self._capacity * 2 if self._capacity else needed),
+            mp * 128,
+        )
+        row, vec = self._row_sharding(), self._vec_sharding()
+        old_m, old_s, old_v = (
+            self._dev_matrix, self._dev_sqnorms, self._dev_valid
+        )
+
+        def grow(m, s, v):
+            gm = jnp.zeros((new_cap, self.d), m.dtype)
+            gs = jnp.zeros((new_cap,), jnp.float32)
+            gv = jnp.zeros((new_cap,), bool)
+            return (
+                jax.lax.dynamic_update_slice(gm, m, (0, 0)),
+                jax.lax.dynamic_update_slice(gs, s, (0,)),
+                jax.lax.dynamic_update_slice(gv, v, (0,)),
             )
-            self._dev_valid = jax.device_put(valid, vec)
-            self._dirty = False
+
+        self._dev_matrix, self._dev_sqnorms, self._dev_valid = jax.jit(
+            grow, out_shardings=(row, vec, vec)
+        )(old_m, old_s, old_v)
+        self._capacity = new_cap
+
+    def _append_pending_locked(self, new_rows: np.ndarray) -> None:
+        """Incremental sharded append: transfer only the new rows and
+        dynamic_update_slice them into the sharded capacity buffers
+        (GSPMD places the update on the owning shard(s))."""
+        from qrag_tpu.index.flat_index import (
+            _append_into_capacity,
+            _pow2_bucket,
+        )
+
+        start = self._dev_ntotal
+        n_new = new_rows.shape[0]
+        bucket = _pow2_bucket(n_new)
+        if start + bucket > self._capacity >= start + n_new:
+            bucket = self._capacity - start  # boundary clamp
+        if start + bucket > self._capacity:
+            mp = self.mesh.shape[MODEL_AXIS]
+            if self.keep_host_master:
+                self._full_upload_locked(
+                    self.ntotal,
+                    _round_up(max(self.ntotal, mp), mp * 128),
+                    mp,
+                )
+                return
+            self._grow_device_locked(start + bucket, mp)
+        padded = np.zeros((bucket, self.d), np.float32)
+        padded[:n_new] = new_rows
+        rep = NamedSharding(self.mesh, P())
+        self._dev_matrix, self._dev_sqnorms, self._dev_valid = (
+            _append_into_capacity(
+                self._dev_matrix,
+                self._dev_sqnorms,
+                self._dev_valid,
+                jax.device_put(padded, rep),
+                jnp.int32(n_new),
+                jnp.int32(start),
+            )
+        )
+        self._dev_ntotal = self.ntotal
+        self._dirty = False
+        self._pending = []
+        self._needs_full = False
 
     def search_device_raw(
         self, queries: jnp.ndarray, k: int
@@ -455,13 +625,54 @@ class ShardedFlatIndex:
 
     # ------------------------------------------------------- persistence
 
+    def _download_vectors_memmap(self, path: str) -> np.ndarray:
+        """Stream the device corpus to a disk-backed array in chunks —
+        the streaming (no-host-master) index can checkpoint without
+        ever materializing the full corpus in host RAM.  Values carry
+        store-dtype precision (bf16 storage saves bf16-rounded f32)."""
+        self._ensure_device()
+        out = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.float32, shape=(self.ntotal, self.d)
+        )
+        step = 65536
+        for i0 in range(0, self.ntotal, step):
+            i1 = min(self.ntotal, i0 + step)
+            out[i0:i1] = np.asarray(
+                self._dev_matrix[i0:i1].astype(jnp.float32)
+            )
+        out.flush()
+        return out
+
     def save_native(self, directory: str) -> None:
         """Same manifest format as DeviceFlatIndex (shard layout is a
         runtime property, not part of the checkpoint — a bundle saved
         sharded restores on any mesh, or unsharded)."""
-        from qrag_tpu.index.flat_index import DeviceFlatIndex
+        from qrag_tpu.index import flat_index as fi
 
-        DeviceFlatIndex.save_native(self, directory)  # type: ignore[arg-type]
+        if self.keep_host_master:
+            fi.DeviceFlatIndex.save_native(self, directory)  # type: ignore[arg-type]
+            return
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self._download_vectors_memmap(
+            os.path.join(directory, fi.VECTORS_NAME)
+        )
+        with open(os.path.join(directory, fi.METADATA_NAME), "w") as f:
+            json.dump(self.metadata, f)
+        manifest = {
+            "format": "qrag_tpu.flat_index",
+            "version": 1,
+            "d": self.d,
+            "ntotal": self.ntotal,
+            "metric": self.metric,
+            "dtype": "float32",
+            "normalized": self.normalize,
+            "row_pad_multiple": self.row_pad_multiple,
+        }
+        with open(os.path.join(directory, fi.MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=2)
 
     row_pad_multiple = 128  # manifest field parity
 
@@ -486,7 +697,25 @@ class ShardedFlatIndex:
     def save_faiss(self, path: str) -> None:
         from qrag_tpu.index.flat_index import DeviceFlatIndex
 
-        DeviceFlatIndex.save_faiss(self, path)  # type: ignore[arg-type]
+        if self.keep_host_master:
+            DeviceFlatIndex.save_faiss(self, path)  # type: ignore[arg-type]
+            return
+        import os
+        import pickle
+
+        from qrag_tpu.index import faiss_io
+
+        tmp = path + ".vectors.tmp.npy"
+        try:
+            vecs = self._download_vectors_memmap(tmp)
+            faiss_io.write_flat_index(path, vecs, metric=self.metric)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        meta_path = faiss_io.metadata_path_for(path)
+        with open(meta_path + ".tmp", "wb") as f:
+            pickle.dump(list(self.metadata), f)
+        os.replace(meta_path + ".tmp", meta_path)
 
     def search(self, queries: np.ndarray, k: int = 10):
         """Host-level sharded search (pads the batch to the data axis)."""

@@ -39,7 +39,12 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--backend", default="pallas")
-    p.add_argument("--candidates", type=int, default=48)
+    p.add_argument("--candidates", type=int, default=32)
+    p.add_argument(
+        "--scan", default="bf16", choices=["bf16", "int8", "both"],
+        help="bounded scan arithmetic (int8 = exact-integer dots at "
+        "the int8 MXU rate; ops/bounded_topk.bounded_exact_topk_int8)",
+    )
     p.add_argument("--skip-verified", action="store_true")
     p.add_argument("--skip-approx", action="store_true")
     p.add_argument(
@@ -66,34 +71,85 @@ def main():
 
     iters = args.iters
 
-    @jax.jit
-    def bounded_loop(q0, corpus_, sq_, mx_, lr_):
-        def body(carry, _):
-            vals, idx, fb, npatch = bounded_exact_topk(
-                carry, corpus_, corpus_, sq_, mx_, lr_, k,
-                metric="l2", candidates=args.candidates,
-                backend=args.backend,
+    if args.scan in ("bf16", "both"):
+        @jax.jit
+        def bounded_loop(q0, corpus_, sq_, mx_, lr_):
+            def body(carry, _):
+                vals, idx, fb, npatch = bounded_exact_topk(
+                    carry, corpus_, corpus_, sq_, mx_, lr_, k,
+                    metric="l2", candidates=args.candidates,
+                    backend=args.backend,
+                )
+                carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
+                return carry, (vals.sum(), idx.sum(), fb, npatch)
+            q_out, (v, i, fbs, nps) = jax.lax.scan(
+                body, q0, None, length=iters
             )
-            carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
-            return carry, (vals.sum(), idx.sum(), fb, npatch)
-        q_out, (v, i, fbs, nps) = jax.lax.scan(
-            body, q0, None, length=iters
-        )
-        return (
-            v.sum() + q_out[0, 0].astype(jnp.float32),
-            i.sum(),
-            fbs.sum(),
-            nps.sum(),
+            return (
+                v.sum() + q_out[0, 0].astype(jnp.float32),
+                i.sum(),
+                fbs.sum(),
+                nps.sum(),
+            )
+
+        dt, r = _timed_best(bounded_loop, q, corpus, sq, mx, lr)
+        ms = dt / iters * 1e3
+        print(
+            f"bounded[bf16,{args.backend},C={args.candidates}]: {ms:.2f} "
+            f"ms/batch{b} = {b*iters/dt:,.0f} QPS  "
+            f"fallbacks={int(np.asarray(r[2]))}/{iters} "
+            f"patched_windows={int(np.asarray(r[3]))}",
+            flush=True,
         )
 
-    dt, r = _timed_best(bounded_loop, q, corpus, sq, mx, lr)
-    ms = dt / iters * 1e3
-    print(
-        f"bounded[{args.backend},C={args.candidates}]: {ms:.2f} ms/batch{b} "
-        f"= {b*iters/dt:,.0f} QPS  fallbacks={int(np.asarray(r[2]))}/{iters} "
-        f"patched_windows={int(np.asarray(r[3]))}",
-        flush=True,
-    )
+    if args.scan in ("int8", "both"):
+        from qrag_tpu.ops.bounded_topk import (
+            bounded_exact_topk_int8,
+            window_minsqnorms_device,
+            window_quant_residuals_device,
+        )
+        from qrag_tpu.ops.window_scan import quantize_block_rows_device
+
+        q8x, wscale = jax.jit(quantize_block_rows_device)(
+            corpus.astype(jnp.float32)
+        )
+        minsq = window_minsqnorms_device(sq)
+        resid = window_quant_residuals_device(corpus, q8x, wscale)
+        np.asarray(resid[0])
+        qf = q.astype(jnp.float32)
+
+        @jax.jit
+        def bounded8_loop(q0, q8x_, wscale_, corpus_, sq_, mx_, minsq_, resid_, lr_):
+            def body(carry, _):
+                vals, idx, fb, npatch = bounded_exact_topk_int8(
+                    carry, q8x_, wscale_, corpus_, sq_, mx_, minsq_,
+                    resid_, lr_, k,
+                    metric="l2", candidates=args.candidates,
+                    backend=args.backend,
+                )
+                carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
+                return carry, (vals.sum(), idx.sum(), fb, npatch)
+            q_out, (v, i, fbs, nps) = jax.lax.scan(
+                body, q0, None, length=iters
+            )
+            return (
+                v.sum() + q_out[0, 0].astype(jnp.float32),
+                i.sum(),
+                fbs.sum(),
+                nps.sum(),
+            )
+
+        dt, r = _timed_best(
+            bounded8_loop, qf, q8x, wscale, corpus, sq, mx, minsq, resid, lr
+        )
+        ms = dt / iters * 1e3
+        print(
+            f"bounded[int8,{args.backend},C={args.candidates}]: {ms:.2f} "
+            f"ms/batch{b} = {b*iters/dt:,.0f} QPS  "
+            f"fallbacks={int(np.asarray(r[2]))}/{iters} "
+            f"patched_windows={int(np.asarray(r[3]))}",
+            flush=True,
+        )
 
     if args.raw:
         from qrag_tpu.ops.pallas.fused_scan import (
