@@ -9,15 +9,19 @@ vs_baseline is measured QPS / 1e6 — the north-star target of >=1M QPS
 exact top-10 on 1M x 768 per chip (the reference itself publishes no
 numbers; BASELINE.md `published: {}`).
 
+The recorded VALUE is the PROVABLY-EXACT retrieval mode ("bounded":
+norm-bounded window pruning, ops/bounded_topk.py — exact identity and
+tie order, certified on device), matching the metric's literal "exact
+top-10" name.  The approx-mode number (recall@10 ~0.999, the serving
+default's throughput class) is recorded in extra.
+
 Methodology notes (measured on v5e via the axon tunnel):
   * per-dispatch tunnel latency is tens of ms, so the benched loop runs
     ITERS dependent retrieval steps inside ONE jit (lax.scan) and is
     timed with forced host consumption of the (tiny) outputs;
   * the corpus is generated directly on device (no 3 GB host transfer);
-  * selection uses the library's "approx" mode (hardware partial-reduce
-    + 2x oversample + exact re-rank; recall@10 ~0.999 — see
-    tests/test_topk_modes.py and ops/topk.py for the verified-exact
-    mode that patches the residual rows).
+  * every companion metric shares the headline's chip session
+    (sessions drift 10-18%; docs/PERFORMANCE.md).
 
 Usage: python bench.py [--small] [--mode approx|exact] [--all]
 """
@@ -398,23 +402,31 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"retrieval_qps_top10_{n}x{d}_1chip",
-                "value": round(qps, 1),
+                # the recorded VALUE is the PROVABLY-EXACT mode
+                # (bounded: norm-bounded window pruning — exact
+                # identity AND tie order), matching the metric's
+                # "exact top-10" name; the approx-mode number
+                # (recall@10 ~0.999) moves to extra (VERDICT r3
+                # weak #6: the headline must not report approx
+                # against an exact north star)
+                "metric": f"retrieval_qps_exact_top10_{n}x{d}_1chip",
+                "value": round(qps_b, 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / NORTH_STAR_QPS, 4),
+                "vs_baseline": round(qps_b / NORTH_STAR_QPS, 4),
                 "extra": {
-                    # the north star's literal "exact top-10" metric:
+                    # approx mode: hardware partial-reduce + exact
+                    # re-rank; recall@10 ~0.999, NOT exact — the
+                    # serving-throughput companion number
+                    "approx_qps": round(qps, 1),
+                    "approx_ms_per_batch": round(per_batch * 1e3, 2),
                     # on-device verified mode (deep-oversample approx +
                     # exactness certificate + cond'd exact fallback) —
                     # exact score VALUES, recorded with its observed
-                    # fallback-row count (VERDICT r2 #2)
+                    # fallback-row count (VERDICT r2 #2); superseded as
+                    # the exact headline by bounded
                     "verified_qps": round(qps_v, 1),
                     "verified_ms_per_batch": round(per_v * 1e3, 2),
                     "verified_fallback_rows": int(fb_v),
-                    # round-3: bounded-exact mode (norm-bounded window
-                    # pruning, ops/bounded_topk.py) — provably exact
-                    # identity AND tie order, ~2.9x verified_qps
-                    "bounded_exact_qps": round(qps_b, 1),
                     "bounded_exact_ms_per_batch": round(per_b * 1e3, 2),
                     "bounded_fallback_batches": int(fb_b),
                     # north-star companion: 10-qubit fidelity over 100
@@ -429,17 +441,18 @@ def main() -> None:
                         "assumes TPU v5p (459 TF/s bf16); this chip is a "
                         "v5e (197 TF/s bf16). 1.57 TFLOP/batch1024 -> "
                         "8.0 ms at 100% MXU = 128k QPS absolute v5e "
-                        "ceiling. Best-of-3 timing: the approx headline "
-                        "runs within ~5% of the same-session matmul+"
-                        "rowmax floor (148-156 TF/s = 75-79% of peak); "
-                        "the residual vs peak is XLA's matmul schedule "
-                        "(Mosaic kernels measure slower; TPU XLA_FLAGS "
-                        "are rejected by the axon client — "
-                        "docs/PERFORMANCE.md round-3 decomposition). "
-                        "The verified metric pays one extra full "
-                        "certificate pass over the (B,N) scores "
-                        "(~5x headline cost), with zero observed "
-                        "certificate failures at oversample 16."
+                        "ceiling. Best-of-3 timing. The bounded-exact "
+                        "value runs the r4 TRANSPOSED Mosaic top-2 scan "
+                        "(within ~8% of the matmul+rowmax floor) plus "
+                        "~2.7 ms of selection + candidate gather "
+                        "(jnp.take at 22-28 GB/s; the Pallas DMA gather "
+                        "kernel is blocked by the axon AOT compiler — "
+                        "docs/PERFORMANCE.md round-4). int8 bounded "
+                        "exists and is exact, but at this shape its "
+                        "quantization band (~0.5 sigma of the dot "
+                        "distribution) forces >100 candidate windows "
+                        "per query, so bf16 bounded stays the exact "
+                        "headline (round-4 decomposition)."
                     ),
                 },
             }

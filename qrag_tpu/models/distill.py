@@ -253,8 +253,39 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="fidelity -> cross-encoder distillation")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--out", default=None, help="save student weights dir")
+    # full-scale knobs (VERDICT r3 item 6): production corpus size,
+    # shipped cross-encoder geometry, trained bi-encoder teacher
+    p.add_argument("--episodes", type=int, default=16)
+    p.add_argument("--chunks-per-episode", type=int, default=4)
+    p.add_argument("--queries", type=int, default=160)
+    p.add_argument("--docs-per-query", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--heads", type=int, default=2)
+    p.add_argument("--max-len", type=int, default=128)
+    p.add_argument(
+        "--teacher-weights", default=None,
+        help="trained bi-encoder dir (e.g. artifacts/bi_encoder)",
+    )
     args = p.parse_args(argv)
-    out, params, ce_cfg = distill(DistillConfig(steps=args.steps))
+    out, params, ce_cfg = distill(
+        DistillConfig(
+            steps=args.steps,
+            n_episodes=args.episodes,
+            chunks_per_episode=args.chunks_per_episode,
+            n_queries=args.queries,
+            docs_per_query=args.docs_per_query,
+            batch=args.batch,
+            lr=args.lr,
+            dim=args.dim,
+            layers=args.layers,
+            heads=args.heads,
+            max_len=args.max_len,
+            teacher_weights=args.teacher_weights,
+        )
+    )
     if args.out:
         from qrag_tpu.models.cross_encoder import CrossEncoderScorer
 
