@@ -77,10 +77,11 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 f"(got {self.row_pad_multiple})"
             )
         if scan == "window":
-            # round device-buffer capacity to the Mosaic kernel's tile
-            # (bn=512) so the Pallas backend is eligible whenever the
-            # feature dim allows it
-            self.row_pad_multiple = -(-self.row_pad_multiple // 512) * 512
+            # round device-buffer capacity to the TRANSPOSED Mosaic
+            # kernel's tile (bn=1024, r4) so the Pallas backend takes
+            # the lane-aligned-plane path whenever the feature dim
+            # allows it
+            self.row_pad_multiple = -(-self.row_pad_multiple // 1024) * 1024
         self.refine_factor = max(1, int(refine_factor))
         self.scan = scan
         self.exact_scores = bool(exact_scores)

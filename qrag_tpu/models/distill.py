@@ -46,6 +46,14 @@ class DistillConfig:
     max_len: int = 128
     n_qubits: int = 10
     teacher_weights: Optional[str] = None  # bi-encoder dir (else fixed init)
+    # Warm-start the STUDENT tower from the trained bi-encoder (the
+    # round-3 recipe: a tiny byte cross-encoder does not converge from
+    # scratch at this scale — it memorizes the train pairs; held-out
+    # Spearman stays ~0.  Measured again at full distill scale r4:
+    # from-scratch 2000 steps -> spearman 0.015 / agreement at chance).
+    # Requires the interaction head + geometry matching the artifact.
+    init_from: Optional[str] = None
+    n_experts: int = 4
     seed: int = 0
 
 
@@ -186,14 +194,40 @@ def distill(cfg: Optional[DistillConfig] = None) -> Dict[str, object]:
     tq, td, t_teacher = _flatten_with_teacher(train_items, cfg.n_qubits, emb)
     hq, hd, h_teacher = _flatten_with_teacher(hold_items, cfg.n_qubits, emb)
 
-    ce_cfg = CrossEncoderConfig(
-        dim=cfg.dim,
-        n_heads=cfg.heads,
-        n_layers=cfg.layers,
-        max_len=cfg.max_len,
-        dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
-    )
-    params = init_params(jax.random.PRNGKey(cfg.seed), ce_cfg)
+    if cfg.init_from:
+        from qrag_tpu.models.rerank_eval import (
+            resolve_init_from,
+            warm_start_params,
+        )
+
+        ce_cfg = CrossEncoderConfig(
+            dim=cfg.dim,
+            n_heads=cfg.heads,
+            n_layers=cfg.layers,
+            max_len=cfg.max_len,
+            n_experts=cfg.n_experts,
+            dtype=jnp.bfloat16
+            if jax.default_backend() == "tpu"
+            else jnp.float32,
+            head_type="interaction",
+        )
+        init_dir = resolve_init_from(cfg.init_from)
+        if init_dir is None:
+            raise FileNotFoundError(
+                f"init_from={cfg.init_from!r}: no such artifact"
+            )
+        params = warm_start_params(ce_cfg, init_dir)
+    else:
+        ce_cfg = CrossEncoderConfig(
+            dim=cfg.dim,
+            n_heads=cfg.heads,
+            n_layers=cfg.layers,
+            max_len=cfg.max_len,
+            dtype=jnp.bfloat16
+            if jax.default_backend() == "tpu"
+            else jnp.float32,
+        )
+        params = init_params(jax.random.PRNGKey(cfg.seed), ce_cfg)
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
 
@@ -269,6 +303,12 @@ def main(argv=None) -> None:
         "--teacher-weights", default=None,
         help="trained bi-encoder dir (e.g. artifacts/bi_encoder)",
     )
+    p.add_argument(
+        "--init-from", default=None,
+        help="warm-start the STUDENT tower from this bi-encoder dir "
+        "(interaction head; required for convergence at scale — "
+        "PERFORMANCE.md r3/r4)",
+    )
     args = p.parse_args(argv)
     out, params, ce_cfg = distill(
         DistillConfig(
@@ -284,6 +324,7 @@ def main(argv=None) -> None:
             heads=args.heads,
             max_len=args.max_len,
             teacher_weights=args.teacher_weights,
+            init_from=args.init_from,
         )
     )
     if args.out:

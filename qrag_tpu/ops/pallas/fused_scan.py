@@ -267,6 +267,121 @@ def pallas_packed_window_scan_top2(
     )
 
 
+def _packed_t_kernel(
+    q_ref, ca_ref, x_ref, ra_ref, out_ref, *, bn: int, acc_dtype,
+    alpha: float
+):
+    """Transposed twin of ``_packed_kernel`` (top-1 window argmax):
+    same X_tile @ Q^T trick as ``_packed_top2_t_kernel`` — sublane
+    window max, lane-aligned (nw, bm) output blocks, fold = one clean
+    2D transpose (the r4 layout fix applied to the lean/windowed
+    scan)."""
+    nw = bn // WINDOW
+    bm = q_ref.shape[0]
+    dots = jax.lax.dot_general(
+        x_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (bn, bm)
+    if acc_dtype == jnp.int32:
+        key = jnp.clip(dots, -_INT_CLAMP, _INT_CLAMP) << 7
+    else:
+        g = dots
+        if alpha != 1.0:
+            g = g * alpha
+        g = g + ca_ref[:] + ra_ref[:]
+        u = jax.lax.bitcast_convert_type(g, jnp.int32)
+        mono = jnp.where(u < 0, jnp.int32(-(2 ** 31)) - u, u)
+        key = mono & ~jnp.int32(127)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, bm), 0)
+    packed = key | (127 - (lane & 127))
+    parts = [
+        jnp.max(
+            packed[w * WINDOW : (w + 1) * WINDOW, :], axis=0, keepdims=True
+        )
+        for w in range(nw)
+    ]
+    out_ref[:] = jnp.concatenate(parts, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "alpha", "interpret")
+)
+def pallas_packed_window_scan_t(
+    queries: jnp.ndarray,  # (B, d) int8 or bf16/f32
+    corpus: jnp.ndarray,  # (N, d); N % bn == 0, d % 128 == 0
+    bm: int = 0,
+    bn: int = 1024,
+    row_add=None,  # (1, N) f32 float-domain per-row add
+    col_add=None,  # (B, 1) f32 float-domain per-query add
+    alpha: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N/128) packed window stats via the TRANSPOSED kernel — the
+    ``pallas_packed_window_scan`` contract with the fold reduced to one
+    full-utilization transpose.  Float-domain keys are NOT bit-
+    identical to the straight kernel (contraction-order drift, one
+    trunc quantum — same caveat as the top-2 twin); int-domain keys
+    are exact."""
+    b0, d = queries.shape
+    n = corpus.shape[0]
+    acc_dtype = jnp.int32 if queries.dtype == jnp.int8 else jnp.float32
+    if acc_dtype == jnp.int32 and (row_add is not None or col_add is not None):
+        raise ValueError("int domain packs raw dots; no affine terms")
+    if b0 <= 128:
+        b = 1 << (b0 - 1).bit_length() if b0 > 1 else b0
+    else:
+        b = -(-b0 // 128) * 128
+    if b != b0:
+        queries = jnp.pad(queries, ((0, b - b0), (0, 0)))
+        if col_add is not None:
+            col_add = jnp.pad(col_add, ((0, b - b0), (0, 0)))
+    bm = bm or _pick_bm_packed(b)
+    if b % bm or n % bn or d % WINDOW:
+        raise ValueError(
+            f"shapes must tile: B={b}%{bm}, N={n}%{bn}, d={d}%{WINDOW}"
+        )
+    nw = bn // WINDOW
+    n_tiles = n // bn
+    itemsize = 1 if queries.dtype == jnp.int8 else queries.dtype.itemsize
+    row_add_t = (
+        jnp.zeros((n, 1), jnp.float32) if row_add is None
+        else row_add.reshape(n, 1)
+    )
+    col_add_t = (
+        jnp.zeros((1, b), jnp.float32) if col_add is None
+        else col_add.reshape(1, b)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_t_kernel, bn=bn, acc_dtype=acc_dtype, alpha=alpha
+        ),
+        grid=(b // bm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nw, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n // WINDOW, b), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * itemsize + b * d * itemsize
+            + b * (n // WINDOW) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, col_add_t, corpus, row_add_t)
+    return jax.lax.optimization_barrier(out.T[:b0])
+
+
 def _packed_top2_t_kernel(
     q_ref, ca_ref, x_ref, ra_ref, pk1_ref, pk2_ref, *, bn: int,
     acc_dtype, alpha: float

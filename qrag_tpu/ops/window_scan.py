@@ -204,12 +204,24 @@ def windowed_scan_topk(
         if backend == "pallas":
             from qrag_tpu.ops.pallas.fused_scan import (
                 pallas_packed_window_scan,
+                pallas_packed_window_scan_t,
             )
 
+            interp = jax.default_backend() != "tpu"
+            if n % 1024 == 0:
+                # transposed kernel: lane-aligned plane blocks, fold =
+                # one clean transpose (r4 layout fix; int keys exact,
+                # float keys one-trunc-quantum class like the top-2)
+                return pallas_packed_window_scan_t(
+                    q_in, corpus_scan,
+                    bn=2048 if n % 2048 == 0 else 1024,
+                    row_add=row_add, col_add=col_add, alpha=alpha,
+                    interpret=interp,
+                )
             return pallas_packed_window_scan(
                 q_in, corpus_scan,
                 row_add=row_add, col_add=col_add, alpha=alpha,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interp,
             )
         return packed_window_scan(
             q_in, corpus_scan, lane_rank,
