@@ -34,14 +34,27 @@ def main(argv=None):
     p.add_argument("--weights", required=True, help="distilled student dir")
     p.add_argument("--baseline", default="artifacts/cross_encoder")
     p.add_argument("--bi", default="artifacts/bi_encoder")
+    p.add_argument(
+        "--val", action="store_true",
+        help="evaluate on the TRAIN-episode validation slice (fresh "
+        "seed) instead of the held-out episodes — the slice SHIP "
+        "decisions must use (no held-out peeking; rerank_eval r3 "
+        "protocol)",
+    )
     args = p.parse_args(argv)
 
     cfg = RerankEvalConfig()
     chunks = generate_corpus(
         cfg.n_episodes, cfg.chunks_per_episode, seed=cfg.seed
     )
-    _, hold_idx = split_by_episode(chunks, cfg.holdout_frac, seed=cfg.seed + 1)
-    cases = _eval_cases(cfg, chunks, hold_idx)
+    train_idx, hold_idx = split_by_episode(
+        chunks, cfg.holdout_frac, seed=cfg.seed + 1
+    )
+    if args.val:
+        cases = _eval_cases(chunks=chunks, cfg=cfg,
+                            hold_idx=train_idx[: len(hold_idx)], seed=29)
+    else:
+        cases = _eval_cases(cfg, chunks, hold_idx)
 
     out = {"cases": len(cases)}
     for name, d in (
