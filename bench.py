@@ -318,7 +318,7 @@ def bench_bounded_mode(n, d, b, k, iters):
     @jax.jit
     def loop(q0, corpus_, sq_, mx_, lr_):
         def body(carry, _):
-            vals, idx, fb, npatch = bounded_exact_topk(
+            vals, idx, fb, npatch, esc = bounded_exact_topk(
                 carry, corpus_, corpus_, sq_, mx_, lr_, k, metric="l2",
                 backend="pallas" if jax.default_backend() == "tpu" else "xla",
             )

@@ -72,7 +72,7 @@ def _fused_candidates(
 
         if bounded_kind == "int8":
             q8x, wscale, mx, minsq, resid, lr = bounded_bufs
-            vals, idx, _, _ = bounded_exact_topk_int8(
+            vals, idx, _, _, _ = bounded_exact_topk_int8(
                 query_vecs.astype(jnp.float32),
                 q8x, wscale, corpus, corpus_sqnorms, mx, minsq, resid,
                 lr, candidates,
@@ -82,7 +82,7 @@ def _fused_candidates(
             )
         else:
             scan, maxnorms, lane_rank = bounded_bufs
-            vals, idx, _, _ = bounded_exact_topk(
+            vals, idx, _, _, _ = bounded_exact_topk(
                 query_vecs.astype(jnp.float32),
                 scan,
                 corpus,
@@ -972,6 +972,9 @@ class QragEngine:
             "metric": self.index.metric,
             "topk_mode": self.index.topk_mode,
             "verified_fallback_rows": self.index.fallback_rows,
+            "bounded_escalations": getattr(
+                self.index, "bounded_escalations", 0
+            ),
             # the mode each query path ACTUALLY runs with (VERDICT r3
             # weak #5: a configured mode an internal path can't honor
             # must be reported, not silently mapped)

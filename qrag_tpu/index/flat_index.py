@@ -154,6 +154,7 @@ class DeviceFlatIndex:
         self.store_dtype = jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
         self.device = device
         self.fallback_rows = 0  # verified-mode exact re-runs (observability)
+        self.bounded_escalations = 0  # bounded-mode 4x-budget re-certs
         self._host_vectors = np.zeros((0, d), dtype=np.float32)
         self.metadata: List[str] = []
         self._snapshot: Optional[DeviceBuffers] = None
@@ -530,7 +531,7 @@ class DeviceFlatIndex:
         if self._bounded_eligible(k):
             from qrag_tpu.ops.topk import _finalize
 
-            vals, idx, _, _ = self._bounded_search(
+            vals, idx, _, _, _ = self._bounded_search(
                 queries.astype(jnp.float32), k
             )
             return _finalize(vals, idx, self.metric)
@@ -570,7 +571,7 @@ class DeviceFlatIndex:
         elif self._bounded_eligible(k_eff):
             from qrag_tpu.ops.topk import _finalize
 
-            vals, idx, fell_back, _ = self._bounded_search(
+            vals, idx, fell_back, _, escalated = self._bounded_search(
                 jnp.asarray(queries, jnp.float32), k_eff
             )
             # observability: count whole-batch cert fallbacks in the
@@ -578,6 +579,7 @@ class DeviceFlatIndex:
             # batch-granular here; both are "exactness needed a slow
             # path" events)
             self.fallback_rows += int(np.asarray(fell_back))
+            self.bounded_escalations += int(np.asarray(escalated))
             scores, indices = _finalize(vals, idx, self.metric)
         else:
             scores, indices = self.search_device(jnp.asarray(queries), k_eff)

@@ -34,9 +34,15 @@ to faiss-cpu, ``mcp/server/tools/store_in_faiss.py:105``):
      gather), exactly re-scored, and merged.  cert_b: <= 2 flagged
      windows per query, <= F flagged queries per batch (static
      budgets).
-  5. Any cert failure falls back (``lax.cond``) to the deep-oversample
-     verified kernel — exactness is unconditional, the fast path just
-     stops applying.
+  5. A certificate failure first ESCALATES: the same (already
+     computed) planes are re-certified at a 4x candidate budget — a
+     bigger gather and selection (~few ms), not a new scan.  Only if
+     the escalated certificates fail too does the op fall back
+     (``lax.cond``) to the chunked exact full sort — exactness is
+     unconditional, the fast path just stops applying.  Escalation is
+     what makes a lean default budget (C=16: 12.1 vs 13.5 ms/batch at
+     1M x 768, r4 lab) safe on tie-heavy corpora: a duplicate-row
+     corpus that needs C > 16 pays ~2 ms once, not the ~70 ms sort.
 
 Result contract: the EXACT top-k (values, indices, ties broken by
 lower global index — lax.top_k parity) of the refine-domain scoring
@@ -244,16 +250,19 @@ def bounded_exact_topk(
     k: int,
     metric: str = "l2",
     valid_rows: Optional[jnp.ndarray] = None,  # (N,) bool
-    candidates: int = 32,  # C: top windows exactly re-scored
+    candidates: int = 16,  # C: top windows exactly re-scored
     patch_queries: int = 32,  # F: per-batch flagged-query budget
     backend: str = "xla",  # "xla" | "pallas"
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[
+    jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray
+]:
     """Provably-exact top-k (see module doc).
 
     Returns (goodness desc (B, k), indices (B, k), fell_back (bool
-    scalar), n_patched (int32 scalar)).  Finalize to distances at the
-    API edge (``ops.topk._finalize``)."""
+    scalar: the exact full sort ran), n_patched (int32 scalar),
+    escalated (bool scalar: the 4x-budget re-certification ran)).
+    Finalize to distances at the API edge (``ops.topk._finalize``)."""
     b, d = queries.shape
     n = corpus_scan.shape[0]
     nw = n // WINDOW
@@ -326,7 +335,7 @@ def bounded_exact_topk(
         margin = margin + 5e-7 * (qsq + maxnorms[None, :] ** 2)
 
     lane1 = WINDOW - 1 - (pk1 & jnp.int32(WINDOW - 1))  # (B, NW)
-    return _certify_and_refine(
+    return _certify_escalate(
         q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
         ub=v1_ub + margin,
         ub2=v2_ub + margin,
@@ -354,6 +363,7 @@ def _certify_and_refine(
     cand_live: jnp.ndarray,  # (B, NW) bool: window can hold candidates
     lane1: jnp.ndarray,  # (B, NW) argmax lane per window
     extra_fail: jnp.ndarray,  # scalar bool: front-end soundness failure
+    do_fallback: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The scan-domain-agnostic tail of the bounded-exact design:
     top-C window selection by upper bound -> exact re-score ->
@@ -361,7 +371,10 @@ def _certify_and_refine(
     Both front-ends (bf16 packed-float planes; int8 exact-integer
     planes with quantization margins) feed it their goodness-domain
     bounds; exactness is theirs to guarantee, the tail only needs
-    ``ub``/``ub2`` to be sound."""
+    ``ub``/``ub2`` to be sound.  With ``do_fallback=False`` the exact
+    full sort is SKIPPED — the caller (``_certify_escalate``) owns the
+    failure path and the returned values are only valid where
+    ``fell_back`` is False."""
     b, d = q32.shape
     nw = ub.shape[1]
 
@@ -465,6 +478,8 @@ def _certify_and_refine(
     g_all = jnp.concatenate([cand_g, extras_g], axis=1)
     idx_all = jnp.concatenate([cand_idx, extras_idx], axis=1)
     fast_vals, fast_idx = topk_tiebreak(g_all, idx_all, k)
+    if not do_fallback:
+        return fast_vals, fast_idx, fell_back, n_patched
 
     def fallback():
         # exact full sort, chunked over queries so the branch's
@@ -488,6 +503,52 @@ def _certify_and_refine(
         fell_back, fallback, lambda: (fast_vals, fast_idx)
     )
     return vals, idx, fell_back, n_patched
+
+
+def _certify_escalate(
+    q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
+    *, ub, ub2, cand_live, lane1, extra_fail,
+) -> Tuple[
+    jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray
+]:
+    """Escalating-budget certification: try C, then 4C (reusing the
+    SAME planes — no new scan), then the exact full sort.  The lean
+    default budget rides the fast path on well-separated corpora; a
+    tie-heavy corpus (duplicate rows spread over > C windows all
+    clearing the top-k threshold) pays one bigger gather instead of
+    the ~5x-headline-cost sort.  Returns the 5-tuple of the public
+    ops (``bounded_exact_topk`` doc)."""
+    b = q32.shape[0]
+    nw = ub.shape[1]
+    common = dict(
+        ub=ub, ub2=ub2, cand_live=cand_live, lane1=lane1,
+        extra_fail=extra_fail,
+    )
+    C2 = min(4 * C, nw)
+    F2 = min(4 * F, b)
+    if C2 <= C:
+        vals, idx, fb, npatch = _certify_and_refine(
+            q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
+            C, F, **common,
+        )
+        return vals, idx, fb, npatch, jnp.asarray(False)
+
+    v1, i1, fb1, np1 = _certify_and_refine(
+        q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
+        C, F, do_fallback=False, **common,
+    )
+
+    def escalated():
+        return _certify_and_refine(
+            q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
+            C2, F2, **common,
+        )
+
+    def fast():
+        return v1, i1, jnp.asarray(False), np1
+
+    vals, idx, fb, npatch = jax.lax.cond(fb1, escalated, fast)
+    return vals, idx, fb, npatch, fb1
 
 
 def packed_window_scan_top2_int(
@@ -540,7 +601,9 @@ def bounded_exact_topk_int8(
     patch_queries: int = 32,
     backend: str = "xla",  # "xla" | "pallas"
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[
+    jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray
+]:
     """Provably-exact top-k with the SCAN at the int8 MXU rate
     (VERDICT r4 item 2: extend the margin derivation to int8
     block-quantization error).
@@ -562,8 +625,9 @@ def bounded_exact_topk_int8(
     on normalized corpora (the north-star contract normalizes at
     ingestion), loose-but-sound otherwise.  Clipped keys (|dot_int| at
     the 2^23 clamp) void the bound and force the exact fallback —
-    exactness stays unconditional.  Certification/patching/fallback is
-    the shared ``_certify_and_refine`` tail; the refine domain is
+    exactness stays unconditional.  Certification/patching/escalation/
+    fallback is the shared ``_certify_escalate`` tail (same 5-tuple
+    return as ``bounded_exact_topk``); the refine domain is
     ``corpus_f`` in f32, identical to the bf16 mode's contract."""
     b, d = queries.shape
     n = corpus_q8.shape[0]
@@ -663,7 +727,7 @@ def bounded_exact_topk_int8(
         ub2 = jnp.where(wvalid, ub2, -jnp.inf)
         cand_live = jnp.broadcast_to(wvalid, (b, nw))
 
-    return _certify_and_refine(
+    return _certify_escalate(
         q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
         ub=ub,
         ub2=ub2,

@@ -97,7 +97,7 @@ def _sharded_search(
                     and x.shape[1] % 128 == 0
                     else "xla"
                 )
-                vals, idx, _, _ = bounded_exact_topk(
+                vals, idx, _, _, _ = bounded_exact_topk(
                     q, scan, x, sq, mx, lr, k,
                     metric=metric, valid_rows=vl, backend=backend,
                 )

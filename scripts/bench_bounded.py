@@ -75,7 +75,7 @@ def main():
         @jax.jit
         def bounded_loop(q0, corpus_, sq_, mx_, lr_):
             def body(carry, _):
-                vals, idx, fb, npatch = bounded_exact_topk(
+                vals, idx, fb, npatch, esc = bounded_exact_topk(
                     carry, corpus_, corpus_, sq_, mx_, lr_, k,
                     metric="l2", candidates=args.candidates,
                     backend=args.backend,
@@ -121,7 +121,7 @@ def main():
         @jax.jit
         def bounded8_loop(q0, q8x_, wscale_, corpus_, sq_, mx_, minsq_, resid_, lr_):
             def body(carry, _):
-                vals, idx, fb, npatch = bounded_exact_topk_int8(
+                vals, idx, fb, npatch, esc = bounded_exact_topk_int8(
                     carry, q8x_, wscale_, corpus_, sq_, mx_, minsq_,
                     resid_, lr_, k,
                     metric="l2", candidates=args.candidates,

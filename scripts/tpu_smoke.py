@@ -183,7 +183,7 @@ def main() -> None:
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
         sq = jnp.sum(x * x, axis=1)
         q = jax.random.normal(jax.random.PRNGKey(5), (b, d), jnp.float32)
-        vals, idx, fb, npatch = bounded_exact_topk(
+        vals, idx, fb, npatch, esc = bounded_exact_topk(
             q, x.astype(jnp.bfloat16), x, sq,
             window_maxnorms_device(sq), jnp.asarray(make_lane_rank(n)),
             k, metric="l2", backend="pallas",

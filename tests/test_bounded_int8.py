@@ -61,7 +61,7 @@ def _oracle(q, x, metric, valid, k):
 
 def _assert_exact(q, x, metric, k, res, valid=None, atol=1e-4):
     ov, oi = _oracle(q, x, metric, valid, k)
-    vals, idx, fb, npatch = res
+    vals, idx, fb, npatch = res[:4]
     idx, oi = np.asarray(idx), np.asarray(oi)
     vals, ov = np.asarray(vals), np.asarray(ov)
     if not np.array_equal(idx, oi):
@@ -132,21 +132,39 @@ def test_int8_window_collision_patch(rng):
     for j, off in enumerate((3, 40, 100)):
         x[w * WINDOW + off] = t * (4.0 + 0.01 * j)
     res = _run(q, x, "ip", k)
-    vals, idx, fb, npatch = res
+    vals, idx, fb, npatch = res[:4]
     _assert_exact(q, x, "ip", k, res)
     got = set(map(int, np.asarray(idx)[0]))
     assert {w * WINDOW + 3, w * WINDOW + 40, w * WINDOW + 100} <= got
 
 
-def test_int8_cert_failure_falls_back_exact(rng):
+def test_int8_cert_failure_escalates_without_full_sort(rng):
+    """20 near-tied tops in 20 windows > C=8 but <= 4*C=32: the
+    escalated re-certification succeeds — exact, no full sort."""
     n, d, b, k = 8192, 16, 4, 6
     x = rng.randn(n, d).astype(np.float32)
     q = rng.randn(b, d).astype(np.float32)
     t = q[0] / np.linalg.norm(q[0])
-    for j in range(20):  # 20 near-tied tops in 20 windows > C=8
+    for j in range(20):
         x[j * WINDOW * 2 + 5] = t * (5.0 + 1e-6 * j)
     res = _run(q, x, "ip", k, candidates=8)
-    assert bool(res[2])
+    assert bool(res[4])  # escalated
+    assert not bool(res[2])  # ... and certified there: no full sort
+    _assert_exact(q, x, "ip", k, res)
+
+
+def test_int8_cert_failure_beyond_escalation_falls_back_exact(rng):
+    """40 near-tied tops in 40 windows > 4*C=32: the exact full sort
+    must run and the answer stays exact."""
+    n, d, b, k = 8192, 16, 4, 6
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    t = q[0] / np.linalg.norm(q[0])
+    for j in range(40):
+        x[j * WINDOW + 5] = t * (5.0 + 1e-6 * j)
+    res = _run(q, x, "ip", k, candidates=8)
+    assert bool(res[4])  # escalated first
+    assert bool(res[2])  # then fell back
     _assert_exact(q, x, "ip", k, res)
 
 

@@ -57,7 +57,7 @@ def _assert_exact(q, x, metric, k, res, atol=1e-4):
     accumulation-noise bound is a REAL bug."""
     sq = (np.asarray(x, np.float32) ** 2).sum(1)
     ov, oi = _oracle(q, x, metric, sq, None, k)
-    vals, idx, fb, npatch = res
+    vals, idx, fb, npatch = res[:4]
     idx, oi = np.asarray(idx), np.asarray(oi)
     vals, ov = np.asarray(vals), np.asarray(ov)
     if not np.array_equal(idx, oi):
@@ -100,7 +100,7 @@ def test_window_collision_patch_path(rng, metric):
     for j, off in enumerate((3, 40, 100)):
         x[w * WINDOW + off] = target * (4.0 + 0.001 * j)
     res = _run(q, x, metric, k)
-    vals, idx, fb, npatch = res
+    vals, idx, fb, npatch = res[:4]
     assert not bool(fb)
     assert int(npatch) >= 1  # the collision window got patched
     _assert_exact(q, x, metric, k, res)
@@ -142,9 +142,10 @@ def test_bf16_scan_f32_refine_margins(rng, metric):
     _assert_exact(q, x, metric, k, res, atol=5e-3)
 
 
-def test_cert_failure_falls_back_exact(rng):
-    """More qualifying windows than the candidate budget: cert_a must
-    fail and the fallback still returns the exact answer."""
+def test_cert_failure_escalates_without_full_sort(rng):
+    """More qualifying windows than the candidate budget but fewer
+    than 4x of it: cert_a fails at C, the ESCALATED re-certification
+    (same planes, 4C budget) succeeds — exact answer, no full sort."""
     n, d, b, k = 8192, 16, 4, 6
     x = rng.randn(n, d).astype(np.float32)
     q = rng.randn(b, d).astype(np.float32)
@@ -153,7 +154,24 @@ def test_cert_failure_falls_back_exact(rng):
     for j in range(20):
         x[j * WINDOW * 2 + 5] = t * (5.0 + 1e-6 * j)
     res = _run(q, x, "ip", k, candidates=8)
-    assert bool(res[2])  # fell back
+    assert bool(res[4])  # escalated
+    assert not bool(res[2])  # ... and certified there: no full sort
+    _assert_exact(q, x, "ip", k, res)
+
+
+def test_cert_failure_beyond_escalation_falls_back_exact(rng):
+    """More qualifying windows than even the 4x escalated budget:
+    the exact full sort must run and the answer stays exact."""
+    n, d, b, k = 8192, 16, 4, 6
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    t = q[0] / np.linalg.norm(q[0])
+    # 40 near-tied top rows in 40 DIFFERENT windows > 4*C=32 budget
+    for j in range(40):
+        x[j * WINDOW + 5] = t * (5.0 + 1e-6 * j)
+    res = _run(q, x, "ip", k, candidates=8)
+    assert bool(res[4])  # escalated first
+    assert bool(res[2])  # then fell back
     _assert_exact(q, x, "ip", k, res)
 
 
@@ -168,6 +186,10 @@ def test_multiflag_query_falls_back_exact(rng):
         x[w * WINDOW + 7] = t * (4.0 + 0.01 * wi)
         x[w * WINDOW + 90] = t * (4.0 + 0.005 * wi)
     res = _run(q, x, "ip", k)
+    # > 2 flagged windows on one query can't be patched at ANY
+    # candidate budget unless the threshold rises past them; with the
+    # planted scores it doesn't, so escalation runs AND the full sort
+    # still fires
     assert bool(res[2])
     _assert_exact(q, x, "ip", k, res)
 
