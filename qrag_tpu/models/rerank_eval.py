@@ -104,6 +104,23 @@ class RerankEvalConfig:
     # byte transformer needs far more steps that way; a from-scratch
     # CPU run was flat at ln(Q) after 1500 steps — PERFORMANCE.md r3).
     init_from: Optional[str] = "artifacts/bi_encoder"
+    # Distillation as an auxiliary REGULARIZER on the relevance
+    # fine-tune (the round-4 finding: pure distillation never beats
+    # the warm start, but its fidelity-matching objective generalizes
+    # better held-out than the pure relevance objective — so combine
+    # them): loss = listwise CE + distill_weight * MSE(sigmoid(logit),
+    # |<psi_q|psi_d>|^2) over the SAME in-batch pair matrix, teacher =
+    # analytic fidelity over the warm-start bi-encoder's embeddings
+    # (models/distill.py semantics).  0 = off (the round-3 recipe).
+    distill_weight: float = 0.0
+    distill_qubits: int = 10
+    # Record a rerank-quality-vs-steps curve (VERDICT r3 item 9):
+    # every `curve_every` steps evaluate the current scorer on a fixed
+    # subsample of validation AND held-out cases.  The curve is
+    # EVIDENCE (where does quality plateau); ship decisions still use
+    # the final VAL slice only.  0 = off.
+    curve_every: int = 0
+    curve_cases: int = 96
 
 
 def _make_cfg(cfg: RerankEvalConfig):
@@ -169,11 +186,16 @@ def train_cross_encoder(
     cfg: RerankEvalConfig,
     chunks: List[Chunk],
     train_idx: Sequence[int],
+    hook=None,
 ):
     """In-batch listwise training: each step scores every (query_i,
     doc_j) pair of a Q-group (Q^2 forwards) with softmax-CE on the
     diagonal — the cross-encoder analogue of the bi-encoder's InfoNCE
     (a pointwise-BCE/fresh-pairs recipe was flat at this scale).
+    With ``cfg.distill_weight > 0`` the fidelity teacher's scores over
+    the same pair matrix are matched as an auxiliary MSE (see
+    RerankEvalConfig).  ``hook(step, scorer)`` fires every
+    ``cfg.curve_every`` steps when given.
     Returns (CrossEncoderScorer, loss trace)."""
     import functools
     import os
@@ -198,17 +220,52 @@ def train_cross_encoder(
     optimizer = optax.adamw(cfg.lr, weight_decay=1e-4)
     opt_state = optimizer.init(params)
 
-    def inbatch_loss(p, tokens, mask):
+    distill_w = float(cfg.distill_weight)
+    teacher_fn = None
+    if distill_w > 0.0:
+        if not init_dir:
+            raise ValueError(
+                "distill_weight > 0 needs init_from (the teacher is "
+                "fidelity over the warm-start bi-encoder's embeddings)"
+            )
+        from qrag_tpu.models.bi_encoder import TrainedEmbedder
+        from qrag_tpu.ops.statevector import batched_fidelity
+
+        t_emb = TrainedEmbedder(weights_dir=init_dir)
+        # chunk texts are fixed: embed the whole corpus once
+        all_doc_vecs = np.asarray(
+            t_emb([c.text for c in chunks]), np.float32
+        )
+
+        @jax.jit
+        def _fid(qv, dv):
+            return jax.vmap(
+                lambda q: batched_fidelity(
+                    q, dv, n_qubits=cfg.distill_qubits, analytic=True
+                )
+            )(qv)
+
+        def teacher_fn(qs: List[str], cis: List[int]) -> np.ndarray:
+            qv = jnp.asarray(np.asarray(t_emb(qs), np.float32))
+            dv = jnp.asarray(all_doc_vecs[np.asarray(cis)])
+            return np.asarray(_fid(qv, dv), np.float32)  # (Q, Q)
+
+    def inbatch_loss(p, tokens, mask, teacher):
         qn, m, tl = tokens.shape
         logits = forward(
             p, tokens.reshape(qn * m, tl), mask.reshape(qn * m, tl), ce_cfg
         ).reshape(qn, m)
         lab = jnp.arange(qn)
-        return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[lab, lab])
+        loss = -jnp.mean(jax.nn.log_softmax(logits, axis=1)[lab, lab])
+        if distill_w > 0.0:
+            loss = loss + distill_w * jnp.mean(
+                (jax.nn.sigmoid(logits) - teacher) ** 2
+            )
+        return loss
 
     @jax.jit
-    def step(p, st, tokens, mask):
-        loss, g = jax.value_and_grad(inbatch_loss)(p, tokens, mask)
+    def step(p, st, tokens, mask, teacher):
+        loss, g = jax.value_and_grad(inbatch_loss)(p, tokens, mask, teacher)
         up, st = optimizer.update(g, st, p)
         return jax.tree_util.tree_map(lambda a, u: a + u, p, up), st, loss
 
@@ -250,11 +307,22 @@ def train_cross_encoder(
                 t, m = tokenize_pair(qs[i], chunks[cis[j]].text, cfg.max_len)
                 toks[i, j] = t
                 masks[i, j] = m
+        teacher = (
+            jnp.asarray(teacher_fn(qs, cis))
+            if teacher_fn is not None
+            else jnp.zeros((q_n, q_n), jnp.float32)
+        )
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(toks), jnp.asarray(masks)
+            params, opt_state, jnp.asarray(toks), jnp.asarray(masks), teacher
         )
         if it % 50 == 0 or it == cfg.steps - 1:
             losses.append((it, float(loss)))
+        if (
+            hook is not None
+            and cfg.curve_every
+            and (it + 1) % cfg.curve_every == 0
+        ):
+            hook(it + 1, CrossEncoderScorer(ce_cfg, params=params))
     return CrossEncoderScorer(ce_cfg, params=params), losses
 
 
@@ -344,8 +412,29 @@ def run_eval(
     train_idx, hold_idx = split_by_episode(
         chunks, cfg.holdout_frac, seed=cfg.seed + 1
     )
+    curve: List[Dict[str, object]] = []
+    hook = None
+    if cfg.curve_every:
+        # fixed subsampled case sets so every curve point is comparable
+        curve_val = _eval_cases(
+            cfg, chunks, train_idx[: len(hold_idx)], seed=29
+        )[: cfg.curve_cases]
+        curve_hold = _eval_cases(cfg, chunks, hold_idx)[: cfg.curve_cases]
+
+        def hook(at_step, cur_scorer):
+            curve.append(
+                {
+                    "step": at_step,
+                    "val": eval_ranker(cur_scorer.score, chunks, curve_val),
+                    "holdout": eval_ranker(
+                        cur_scorer.score, chunks, curve_hold
+                    ),
+                }
+            )
+            logger.info("curve @%d: %s", at_step, curve[-1])
+
     t0 = time.time()
-    scorer, losses = train_cross_encoder(cfg, chunks, train_idx)
+    scorer, losses = train_cross_encoder(cfg, chunks, train_idx, hook=hook)
     train_s = time.time() - t0
     cases = _eval_cases(cfg, chunks, hold_idx)
 
@@ -377,6 +466,10 @@ def run_eval(
         "train_seconds": round(train_s, 1),
         "loss_trace": losses,
     }
+    if cfg.distill_weight:
+        out["distill_weight"] = cfg.distill_weight
+    if curve:
+        out["quality_curve"] = curve
     # record the warm-start disposition EXPLICITLY: a missing artifact
     # must be visible in the output, not just a log line
     if cfg.init_from:
@@ -428,9 +521,25 @@ def main(argv=None) -> None:
     p.add_argument("--episodes", type=int, default=48)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--weights-dir", default=None)
+    p.add_argument(
+        "--distill-weight", type=float, default=0.0,
+        help="auxiliary fidelity-distillation MSE weight (0 = off)",
+    )
+    p.add_argument(
+        "--curve-every", type=int, default=0,
+        help="record val+holdout quality every N steps (0 = off)",
+    )
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     cfg = RerankEvalConfig(
-        steps=args.steps, n_episodes=args.episodes, batch=args.batch
+        steps=args.steps,
+        n_episodes=args.episodes,
+        batch=args.batch,
+        distill_weight=args.distill_weight,
+        curve_every=args.curve_every,
+        lr=args.lr,
+        seed=args.seed,
     )
     print(json.dumps(run_eval(cfg, weights_dir=args.weights_dir), indent=2))
 

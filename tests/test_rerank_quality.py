@@ -146,6 +146,53 @@ def test_shipped_cross_encoder_loads_via_classical_config():
     assert s[0] > s[1]
 
 
+def test_distill_aux_finetune_and_curve(bi_artifact):
+    """The round-4 combined objective (listwise CE + fidelity-distill
+    MSE over the same in-batch pair matrix): steps run, loss is
+    finite, the aux term actually changes the trajectory vs
+    distill_weight=0, and the quality-curve hook fires at the
+    configured cadence."""
+    from qrag_tpu.models.rerank_eval import train_cross_encoder
+
+    weights_dir, _ = bi_artifact
+    chunks = generate_corpus(8, 4, seed=0)
+    train_idx, _ = split_by_episode(chunks, 0.25, seed=1)
+    base = dict(
+        n_episodes=8, chunks_per_episode=4, steps=2, batch=4,
+        init_from=weights_dir, dim=32, heads=2, n_experts=2,
+        max_len=128,
+    )
+    cfg0 = RerankEvalConfig(**base)
+    cfg1 = RerankEvalConfig(**base, distill_weight=1.0, curve_every=2)
+    s0, l0 = train_cross_encoder(cfg0, chunks, train_idx)
+    seen = []
+    s1, l1 = train_cross_encoder(
+        cfg1, chunks, train_idx,
+        hook=lambda at, sc: seen.append((at, sc)),
+    )
+    assert all(np.isfinite(l) for _, l in l0 + l1)
+    # the aux MSE is part of the reported loss, so trajectories differ
+    assert l0[0][1] != l1[0][1]
+    assert [at for at, _ in seen] == [2]
+    # hook receives a usable scorer
+    s = seen[0][1].score("find prices", ["a doc", "another doc"])
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_distill_aux_requires_warm_start():
+    from qrag_tpu.models.rerank_eval import train_cross_encoder
+
+    chunks = generate_corpus(8, 4, seed=0)
+    train_idx, _ = split_by_episode(chunks, 0.25, seed=1)
+    cfg = RerankEvalConfig(
+        n_episodes=8, chunks_per_episode=4, steps=1, batch=4,
+        init_from=None, dim=32, heads=2, n_experts=2, max_len=128,
+        distill_weight=0.5,
+    )
+    with pytest.raises(ValueError, match="distill_weight"):
+        train_cross_encoder(cfg, chunks, train_idx)
+
+
 def test_finetune_step_runs():
     """One in-batch listwise step on the warm start: finite loss,
     parameters move, gates stay finite."""
