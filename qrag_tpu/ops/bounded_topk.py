@@ -40,9 +40,12 @@ to faiss-cpu, ``mcp/server/tools/store_in_faiss.py:105``):
      the escalated certificates fail too does the op fall back
      (``lax.cond``) to the chunked exact full sort — exactness is
      unconditional, the fast path just stops applying.  Escalation is
-     what makes a lean default budget (C=16: 12.1 vs 13.5 ms/batch at
-     1M x 768, r4 lab) safe on tie-heavy corpora: a duplicate-row
-     corpus that needs C > 16 pays ~2 ms once, not the ~70 ms sort.
+     what makes a lean default budget safe on tie-heavy corpora
+     (C=16: 12.57 vs 13.97 ms/batch at 1M x 768 — the r4 lab sweep in
+     docs/PERFORMANCE.md; the bf16 band is mean 10.4 / max 15
+     windows/query, so C=16 is one escalation-free notch above it): a
+     duplicate-row corpus that needs C > 16 pays ~2 ms once, not the
+     ~70 ms sort.
 
 Result contract: the EXACT top-k (values, indices, ties broken by
 lower global index — lax.top_k parity) of the refine-domain scoring
