@@ -296,7 +296,7 @@ def bench_fused_rerank(n, d, b, mode, dtype=jnp.bfloat16, cands=100,
     return times[False] * 1e3, times[True] * 1e3, overhead
 
 
-def bench_bounded_mode(n, d, b, k, iters):
+def bench_bounded_mode(n, d, b, k, iters, query_dtype=jnp.bfloat16):
     """Bounded-exact top-k (ops/bounded_topk.py: norm-bounded window
     pruning — provably exact identity + tie order, one scan pass).
     The Mosaic scan tiles N by 512, so the corpus rounds UP (extra
@@ -313,7 +313,7 @@ def bench_bounded_mode(n, d, b, k, iters):
     mx = jnp.sqrt(jnp.max(sq.reshape(-1, WINDOW), axis=1))
     lr = jnp.asarray(make_lane_rank(n))
     q = jax.random.normal(jax.random.PRNGKey(11), (b, d), jnp.float32)
-    q = (q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(jnp.bfloat16)
+    q = (q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(query_dtype)
 
     @jax.jit
     def loop(q0, corpus_, sq_, mx_, lr_):
@@ -390,6 +390,18 @@ def main() -> None:
         )
         qps_e, _, _ = run(n, d, b, 10, max(2, iters // 4), "exact")
         print(f"# exact mode (full sort): {qps_e:,.0f} QPS", file=sys.stderr)
+        # the production serving regime: f32 user queries against the
+        # bf16 store (MID margin tier — docs/PERFORMANCE.md
+        # "Margin-regime census"); exact w.r.t. the f32 query
+        qps_m, per_m, fb_m = bench_bounded_mode(
+            n, d, b, 10, iters, query_dtype=jnp.float32
+        )
+        print(
+            f"# bounded-exact MID regime (f32 queries, bf16 store): "
+            f"{per_m*1e3:.2f} ms/batch{b} ({qps_m:,.0f} QPS), "
+            f"cert fallback batches {fb_m}",
+            file=sys.stderr,
+        )
         bench_int8(n, d, b, iters)
         # BASELINE configs[3]: 10-qubit fidelity over 1k candidates/query
         bench_fused_rerank(n, d, b, args.mode, cands=1000)
@@ -436,6 +448,13 @@ def main() -> None:
                     "rerank_fused_ms": round(fused_ms, 2),
                     # same-session scan floor: matmul+rowmax only
                     "matmul_rowmax_ms_per_batch": round(floor_ms * 1e3, 2),
+                    # clock-invariant efficiency: exact-pipeline cost
+                    # over the same-session floor.  Absolute QPS moves
+                    # with the session's chip clock (a throttled axon
+                    # session measured 7.5x slow across the board);
+                    # this ratio stays comparable across sessions
+                    # (healthy: ~1.25-1.35)
+                    "exact_over_floor": round(per_b / floor_ms, 3),
                     "roofline_context": (
                         "north star (>=1M QPS exact top-10, 1Mx768/chip) "
                         "assumes TPU v5p (459 TF/s bf16); this chip is a "

@@ -253,8 +253,11 @@ def bounded_exact_topk(
     k: int,
     metric: str = "l2",
     valid_rows: Optional[jnp.ndarray] = None,  # (N,) bool
-    candidates: int = 16,  # C: top windows exactly re-scored
-    patch_queries: int = 32,  # F: per-batch flagged-query budget
+    # C: top windows exactly re-scored; F: per-batch flagged-query
+    # patch budget.  None = margin-regime defaults (``_auto_budgets``:
+    # narrow (16, 32) / mid (48, 32) / wide (96, 96))
+    candidates: Optional[int] = None,
+    patch_queries: Optional[int] = None,
     backend: str = "xla",  # "xla" | "pallas"
     interpret: bool = False,
 ) -> Tuple[
@@ -274,10 +277,92 @@ def bounded_exact_topk(
             f"bounded top-k needs >= k windows (k={k}, windows={nw}) — "
             "route small corpora to the exact sort"
         )
-    # the candidate budget must cover k (a k=100 rerank pass through a
-    # default-config index must widen the budget, not crash)
-    C = min(max(candidates, k), nw)
-    F = min(patch_queries, b)
+    C, F = _auto_budgets(
+        candidates, patch_queries,
+        queries.dtype, corpus_scan.dtype, corpus_f.dtype, d,
+    )
+    C = min(max(C, k), nw)
+    F = min(F, b)
+
+    q32, qsq, ub, ub2, cand_live, lane1 = window_bounds_bf16(
+        queries, corpus_scan, corpus_f, corpus_sqnorms, maxnorms,
+        lane_rank, metric=metric, valid_rows=valid_rows,
+        backend=backend, interpret=interpret,
+    )
+    return _certify_escalate(
+        q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
+        ub=ub, ub2=ub2, cand_live=cand_live, lane1=lane1,
+        extra_fail=None,
+    )
+
+
+def _auto_budgets(
+    candidates: Optional[int], patch_queries: Optional[int],
+    query_dtype, scan_dtype, refine_dtype, d: int,
+) -> Tuple[int, int]:
+    """Default (C, F) budgets, chosen by the MARGIN REGIME (a static
+    dtype property, so the choice is jit-free).  The two budgets must
+    clear the certificate band TOGETHER: cert_b's flagged-query budget
+    F binds at the batch level, so raising C alone leaves every batch
+    escalating while making tier-2's 4C gather pricier (measured:
+    wide C=96/F=32 is strictly slower than C=48/F=32).
+
+    Three regimes (1M x 768 / k=10 / B=1024 census + timed sweeps,
+    docs/PERFORMANCE.md round-4 final — margin_coeff values at d=768):
+
+      narrow  query == scan == refine dtype (coeff 3e-4: f32
+              accumulation drift only).  Band mean 10.4 / max 15
+              windows/query, ~8 flagged queries/batch: the lean
+              (16, 32) wins (12.57 vs 13.97 ms/batch).
+      mid     f32 queries against a bf16 store that is also the
+              refine domain (coeff 5.2e-3: one bf16 rounding term).
+              Band mean 19 / max 38, ~25 flagged queries/batch;
+              (48, 32) certifies tier-1 at 15.63 ms (65.5k QPS) —
+              C=40 is 0.6 ms faster but leaves 2 windows of cert_a
+              headroom vs measured max.
+      wide    f32 queries, bf16 scan, f32 refine store (coeff 1.0e-2:
+              both rounding terms).  Band mean 34 / max 88, ~77
+              flagged queries/batch — (48, 32) escalates EVERY batch
+              (34.1 ms) and raising C alone makes it WORSE (C=96/F=32
+              is 50.9 ms: tier-2's 4C gather scales with C while
+              cert_b still fails on F).  (96, 96) certifies tier-1 at
+              20.88 ms (49k QPS).
+
+    Values outside the census's corpus-statistics regime self-correct
+    through the escalation tier (4C, 4F) before any full sort."""
+    coeff = margin_coeff(query_dtype, scan_dtype, refine_dtype, d)
+    if coeff < 1e-3:
+        c_def, f_def = 16, 32
+    elif coeff < 7.5e-3:
+        c_def, f_def = 48, 32
+    else:
+        c_def, f_def = 96, 96
+    return (
+        c_def if candidates is None else candidates,
+        f_def if patch_queries is None else patch_queries,
+    )
+
+
+def window_bounds_bf16(
+    queries: jnp.ndarray,  # (B, d) f32 or scan dtype
+    corpus_scan: jnp.ndarray,  # (N, d) bf16/f32 scan form
+    corpus_f: jnp.ndarray,  # (N, d) refine-domain rows
+    corpus_sqnorms: jnp.ndarray,  # (N,) f32
+    maxnorms: jnp.ndarray,  # (NW,) f32
+    lane_rank: jnp.ndarray,  # (1, N)
+    metric: str = "l2",
+    valid_rows: Optional[jnp.ndarray] = None,
+    backend: str = "xla",
+    interpret: bool = False,
+):
+    """Float-scan front-end: top-2 packed window scan + rigorous
+    rounding margins.  Returns (q32, qsq, ub, ub2, cand_live, lane1)
+    — the certificate inputs of ``_certify_escalate``.  Exposed so
+    measurement tooling (the band census, ``scripts/r5_lab.py``) uses
+    the PRODUCTION bound formulas instead of a hand-copied replica
+    that could silently desync."""
+    b, d = queries.shape
+    n = corpus_scan.shape[0]
 
     q32 = queries.astype(jnp.float32)
     qsq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
@@ -338,17 +423,10 @@ def bounded_exact_topk(
         margin = margin + 5e-7 * (qsq + maxnorms[None, :] ** 2)
 
     lane1 = WINDOW - 1 - (pk1 & jnp.int32(WINDOW - 1))  # (B, NW)
-    return _certify_escalate(
-        q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
-        ub=v1_ub + margin,
-        ub2=v2_ub + margin,
-        # a window whose best score is exactly -inf is all-masked:
-        # never a real candidate (its +128-step upper bound is finite,
-        # so test the LOWER bound)
-        cand_live=v1_lb > -jnp.inf,
-        lane1=lane1,
-        extra_fail=jnp.asarray(False),
-    )
+    # a window whose best score is exactly -inf is all-masked: never a
+    # real candidate (its +128-step upper bound is finite, so test the
+    # LOWER bound)
+    return q32, qsq, v1_ub + margin, v2_ub + margin, v1_lb > -jnp.inf, lane1
 
 
 def _certify_and_refine(
@@ -365,7 +443,7 @@ def _certify_and_refine(
     ub2: jnp.ndarray,  # (B, NW) goodness upper bound for any NON-ARGMAX row
     cand_live: jnp.ndarray,  # (B, NW) bool: window can hold candidates
     lane1: jnp.ndarray,  # (B, NW) argmax lane per window
-    extra_fail: jnp.ndarray,  # scalar bool: front-end soundness failure
+    extra_fail: Optional[jnp.ndarray],  # bool: front-end soundness failure
     do_fallback: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The scan-domain-agnostic tail of the bounded-exact design:
@@ -476,7 +554,9 @@ def _certify_and_refine(
     extras_idx = extras_idx.at[qsel].set(p_idx.reshape(F, 2 * WINDOW))
 
     n_patched = jnp.sum(p_live)
-    fell_back = cert_a_fail | cert_b_fail | extra_fail
+    fell_back = cert_a_fail | cert_b_fail
+    if extra_fail is not None:
+        fell_back = fell_back | extra_fail
 
     g_all = jnp.concatenate([cand_g, extras_g], axis=1)
     idx_all = jnp.concatenate([cand_idx, extras_idx], axis=1)
@@ -484,28 +564,41 @@ def _certify_and_refine(
     if not do_fallback:
         return fast_vals, fast_idx, fell_back, n_patched
 
-    def fallback():
-        # exact full sort, chunked over queries so the branch's
-        # reserved buffers stay ~(chunk, N) instead of (B, N) — a
-        # rarely-taken cond branch must not pressure HBM for the
-        # fast path
-        from qrag_tpu.ops.topk import _goodness
-
-        chunk = min(b, 128)
-        pad = (-b) % chunk
-        qq = jnp.pad(q32, ((0, pad), (0, 0))) if pad else q32
-
-        def one(qc):
-            g = _goodness(qc, corpus_f, metric, corpus_sqnorms, valid_rows)
-            return tuple(jax.lax.top_k(g, k))
-
-        vs, is_ = jax.lax.map(one, qq.reshape(-1, chunk, d))
-        return vs.reshape(-1, k)[:b], is_.reshape(-1, k)[:b]
-
     vals, idx = jax.lax.cond(
-        fell_back, fallback, lambda: (fast_vals, fast_idx)
+        fell_back,
+        lambda: _exact_full_sort(
+            q32, corpus_f, corpus_sqnorms, k, metric, valid_rows
+        ),
+        lambda: (fast_vals, fast_idx),
     )
     return vals, idx, fell_back, n_patched
+
+
+def _exact_full_sort(
+    q32: jnp.ndarray,
+    corpus_f: jnp.ndarray,
+    corpus_sqnorms: jnp.ndarray,
+    k: int,
+    metric: str,
+    valid_rows: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The unconditional-exactness backstop: full top-k sort, chunked
+    over queries so a rarely-taken cond branch reserves ~(chunk, N)
+    buffers instead of (B, N) — it must not pressure HBM for the fast
+    path."""
+    b, d = q32.shape
+    from qrag_tpu.ops.topk import _goodness
+
+    chunk = min(b, 128)
+    pad = (-b) % chunk
+    qq = jnp.pad(q32, ((0, pad), (0, 0))) if pad else q32
+
+    def one(qc):
+        g = _goodness(qc, corpus_f, metric, corpus_sqnorms, valid_rows)
+        return tuple(jax.lax.top_k(g, k))
+
+    vs, is_ = jax.lax.map(one, qq.reshape(-1, chunk, d))
+    return vs.reshape(-1, k)[:b], is_.reshape(-1, k)[:b]
 
 
 def _certify_escalate(
@@ -540,6 +633,11 @@ def _certify_escalate(
         q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
         C, F, do_fallback=False, **common,
     )
+    # a front-end soundness failure (e.g. int8 key clipping) voids the
+    # BOUNDS — no candidate budget can fix that, so escalation must
+    # not run (it would pay the 4C gather only to fall back anyway):
+    # route straight to the exact full sort instead
+    esc = fb1 if extra_fail is None else fb1 & ~extra_fail
 
     def escalated():
         return _certify_and_refine(
@@ -547,11 +645,20 @@ def _certify_escalate(
             C2, F2, **common,
         )
 
-    def fast():
-        return v1, i1, jnp.asarray(False), np1
+    def fast_or_void():
+        if extra_fail is None:
+            return v1, i1, jnp.asarray(False), np1
+        vals, idx = jax.lax.cond(
+            extra_fail,
+            lambda: _exact_full_sort(
+                q32, corpus_f, corpus_sqnorms, k, metric, valid_rows
+            ),
+            lambda: (v1, i1),
+        )
+        return vals, idx, extra_fail, np1
 
-    vals, idx, fb, npatch = jax.lax.cond(fb1, escalated, fast)
-    return vals, idx, fb, npatch, fb1
+    vals, idx, fb, npatch = jax.lax.cond(esc, escalated, fast_or_void)
+    return vals, idx, fb, npatch, esc
 
 
 def packed_window_scan_top2_int(
@@ -643,6 +750,45 @@ def bounded_exact_topk_int8(
     C = min(max(candidates, k), nw)
     F = min(patch_queries, b)
 
+    q32, qsq, ub, ub2, cand_live, lane1, clip_fail = window_bounds_int8(
+        queries, corpus_q8, window_scales, corpus_f, corpus_sqnorms,
+        maxnorms, minsqnorms, window_resid, lane_rank, metric=metric,
+        valid_rows=valid_rows, backend=backend, interpret=interpret,
+    )
+    return _certify_escalate(
+        q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
+        ub=ub,
+        ub2=ub2,
+        cand_live=cand_live,
+        lane1=lane1,
+        extra_fail=clip_fail,
+    )
+
+
+def window_bounds_int8(
+    queries: jnp.ndarray,  # (B, d) f32
+    corpus_q8: jnp.ndarray,  # (N, d) int8
+    window_scales: jnp.ndarray,  # (NW,) f32
+    corpus_f: jnp.ndarray,  # (N, d) refine-domain rows
+    corpus_sqnorms: jnp.ndarray,  # (N,)
+    maxnorms: jnp.ndarray,  # (NW,)
+    minsqnorms: jnp.ndarray,  # (NW,)
+    window_resid: jnp.ndarray,  # (NW,)
+    lane_rank: jnp.ndarray,  # (1, N)
+    metric: str = "l2",
+    valid_rows=None,
+    backend: str = "xla",
+    interpret: bool = False,
+):
+    """int8-scan front-end: exact int32 window dots + quantization-
+    residual margins.  Returns (q32, qsq, ub, ub2, cand_live, lane1,
+    clip_fail) — the certificate inputs of ``_certify_escalate``
+    (clip_fail = bounds void, route straight to the exact sort).
+    Exposed for the same reason as ``window_bounds_bf16``: the band
+    census must measure the PRODUCTION bound formulas."""
+    b, d = queries.shape
+    n = corpus_q8.shape[0]
+    nw = n // WINDOW
     q32 = queries.astype(jnp.float32)
     qsq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
     qnorm = jnp.sqrt(qsq)[:, 0]  # (B,)
@@ -730,11 +876,6 @@ def bounded_exact_topk_int8(
         ub2 = jnp.where(wvalid, ub2, -jnp.inf)
         cand_live = jnp.broadcast_to(wvalid, (b, nw))
 
-    return _certify_escalate(
-        q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
-        ub=ub,
-        ub2=ub2,
-        cand_live=cand_live,
-        lane1=lane1,
-        extra_fail=clip_fail,
-    )
+
+    return q32, qsq, ub, ub2, cand_live, lane1, clip_fail
+

@@ -65,15 +65,20 @@ def _sharded_search(
     merge: str = "allgather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     def local(q, x, sq, vl):
+        stats = jnp.zeros((2,), jnp.int32)  # (fell_back, escalated)
         if mode == "bounded":
             # provably-exact sharded retrieval: per-shard bounded-exact
             # top-k (ops/bounded_topk.py) + the exact tie-break merge
-            # below = exact GLOBAL top-k.  Shards too small for the
-            # windowed machinery use the exact sort (cheap there) —
-            # either way every shard's candidates are exact, so the
-            # merged result is.  With store_dtype="float32" the bf16
-            # scan copy is cast per call — prefer "bfloat16" storage
-            # for production bounded+sharded serving.
+            # below = exact GLOBAL top-k.  Queries stay f32 (the
+            # DeviceFlatIndex semantics: exact w.r.t. the f32 query
+            # against the stored rows — the margin regime widens with
+            # the store's dtype gap, ``bounded_topk._auto_budgets``).
+            # Shards too small for the windowed machinery use the
+            # exact sort (cheap there) — either way every shard's
+            # candidates are exact, so the merged result is.  With
+            # store_dtype="float32" the bf16 scan copy is cast per
+            # call — prefer "bfloat16" storage for production
+            # bounded+sharded serving.
             from qrag_tpu.ops.bounded_topk import (
                 WINDOW,
                 bounded_exact_topk,
@@ -97,9 +102,12 @@ def _sharded_search(
                     and x.shape[1] % 128 == 0
                     else "xla"
                 )
-                vals, idx, _, _, _ = bounded_exact_topk(
+                vals, idx, fb, _, esc = bounded_exact_topk(
                     q, scan, x, sq, mx, lr, k,
                     metric=metric, valid_rows=vl, backend=backend,
+                )
+                stats = jnp.stack(
+                    [fb.astype(jnp.int32), esc.astype(jnp.int32)]
                 )
             else:
                 g = _goodness(q, x, metric, sq, vl)
@@ -133,6 +141,12 @@ def _sharded_search(
         shard = jax.lax.axis_index(MODEL_AXIS)
         idx = idx + shard * x.shape[0]  # globalize row ids
         s = jax.lax.axis_size(MODEL_AXIS)
+        # shard-count of bounded cert events this call (fell_back,
+        # escalated), summed over BOTH mesh axes -> replicated scalar
+        # pair the host-level search() can surface in /stats
+        stats = jax.lax.psum(
+            jax.lax.psum(stats, MODEL_AXIS), DATA_AXIS
+        )
         if merge == "ring":
             # memory-bounded ring merge (the retrieval analogue of ring
             # attention — SURVEY.md §2): the ORIGINAL per-shard
@@ -146,7 +160,7 @@ def _sharded_search(
                 trav_v = jax.lax.ppermute(trav_v, MODEL_AXIS, perm)
                 trav_i = jax.lax.ppermute(trav_i, MODEL_AXIS, perm)
                 acc_v, acc_i = _merge_candidates(acc_v, acc_i, trav_v, trav_i, k)
-            return acc_v, acc_i
+            return acc_v, acc_i, stats
         # one ICI collective: k candidates per shard, all-to-all-gather
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # (S, Bl, k)
         all_idx = jax.lax.all_gather(idx, MODEL_AXIS)
@@ -155,7 +169,7 @@ def _sharded_search(
         comb_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bl, s * k)
         v, sel = jax.lax.top_k(comb_v, k)  # local k-way merge
         i = jnp.take_along_axis(comb_i, sel, axis=1)
-        return v, i
+        return v, i, stats
 
     return jax.shard_map(
         local,
@@ -166,7 +180,7 @@ def _sharded_search(
             P(MODEL_AXIS),
             P(MODEL_AXIS),
         ),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None)),
         # after the all_gather+merge the outputs ARE replicated over
         # "model"; the varying-axes checker can't infer that
         check_vma=False,
@@ -254,6 +268,8 @@ class ShardedFlatIndex:
         self.normalize = normalize
         self.use_pallas = False
         self.fallback_rows = 0  # stats-surface parity with DeviceFlatIndex
+        self.bounded_escalations = 0  # bounded-mode 4x-budget re-certs
+        self._pending_bounded_stats = None  # lazy (fell_back, escalated)
         self.d = int(d if d is not None else vectors.shape[1])
         self.store_dtype = (
             jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
@@ -519,10 +535,19 @@ class ShardedFlatIndex:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Raw per-query goodness (descending; l2 goodness = -d^2),
         pre-_finalize — the internal form the fused rerank stages
-        consume.  API-edge callers want ``search_device``."""
+        consume.  API-edge callers want ``search_device``.
+
+        Bounded mode keeps queries f32 (same exactness semantics as
+        ``DeviceFlatIndex``: exact w.r.t. the f32 query against the
+        stored rows); scan modes cast to the store dtype so the scan
+        matmul rides the MXU's bf16 rate."""
         self._ensure_device()
-        return _sharded_search(
-            queries.astype(self.store_dtype),
+        q = queries.astype(
+            jnp.float32 if self.topk_mode == "bounded"
+            else self.store_dtype
+        )
+        vals, idx, stats = _sharded_search(
+            q,
             self._dev_matrix,
             self._dev_sqnorms,
             self._dev_valid,
@@ -532,6 +557,10 @@ class ShardedFlatIndex:
             self.mesh,
             self.merge,
         )
+        # lazy DeviceArray — host-level search() consumes it AFTER the
+        # result sync so the device pipeline never blocks on stats
+        self._pending_bounded_stats = stats
+        return vals, idx
 
     def search_device(
         self, queries: jnp.ndarray, k: int
@@ -738,6 +767,13 @@ class ShardedFlatIndex:
         vals, idx = self.search_device(qdev, k_eff)  # finalized
         scores = np.asarray(vals)[:b]
         indices = np.asarray(idx, dtype=np.int32)[:b]
+        if self._pending_bounded_stats is not None:
+            # result sync above already ran the computation: reading
+            # the replicated stats pair here is free
+            st = np.asarray(self._pending_bounded_stats)
+            self._pending_bounded_stats = None
+            self.fallback_rows += int(st[0])
+            self.bounded_escalations += int(st[1])
         invalid = (indices < 0) | (indices >= self.ntotal)
         indices = np.where(invalid, -1, indices)
         meta = [

@@ -68,13 +68,26 @@ def section_csweep(q, corpus, sq, mx, lr, iters, b, k, cs):
 
 
 def section_band(q, corpus, sq, mx, lr, b, k, batches):
-    """Certificate-band census (untimed).  Replicates the ub formulas
-    of ops/bounded_topk.{bounded_exact_topk,bounded_exact_topk_int8}
-    and counts qualifying windows against the TRUE top-k threshold."""
+    """Certificate-band census (untimed), via the PRODUCTION bound
+    front-ends (`ops.bounded_topk.window_bounds_bf16/_int8` — no
+    hand-copied replica that could silently desync).  Three margin
+    regimes, each against its own refine-domain true top-k threshold:
+
+      narrow  bf16 queries / bf16 scan / bf16 refine (the bench
+              regime: scan aliases refine, coeff = f32 drift only)
+      wide    f32 queries / bf16 scan / f32 refine (the production
+              store_dtype="float32" index regime: bf16-rounding
+              margins, ~5e-3 relative)
+      int8    f32 queries / int8 scan / f32 refine (quantization
+              residual margins)
+
+    The per-query qualifying-window count is what cert_a's candidate
+    budget C must cover; the batch-union decides restricted-second-
+    scan feasibility."""
     from qrag_tpu.ops.bounded_topk import (
-        margin_coeff,
-        packed_window_scan_top2,
-        plane_value_bounds,
+        window_bounds_bf16,
+        window_bounds_int8,
+        window_maxnorms_device,
         window_minsqnorms_device,
         window_quant_residuals_device,
     )
@@ -83,112 +96,227 @@ def section_band(q, corpus, sq, mx, lr, b, k, batches):
     n, d = corpus.shape
     nw = n // WINDOW
 
-    q8x, wscale = jax.jit(quantize_block_rows_device)(
-        corpus.astype(jnp.float32)
+    # wide/int8 regimes need a TRUE f32 refine corpus whose bf16/int8
+    # scans are roundings of it (corpus arrives bf16 — perturb in f32
+    # so refine != round(scan) exactly, as in a real f32 index store)
+    corpus_f = corpus.astype(jnp.float32)
+    corpus_f = corpus_f * (
+        1.0
+        + 3e-4
+        * jax.random.normal(jax.random.PRNGKey(7), (n, 1), jnp.float32)
     )
-    minsq = window_minsqnorms_device(sq)
-    resid = window_quant_residuals_device(corpus, q8x, wscale)
+    corpus_f = jax.jit(
+        lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    )(corpus_f)
+    scan_w = corpus_f.astype(jnp.bfloat16)
+    sq_f = jnp.sum(corpus_f * corpus_f, axis=1)
+    mx_f = window_maxnorms_device(sq_f)
+    q8x, wscale = jax.jit(quantize_block_rows_device)(corpus_f)
+    minsq = window_minsqnorms_device(sq_f)
+    resid = window_quant_residuals_device(corpus_f, q8x, wscale)
 
-    @jax.jit
-    def census(qb, corpus, sq, mx, lr, q8x, wscale, minsq, resid):
-        # NB: all big buffers are ARGUMENTS — closing a jit over them
-        # bakes gigabytes of constants (CLAUDE.md trap; the first run
-        # of this census did exactly that and wedged the compile)
-        q32 = qb.astype(jnp.float32)
-        qsq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
-        qnorm = jnp.sqrt(qsq)
-
-        # ---- true refine-domain top-k threshold (chunked oracle)
+    def thr_fn(q32, corpus_ref, sq_ref):
+        # true refine-domain top-k threshold (chunked oracle)
         def chunk_thr(qc):
             g = (
                 2.0
                 * jax.lax.dot_general(
-                    qc, corpus.astype(jnp.float32),
+                    qc, corpus_ref.astype(jnp.float32),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 - jnp.sum(qc * qc, axis=1, keepdims=True)
-                - sq[None, :]
+                - sq_ref[None, :]
             )
             vals, _ = jax.lax.top_k(g, k)
             return vals[:, k - 1]
 
-        thr = jax.lax.map(
-            chunk_thr, q32.reshape(-1, 128, d)
-        ).reshape(b)
+        return jax.lax.map(
+            chunk_thr, q32.reshape(-1, 128, q32.shape[1])
+        ).reshape(-1)
 
-        # ---- bf16 margins (scan == refine rows: coeff = drift only)
-        ra = -sq[None, :].astype(jnp.float32)
-        ca = -qsq
-        pk1, pk2 = packed_window_scan_top2(
-            qb.astype(corpus.dtype), corpus, lr,
-            row_add=ra, col_add=ca, alpha=2.0,
-        )
-        _, v1_ub = plane_value_bounds(pk1)
-        coeff = 2.0 * margin_coeff(qb.dtype, corpus.dtype, corpus.dtype, d)
-        margin = coeff * qnorm * mx[None, :] + 1e-30
-        margin = margin + 5e-7 * (qsq + mx[None, :] ** 2)
-        count_bf16 = jnp.sum(v1_ub + margin >= thr[:, None], axis=1)
+    @jax.jit
+    def census(qb, corpus, sq, mx, lr, corpus_f, scan_w, sq_f, mx_f):
+        # NB: all big buffers are ARGUMENTS — closing a jit over them
+        # bakes gigabytes of constants (CLAUDE.md trap; the first run
+        # of this census did exactly that and wedged the compile)
+        q32 = qb.astype(jnp.float32)
 
-        # ---- int8 margins (quantization residual band)
-        q_absmax = jnp.max(jnp.abs(q32), axis=1)
-        t = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
-        q8 = jnp.clip(jnp.round(q32 / t[:, None]), -127, 127).astype(
-            jnp.int8
+        # ---- narrow: bf16 queries, scan == refine (bench regime)
+        thr_n = thr_fn(q32, corpus, sq)
+        qb16 = qb.astype(jnp.bfloat16)
+        _, _, ub_n, ub2_n, _, _ = window_bounds_bf16(
+            qb16, corpus, corpus, sq, mx, lr, metric="l2"
         )
-        dots = jax.lax.dot_general(
-            q8, q8x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        dmax = jnp.max(dots.reshape(b, nw, WINDOW), axis=2)
-        s1 = t[:, None] * wscale[None, :] * dmax.astype(jnp.float32)
-        q_deq = q8.astype(jnp.float32) * t[:, None]
-        rq = jnp.sqrt(jnp.sum((q32 - q_deq) ** 2, axis=1)) * (1 + 1e-5)
-        E = (
-            (qnorm[:, 0] + rq)[:, None] * resid[None, :]
-            + (mx + resid)[None, :] * rq[:, None]
-        )
-        E = 1.25 * E + coeff / 2.0 * qnorm * mx[None, :] + 2e-7 * jnp.abs(s1)
-        ub8 = 2.0 * (s1 + E) - qsq - minsq[None, :] + 5e-7 * (
-            qsq + mx[None, :] ** 2
-        )
-        qual8 = ub8 >= thr[:, None]
-        count_int8 = jnp.sum(qual8, axis=1)
-        union8 = jnp.sum(jnp.any(qual8, axis=0))
-        return count_bf16, count_int8, union8
+        count_n = jnp.sum(ub_n >= thr_n[:, None], axis=1)
+        fc_n = jnp.sum(ub2_n >= thr_n[:, None], axis=1)
 
-    cb_all, c8_all, un_all = [], [], []
+        # ---- mid: f32 queries, bf16 scan == bf16 refine (the common
+        # serving regime: bf16 store, user queries arrive f32 — only
+        # the query-rounding margin term fires)
+        _, _, ub_m, ub2_m, _, _ = window_bounds_bf16(
+            qb, corpus, corpus, sq, mx, lr, metric="l2"
+        )
+        count_m = jnp.sum(ub_m >= thr_n[:, None], axis=1)
+        fc_m = jnp.sum(ub2_m >= thr_n[:, None], axis=1)
+
+        # ---- wide: f32 queries, bf16 scan, f32 refine (production)
+        thr_w = thr_fn(q32, corpus_f, sq_f)
+        _, _, ub_w, ub2_w, _, _ = window_bounds_bf16(
+            q32, scan_w, corpus_f, sq_f, mx_f, lr, metric="l2"
+        )
+        qual_w = ub_w >= thr_w[:, None]
+        count_w = jnp.sum(qual_w, axis=1)
+        union_w = jnp.sum(jnp.any(qual_w, axis=0))
+        fc_w = jnp.sum(ub2_w >= thr_w[:, None], axis=1)
+
+        return (count_n, fc_n, count_m, fc_m, count_w, fc_w, union_w,
+                thr_w)
+
+    @jax.jit
+    def census_i8(qb, thr_w, corpus_f, sq_f, mx_f, q8x, wscale, minsq,
+                  resid, lr):
+        # int8 bounds build a (chunk, N) int32 dot plane — chunk the
+        # query axis so three live copies of a (B, N) i32 buffer
+        # (11.5 GB at B=1024, N=1M) never exist (OOM'd at full B)
+        q32 = qb.astype(jnp.float32)
+
+        def one(args):
+            qc, tc = args
+            _, _, ub_8, ub2_8, _, _, _ = window_bounds_int8(
+                qc, q8x, wscale, corpus_f, sq_f, mx_f, minsq, resid,
+                lr, metric="l2",
+            )
+            qual = ub_8 >= tc[:, None]
+            return (
+                jnp.sum(qual, axis=1),
+                jnp.sum(ub2_8 >= tc[:, None], axis=1),
+                jnp.any(qual, axis=0),
+            )
+
+        cnt, fc, anyw = jax.lax.map(
+            one,
+            (q32.reshape(-1, 128, q32.shape[1]),
+             thr_w.reshape(-1, 128)),
+        )
+        return (
+            cnt.reshape(-1), fc.reshape(-1),
+            jnp.sum(jnp.any(anyw, axis=0)),
+        )
+
+    rows = {"narrow": [], "mid": [], "wide": [], "int8": []}
+    fl = {"narrow": [], "mid": [], "wide": [], "int8": []}
+    unions = {"wide": [], "int8": []}
     key = jax.random.PRNGKey(101)
     for i in range(batches):
         key, sub = jax.random.split(key)
         qb = jax.random.normal(sub, q.shape, jnp.float32)
-        qb = (qb / jnp.linalg.norm(qb, axis=1, keepdims=True)).astype(
-            q.dtype
+        qb = qb / jnp.linalg.norm(qb, axis=1, keepdims=True)
+        cn, fn_, cm, fm, cw, fw, uw, thr_w = census(
+            qb, corpus, sq, mx, lr, corpus_f, scan_w, sq_f, mx_f,
         )
-        cb, c8, un = census(qb, corpus, sq, mx, lr, q8x, wscale, minsq, resid)
-        cb_all.append(np.asarray(cb))
-        c8_all.append(np.asarray(c8))
-        un_all.append(int(np.asarray(un)))
-    cb = np.concatenate(cb_all)
-    c8 = np.concatenate(c8_all)
-    print(
-        f"band bf16: qualifying windows/query mean {cb.mean():.1f} "
-        f"p99 {np.percentile(cb, 99):.0f} max {cb.max()} "
-        f"(cert_a needs max <= C)",
-        flush=True,
+        c8, f8, u8 = census_i8(
+            qb, thr_w, corpus_f, sq_f, mx_f, q8x, wscale, minsq,
+            resid, lr,
+        )
+        rows["narrow"].append(np.asarray(cn))
+        rows["mid"].append(np.asarray(cm))
+        rows["wide"].append(np.asarray(cw))
+        rows["int8"].append(np.asarray(c8))
+        fl["narrow"].append(np.asarray(fn_))
+        fl["mid"].append(np.asarray(fm))
+        fl["wide"].append(np.asarray(fw))
+        fl["int8"].append(np.asarray(f8))
+        unions["wide"].append(int(np.asarray(uw)))
+        unions["int8"].append(int(np.asarray(u8)))
+    for name in ("narrow", "mid", "wide", "int8"):
+        c = np.concatenate(rows[name])
+        f = np.stack(fl[name])  # (batches, B) cert_b flag counts
+        extra = ""
+        if name in unions:
+            u = np.mean(unions[name])
+            extra = f", batch-union {u:,.0f}/{nw} ({100*u/nw:.1f}%)"
+        print(
+            f"band {name}: qualifying windows/query mean {c.mean():.1f} "
+            f"p99 {np.percentile(c, 99):.0f} max {c.max()}"
+            f" (cert_a needs max <= C){extra}",
+            flush=True,
+        )
+        print(
+            f"  cert_b {name}: flags/query mean {f.mean():.2f} max "
+            f"{f.max()}; flagged-queries/batch{b} mean "
+            f"{(f > 0).sum(axis=1).mean():.1f} max {(f > 0).sum(axis=1).max()}"
+            f" (budget: <=2 flags/query AND <=F flagged queries)",
+            flush=True,
+        )
+
+
+def section_widesweep(q, corpus, sq, mx, lr, iters, b, k, cfs,
+                      regime="wide"):
+    """Timed (C, F) budget sweep for the wider margin regimes:
+
+      wide  f32 queries / bf16 scan / f32 refine (store_dtype=f32)
+      mid   f32 queries / bf16 scan == refine (bf16 store, f32 queries
+            — the common serving regime)
+
+    cert_b's flagged-query budget F binds at the BATCH level, so C and
+    F must clear the band TOGETHER or every batch pays the 4x
+    escalation tier (measured: C=96/F=32 is strictly slower than
+    C=48/F=32 because tier-2's 4C gather scales with C)."""
+    from qrag_tpu.ops.bounded_topk import (
+        bounded_exact_topk,
+        window_maxnorms_device,
     )
-    print(
-        f"band int8: qualifying windows/query mean {c8.mean():.1f} "
-        f"p99 {np.percentile(c8, 99):.0f} max {c8.max()}",
-        flush=True,
-    )
-    print(
-        f"band int8 batch-union: {np.mean(un_all):,.0f} of {nw} windows "
-        f"({100*np.mean(un_all)/nw:.1f}%) qualify for >=1 of {b} queries "
-        f"(a restricted second scan would cover this fraction)",
-        flush=True,
-    )
+
+    if regime == "wide":
+        corpus_f = corpus.astype(jnp.float32)
+        corpus_f = corpus_f * (
+            1.0
+            + 3e-4
+            * jax.random.normal(
+                jax.random.PRNGKey(7), (corpus.shape[0], 1)
+            )
+        )
+        corpus_f = jax.jit(
+            lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        )(corpus_f)
+        scan_w = corpus_f.astype(jnp.bfloat16)
+        sq_f = jnp.sum(corpus_f * corpus_f, axis=1)
+        mx_f = window_maxnorms_device(sq_f)
+    else:  # mid: bf16 store, scan aliases refine
+        corpus_f, scan_w, sq_f, mx_f = corpus, corpus, sq, mx
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    q0 = q.astype(jnp.float32)
+
+    for C, F in cfs:
+        @jax.jit
+        def loop(q0, scan_, corpus_, sq_, mx_, lr_, C=C, F=F):
+            def body(carry, _):
+                vals, idx, fb, npatch, esc = bounded_exact_topk(
+                    carry, scan_, corpus_, sq_, mx_, lr_, k,
+                    metric="l2", candidates=C, patch_queries=F,
+                    backend=backend,
+                )
+                carry = carry + 1e-9 * vals[:, :1]
+                return carry, (vals.sum(), idx.sum(), fb, esc)
+
+            q_out, (v, i, fbs, escs) = jax.lax.scan(
+                body, q0, None, length=iters
+            )
+            return (
+                v.sum() + q_out[0, 0],
+                i.sum(),
+                fbs.sum(),
+                escs.sum(),
+            )
+
+        dt, r = _timed_best(loop, q0, scan_w, corpus_f, sq_f, mx_f, lr)
+        print(
+            f"{regime}sweep C={C} F={F}: {dt/iters*1e3:.2f} ms/batch{b} "
+            f"({b*iters/dt:,.0f} QPS), fallback {int(np.asarray(r[2]))}"
+            f"/{iters} escalated {int(np.asarray(r[3]))}/{iters}",
+            flush=True,
+        )
 
 
 def section_int8top2(q, corpus, lr, iters, b):
@@ -232,6 +360,10 @@ def main():
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--cs", default="32,24,16,12")
+    p.add_argument(
+        "--cfs", default="96:96,64:96,48:32",
+        help="comma list of C:F budget pairs for mid/widesweep",
+    )
     args = p.parse_args()
     sections = args.sections.split(",")
 
@@ -259,6 +391,21 @@ def main():
         )
     if "band" in sections:
         section_band(q, corpus, sq, mx, lr, args.b, args.k, args.batches)
+    if "widesweep" in sections or "midsweep" in sections:
+        cfs = [
+            tuple(int(v) for v in pair.split(":"))
+            for pair in args.cfs.split(",")
+        ]
+        if "midsweep" in sections:
+            section_widesweep(
+                q, corpus, sq, mx, lr, args.iters, args.b, args.k,
+                cfs, regime="mid",
+            )
+        if "widesweep" in sections:
+            section_widesweep(
+                q, corpus, sq, mx, lr, args.iters, args.b, args.k,
+                cfs, regime="wide",
+            )
     if "int8top2" in sections:
         section_int8top2(q, corpus, lr, args.iters, args.b)
 

@@ -496,3 +496,54 @@ def test_margin_coeff_domains():
     assert same < 1e-3 < mixed < 2e-2
     # the mixed coefficient must cover 2^-8 per bf16-rounded operand
     assert mixed >= 2 * 2.0 ** -8
+
+
+def test_auto_budgets_regimes():
+    """The (C, F) defaults follow the margin REGIME (census + timed
+    sweeps in docs/PERFORMANCE.md round-4 final): narrow dtype-equal
+    paths get the lean budgets, f32-queries-vs-bf16-store the mid
+    tier, and a refine domain that differs from the scan store the
+    wide tier.  Guards the regression where the narrow threshold sat
+    below the f32-accumulation coefficient (3e-4) and silently pushed
+    the bench regime onto the wide budgets."""
+    from qrag_tpu.ops.bounded_topk import _auto_budgets
+
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    assert _auto_budgets(None, None, bf16, bf16, bf16, 768) == (16, 32)
+    assert _auto_budgets(None, None, f32, f32, f32, 768) == (16, 32)
+    assert _auto_budgets(None, None, f32, bf16, bf16, 768) == (48, 32)
+    assert _auto_budgets(None, None, f32, bf16, f32, 768) == (96, 96)
+    # explicit values pass through untouched, independently
+    assert _auto_budgets(7, None, f32, bf16, f32, 768) == (7, 96)
+    assert _auto_budgets(None, 5, bf16, bf16, bf16, 768) == (16, 5)
+
+
+def test_sharded_bounded_stats_surface(rng):
+    """The sharded bounded path surfaces cert-event counts the same
+    way DeviceFlatIndex does: fallback_rows / bounded_escalations
+    accumulate on the host-level search() (psum'd over the mesh), and
+    the lazy stats handle is consumed exactly once."""
+    from qrag_tpu.config import MeshConfig
+    from qrag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    n, d = 8 * 4608, 32
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(4, d).astype(np.float32)
+    idx = ShardedFlatIndex(x, mesh, topk_mode="bounded")
+    assert idx.bounded_escalations == 0 and idx.fallback_rows == 0
+    r = idx.search(q, k=10)
+    assert r.indices.shape == (4, 10)
+    assert idx._pending_bounded_stats is None  # consumed
+    # at d=32 the wide-regime margin band is large vs the score
+    # spread, so per-shard cert failures are legitimate — exactness
+    # is covered by test_sharded_bounded_exact; here assert the
+    # counters are bounded by the event space and accumulate
+    shards = 8
+    first_fb = idx.fallback_rows
+    assert 0 <= first_fb <= shards
+    assert 0 <= idx.bounded_escalations <= shards
+    idx.search(q, k=10)
+    assert idx.fallback_rows == 2 * first_fb  # same queries, same certs
