@@ -119,6 +119,13 @@ class IndexConfig:
     # residual; ops/bounded_topk.bounded_exact_topk_int8).  Both are
     # provably exact w.r.t. the stored corpus.
     bounded_scan: str = "bf16"
+    # With topk_mode="bounded": "float32" (default) keeps exactness
+    # w.r.t. the query as given; "store" rounds queries to the store
+    # dtype first — provably exact w.r.t. the ROUNDED query (the
+    # fp16-store contract of e.g. GPU FAISS), collapsing the margin
+    # regime to narrow on a bf16 store (~81k vs 65.5k QPS at 1M x 768;
+    # docs/PERFORMANCE.md "Margin-regime census").
+    bounded_query_dtype: str = "float32"
     # "none" | "int8": int8 scan with exact refinement
     # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.
     quantization: str = "none"

@@ -50,6 +50,7 @@ def _fused_candidates(
     bounded_bufs,
     bounded_backend: str,
     bounded_kind: str = "bf16",
+    bounded_query_store: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate generation for the fused rerank graphs: finalized
     (B, C) retrieval scores + indices.
@@ -70,6 +71,11 @@ def _fused_candidates(
         )
         from qrag_tpu.ops.topk import _finalize
 
+        if bounded_query_store:
+            # IndexConfig.bounded_query_dtype="store": round queries to
+            # the store dtype first — exact w.r.t. the ROUNDED query,
+            # narrow margin regime on a bf16 store (lean budgets)
+            query_vecs = query_vecs.astype(corpus.dtype)
         if bounded_kind == "int8":
             q8x, wscale, mx, minsq, resid, lr = bounded_bufs
             vals, idx, _, _, _ = bounded_exact_topk_int8(
@@ -83,7 +89,12 @@ def _fused_candidates(
         else:
             scan, maxnorms, lane_rank = bounded_bufs
             vals, idx, _, _, _ = bounded_exact_topk(
-                query_vecs.astype(jnp.float32),
+                # the margin regime keys off the query DTYPE: rounded
+                # queries must stay in the store dtype for the op to
+                # see zero query-rounding error (narrow budgets)
+                query_vecs
+                if bounded_query_store
+                else query_vecs.astype(jnp.float32),
                 scan,
                 corpus,
                 corpus_sqnorms,
@@ -113,7 +124,7 @@ def _fused_candidates(
     jax.jit,
     static_argnames=(
         "k", "candidates", "n_qubits", "metric", "analytic", "topk_mode",
-        "bounded_backend", "bounded_kind",
+        "bounded_backend", "bounded_kind", "bounded_query_store",
     ),
 )
 def fused_search_rerank(
@@ -131,6 +142,7 @@ def fused_search_rerank(
     bounded_bufs=None,  # index bounded buffers for topk_mode="bounded"
     bounded_backend: str = "xla",
     bounded_kind: str = "bf16",
+    bounded_query_store: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused graph: retrieval top-C → quantum fidelity → top-k.
 
@@ -144,6 +156,7 @@ def fused_search_rerank(
     retr_scores, idx = _fused_candidates(
         query_vecs, corpus, corpus_sqnorms, valid_rows, candidates,
         metric, topk_mode, bounded_bufs, bounded_backend, bounded_kind,
+        bounded_query_store,
     )  # (B, C)
     if analytic and fid_feats is not None:
         from qrag_tpu.ops.statevector import (
@@ -175,7 +188,7 @@ def fused_search_rerank(
     jax.jit,
     static_argnames=(
         "k", "candidates", "n_qubits", "metric", "topk_mode",
-        "bounded_backend", "bounded_kind",
+        "bounded_backend", "bounded_kind", "bounded_query_store",
     ),
 )
 def fused_search_rerank_routed(
@@ -192,6 +205,7 @@ def fused_search_rerank_routed(
     bounded_bufs=None,
     bounded_backend: str = "xla",
     bounded_kind: str = "bf16",
+    bounded_query_store: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-query expert-routed rerank in one jit (SURVEY.md §2 EP row).
 
@@ -205,6 +219,7 @@ def fused_search_rerank_routed(
     retr_scores, idx = _fused_candidates(
         query_vecs, corpus, corpus_sqnorms, valid_rows, candidates,
         metric, topk_mode, bounded_bufs, bounded_backend, bounded_kind,
+        bounded_query_store,
     )
     cand_vecs = jnp.take(corpus, idx, axis=0).astype(jnp.float32)  # (B, C, d)
     q32 = query_vecs.astype(jnp.float32)
@@ -255,6 +270,7 @@ def _index_cls_and_kwargs(config: QragConfig):
             topk_mode=mode,
             store_dtype=config.index.dtype,
             merge=config.index.shard_merge,
+            bounded_query_dtype=config.index.bounded_query_dtype,
         )
         if config.index.elastic:
             from qrag_tpu.parallel.elastic import ElasticShardedIndex
@@ -269,6 +285,7 @@ def _index_cls_and_kwargs(config: QragConfig):
         topk_mode=config.index.topk_mode,
         store_dtype=config.index.dtype,
         bounded_scan=config.index.bounded_scan,
+        bounded_query_dtype=config.index.bounded_query_dtype,
     )
     if config.index.quantization == "int8":
         from qrag_tpu.index.quantized_index import QuantizedFlatIndex
@@ -533,6 +550,12 @@ class QragEngine:
                     "bounded_bufs": bufs,
                     "bounded_backend": backend,
                     "bounded_kind": kind,
+                    "bounded_query_store": (
+                        getattr(
+                            self.index, "bounded_query_dtype", "float32"
+                        )
+                        == "store"
+                    ),
                 }
             return "exact", {}
         if mode == "verified":
@@ -730,17 +753,19 @@ class QragEngine:
             )
 
         @functools.partial(
-            jax.jit, static_argnames=("c", "metric", "backend", "kind")
+            jax.jit,
+            static_argnames=("c", "metric", "backend", "kind", "qstore"),
         )
         def _retrieve_bounded_impl(
-            q, matrix, sqnorms, valid, bufs, c, metric, backend, kind
+            q, matrix, sqnorms, valid, bufs, c, metric, backend, kind,
+            qstore,
         ):
             # provably-exact pipelined stage-1 (VERDICT r3 weak #5):
             # same in-graph bounded candidate generation as the fused
             # single-graph paths
             return _fused_candidates(
                 q, matrix, sqnorms, valid, c, metric, "bounded", bufs,
-                backend, kind,
+                backend, kind, qstore,
             )
 
         @functools.partial(
@@ -781,6 +806,7 @@ class QragEngine:
                     index.metric,
                     bkw["bounded_backend"],
                     bkw["bounded_kind"],
+                    bkw["bounded_query_store"],
                 )
             return _retrieve_impl(
                 q, snap.matrix, snap.sqnorms, snap.valid, c, index.metric,

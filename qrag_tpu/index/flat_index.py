@@ -136,6 +136,7 @@ class DeviceFlatIndex:
         topk_mode: str = "verified",
         store_dtype: str = "float32",
         bounded_scan: str = "bf16",
+        bounded_query_dtype: str = "float32",
         device=None,
     ):
         if metric not in ("l2", "ip"):
@@ -144,7 +145,19 @@ class DeviceFlatIndex:
             raise ValueError(f"unknown topk_mode {topk_mode!r}")
         if bounded_scan not in ("bf16", "int8"):
             raise ValueError(f"unknown bounded_scan {bounded_scan!r}")
+        if bounded_query_dtype not in ("float32", "store"):
+            raise ValueError(
+                f"unknown bounded_query_dtype {bounded_query_dtype!r}"
+            )
         self.bounded_scan = bounded_scan
+        # "store": round queries to the store dtype before the bounded
+        # scan — the result is then provably exact w.r.t. the ROUNDED
+        # query (the fp16-store contract of e.g. GPU FAISS), which on a
+        # bf16 store collapses the margin regime to narrow and buys the
+        # lean budgets (~81k vs 65.5k QPS at 1M x 768; PERFORMANCE.md
+        # "Margin-regime census").  Default "float32" keeps exactness
+        # w.r.t. the query as given.
+        self.bounded_query_dtype = bounded_query_dtype
         self.d = int(d)
         self.metric = metric
         self.normalize = normalize
@@ -470,6 +483,11 @@ class DeviceFlatIndex:
             bounded_exact_topk,
             bounded_exact_topk_int8,
         )
+
+        if self.bounded_query_dtype == "store":
+            # opt-in query rounding (constructor doc): exact w.r.t.
+            # the store-dtype query; narrow margins on a bf16 store
+            queries = queries.astype(self.store_dtype)
 
         if self.bounded_scan == "int8":
             snap, (q8x, wscale, mx, minsq, resid, lr) = (

@@ -247,11 +247,20 @@ class ShardedFlatIndex:
         d: Optional[int] = None,
         normalize: bool = False,
         keep_host_master: bool = True,
+        bounded_query_dtype: str = "float32",
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
         if merge not in ("allgather", "ring"):
             raise ValueError(f"unknown merge strategy {merge!r}")
+        if bounded_query_dtype not in ("float32", "store"):
+            raise ValueError(
+                f"unknown bounded_query_dtype {bounded_query_dtype!r}"
+            )
+        # same opt-in contract as DeviceFlatIndex: "store" rounds
+        # queries to the store dtype before the bounded scan (exact
+        # w.r.t. the rounded query, narrow margins on a bf16 store)
+        self.bounded_query_dtype = bounded_query_dtype
         if mesh is None:
             from qrag_tpu.parallel.mesh import make_mesh
 
@@ -539,12 +548,16 @@ class ShardedFlatIndex:
 
         Bounded mode keeps queries f32 (same exactness semantics as
         ``DeviceFlatIndex``: exact w.r.t. the f32 query against the
-        stored rows); scan modes cast to the store dtype so the scan
-        matmul rides the MXU's bf16 rate."""
+        stored rows) unless ``bounded_query_dtype="store"`` opts into
+        rounded-query exactness; scan modes cast to the store dtype so
+        the scan matmul rides the MXU's bf16 rate."""
         self._ensure_device()
+        keep_f32 = (
+            self.topk_mode == "bounded"
+            and self.bounded_query_dtype == "float32"
+        )
         q = queries.astype(
-            jnp.float32 if self.topk_mode == "bounded"
-            else self.store_dtype
+            jnp.float32 if keep_f32 else self.store_dtype
         )
         vals, idx, stats = _sharded_search(
             q,

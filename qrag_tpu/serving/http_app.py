@@ -457,6 +457,16 @@ def main(argv=None) -> None:
         "the exact-integer scan at the int8 MXU rate with margins "
         "covering the quantization residual (still provably exact)",
     )
+    parser.add_argument(
+        "--bounded-query-dtype",
+        default=None,
+        choices=["float32", "store"],
+        help="with --topk-mode bounded: 'store' rounds queries to the "
+        "store dtype first — exact w.r.t. the ROUNDED query (the "
+        "fp16-store contract), narrow margins + lean budgets on a "
+        "bf16 store (~81k vs 65.5k QPS; PERFORMANCE.md margin-regime "
+        "census).  Default float32 = exact w.r.t. the query as given",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
@@ -469,6 +479,10 @@ def main(argv=None) -> None:
         parser.error("--lean-scan fixes its own scan mode")
     if args.bounded_scan and (args.topk_mode or config.index.topk_mode) != "bounded":
         parser.error("--bounded-scan requires --topk-mode bounded")
+    if args.bounded_query_dtype and (
+        (args.topk_mode or config.index.topk_mode) != "bounded"
+    ):
+        parser.error("--bounded-query-dtype requires --topk-mode bounded")
     if args.topk_mode:
         from dataclasses import replace as _r
 
@@ -485,6 +499,20 @@ def main(argv=None) -> None:
         import os as _os
 
         _os.environ["QRAG_INDEX_BOUNDED_SCAN"] = args.bounded_scan
+    if args.bounded_query_dtype:
+        from dataclasses import replace as _r
+
+        config = _r(
+            config,
+            index=_r(
+                config.index, bounded_query_dtype=args.bounded_query_dtype
+            ),
+        )
+        import os as _os
+
+        _os.environ["QRAG_INDEX_BOUNDED_QUERY_DTYPE"] = (
+            args.bounded_query_dtype
+        )
     if args.lean_scan:
         from dataclasses import replace as _r
 
@@ -567,6 +595,9 @@ def main(argv=None) -> None:
                         mesh=make_mesh(config.mesh),
                         merge=config.index.shard_merge,
                         topk_mode=config.index.topk_mode,
+                        bounded_query_dtype=(
+                            config.index.bounded_query_dtype
+                        ),
                     )
                 elif config.index.quantization == "int8":
                     from qrag_tpu.index.quantized_index import (
@@ -592,6 +623,9 @@ def main(argv=None) -> None:
                         args.index,
                         topk_mode=config.index.topk_mode,
                         bounded_scan=config.index.bounded_scan,
+                        bounded_query_dtype=(
+                            config.index.bounded_query_dtype
+                        ),
                     )
                 engine = QragEngine(config=config, index=index)
         else:

@@ -547,3 +547,58 @@ def test_sharded_bounded_stats_surface(rng):
     assert 0 <= idx.bounded_escalations <= shards
     idx.search(q, k=10)
     assert idx.fallback_rows == 2 * first_fb  # same queries, same certs
+
+
+def test_bounded_query_rounding_contract(rng):
+    """bounded_query_dtype="store" on a bf16 store: results are exact
+    w.r.t. the STORE-DTYPE-ROUNDED query (the fp16-store contract) —
+    bit-equal to the exact oracle evaluated on the rounded queries —
+    and the op sees store-dtype queries (narrow margin regime)."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    n, d, b, k = 8192, 64, 5, 10
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", topk_mode="bounded", store_dtype="bfloat16",
+        bounded_query_dtype="store", normalize=False,
+    )
+    r = idx.search(q, k=k)
+    # oracle: exact top-k of the ROUNDED query under the index's own
+    # scoring function — bf16-stored rows with f32 norm corrections
+    # (flat_index uploads sqnorms from the f32 master "to keep L2
+    # corrections accurate" even for a bf16 store)
+    q_r = jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+    x_r = jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+    sq_f32 = jnp.sum(jnp.asarray(x) * jnp.asarray(x), axis=1)
+    ov, oi = _oracle(
+        np.asarray(q_r), np.asarray(x_r), "l2", sq_f32, None, k
+    )
+    np.testing.assert_array_equal(r.indices, np.asarray(oi))
+
+    # constructor validation
+    with pytest.raises(ValueError):
+        DeviceFlatIndex.from_numpy(
+            x, topk_mode="bounded", bounded_query_dtype="fp8"
+        )
+
+
+def test_bounded_query_rounding_config_plumbing():
+    """IndexConfig.bounded_query_dtype flows through the engine's
+    index construction (both families)."""
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+
+    cfg = QragConfig.from_dict(
+        {
+            "embedding": {"provider": "hash", "dim": 32},
+            "index": {
+                "topk_mode": "bounded",
+                "dtype": "bfloat16",
+                "bounded_query_dtype": "store",
+                "normalize": False,
+            },
+        }
+    )
+    eng = QragEngine(config=cfg)
+    assert eng.index.bounded_query_dtype == "store"
