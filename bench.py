@@ -375,6 +375,19 @@ def main() -> None:
         f"({qps_b:,.0f} QPS), cert fallback batches {fb_b}",
         file=sys.stderr,
     )
+    # rerank-width exactness: k=100 engages the large-k design (third
+    # bound plane + runner-up-row patches) — pre-design this shape
+    # full-sorted every batch at 380 ms (docs/PERFORMANCE.md round-4
+    # "Large-k")
+    qps_b100, per_b100, fb_b100 = bench_bounded_mode(
+        n, d, b, 100, max(2, iters // 2)
+    )
+    print(
+        f"# bounded-exact top-100 (large-k design): "
+        f"{per_b100*1e3:.2f} ms/batch{b} ({qps_b100:,.0f} QPS), "
+        f"cert fallback batches {fb_b100}",
+        file=sys.stderr,
+    )
     # within-session companion metrics (chip sessions drift ±10-18%,
     # docs/PERFORMANCE.md — these share the headline's session):
     floor_ms = bench_matmul_floor(n, d, b, iters)
@@ -441,6 +454,15 @@ def main() -> None:
                     "verified_fallback_rows": int(fb_v),
                     "bounded_exact_ms_per_batch": round(per_b * 1e3, 2),
                     "bounded_fallback_batches": int(fb_b),
+                    # rerank-width exact retrieval (large-k design:
+                    # third bound plane + runner-up-row patches);
+                    # pre-design k=100 full-sorted every batch (380
+                    # ms = 2.7k QPS)
+                    "bounded_exact_k100_qps": round(qps_b100, 1),
+                    "bounded_exact_k100_ms_per_batch": round(
+                        per_b100 * 1e3, 2
+                    ),
+                    "bounded_k100_fallback_batches": int(fb_b100),
                     # north-star companion: 10-qubit fidelity over 100
                     # candidates, <5% target (VERDICT r1 item 6)
                     "rerank_overhead_pct": round(overhead_pct, 2),

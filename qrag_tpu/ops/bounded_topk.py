@@ -191,6 +191,45 @@ def packed_window_scan_top2(
     return pk1, pk2
 
 
+def packed_window_scan_top3(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    lane_rank: jnp.ndarray,
+    row_add: Optional[jnp.ndarray] = None,
+    col_add: Optional[jnp.ndarray] = None,
+    alpha: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """XLA reference top-3 window scan: ``packed_window_scan_top2``
+    plus the third-best plane (one more masked max — packed keys are
+    unique within a window, so each == mask removes exactly one row).
+    The large-k bounded design needs pk3 to bound rows 3..WINDOW of a
+    window whose runner-up was exactly scored."""
+    b = queries.shape[0]
+    n = corpus.shape[0]
+    nw = n // WINDOW
+    g = jax.lax.dot_general(
+        queries,
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if alpha != 1.0:
+        g = g * alpha
+    if row_add is not None:
+        g = g + row_add
+    if col_add is not None:
+        g = g + col_add
+    key = _float_sort_key(g) & ~jnp.int32(127)
+    packed = (key | lane_rank).reshape(b, nw, WINDOW)
+    pk1 = jnp.max(packed, axis=2)
+    masked = jnp.where(packed == pk1[:, :, None], _I32_MIN, packed)
+    pk2 = jnp.max(masked, axis=2)
+    pk3 = jnp.max(
+        jnp.where(masked == pk2[:, :, None], _I32_MIN, masked), axis=2
+    )
+    return pk1, pk2, pk3
+
+
 def plane_value_bounds(pk: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(lower, upper) f32 bounds of the true scan score behind a
     packed plane entry: the trunc key is a lower bound, the NEXT
@@ -240,7 +279,8 @@ def _exact_scores(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "candidates", "patch_queries", "backend", "interpret"
+        "k", "metric", "candidates", "patch_queries", "backend",
+        "interpret", "large_k", "runner_rows",
     ),
 )
 def bounded_exact_topk(
@@ -260,6 +300,14 @@ def bounded_exact_topk(
     patch_queries: Optional[int] = None,
     backend: str = "xla",  # "xla" | "pallas"
     interpret: bool = False,
+    # large-k design (three bound planes + per-query runner-up row
+    # patches): None = auto (k > _LARGE_K_AUTO).  At rerank-width k the
+    # top-k rows birthday-collide into shared windows (expected flagged
+    # queries ~ B*k^2/2NW), swamping the whole-window patch budget F
+    # and forcing the full sort every batch; the runner-up layer scores
+    # the colliding rows individually instead.
+    large_k: Optional[bool] = None,
+    runner_rows: Optional[int] = None,  # R; None = _auto_runner_budget
 ) -> Tuple[
     jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray
 ]:
@@ -281,19 +329,58 @@ def bounded_exact_topk(
         candidates, patch_queries,
         queries.dtype, corpus_scan.dtype, corpus_f.dtype, d,
     )
+    if large_k is None:
+        large_k = k > _LARGE_K_AUTO
+    if candidates is None and k > C:
+        # auto budgets were censused at k=10; at larger k the threshold
+        # sits k-deep, so the margin band rides ON TOP of the k
+        # qualifying windows — C=k alone would escalate every batch
+        C = k + C
     C = min(max(C, k), nw)
     F = min(F, b)
+    R = (
+        _auto_runner_budget(k, nw) if runner_rows is None else runner_rows
+    ) if large_k else 8
+    R = min(R, nw)
+    # per-query whole-window patch cap: 2 (the tuned small-k argmax
+    # pair) unless the corpus is DENSE relative to k — at k ~ NW/5
+    # the margin band piles several triple-collision-class windows
+    # onto one query (measured max 9 at k=100, NW=512); 4x the
+    # triple-collision Poisson mean k^3/6NW^2, escalation covers 4P
+    P = 2
+    if large_k:
+        P = min(max(2, -(-4 * k**3 // (6 * nw * nw))), nw)
 
-    q32, qsq, ub, ub2, cand_live, lane1 = window_bounds_bf16(
+    bounds = window_bounds_bf16(
         queries, corpus_scan, corpus_f, corpus_sqnorms, maxnorms,
         lane_rank, metric=metric, valid_rows=valid_rows,
-        backend=backend, interpret=interpret,
+        backend=backend, interpret=interpret, top3=large_k,
     )
+    q32, qsq, ub, ub2, cand_live, lane1 = bounds[:6]
+    ub3, lane2, live2 = bounds[6:] if large_k else (None, None, None)
     return _certify_escalate(
         q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
         ub=ub, ub2=ub2, cand_live=cand_live, lane1=lane1,
         extra_fail=None,
+        ub3=ub3, lane2=lane2, live2=live2, runner_budget=R,
+        patch_windows=P,
     )
+
+
+# k above which the large-k (top3 + runner-up) design engages by
+# default: below it, expected window collisions (~k^2/2NW) stay well
+# under the whole-window patch budget F and the third plane + runner
+# gather would be pure overhead on the k=10 headline path
+_LARGE_K_AUTO = 16
+
+
+def _auto_runner_budget(k: int, nw: int) -> int:
+    """Default per-query runner-up row budget R: 4x the expected
+    per-query double-collision count k^2/2NW (Poisson mean; the 4x
+    headroom plus the margin band's extra flags), floored at 8.  A
+    corpus hotter than 4x the random-placement expectation escalates
+    to 4R before any full sort."""
+    return max(8, -(-4 * k * k // (2 * nw)))
 
 
 def _auto_budgets(
@@ -354,13 +441,19 @@ def window_bounds_bf16(
     valid_rows: Optional[jnp.ndarray] = None,
     backend: str = "xla",
     interpret: bool = False,
+    top3: bool = False,
 ):
     """Float-scan front-end: top-2 packed window scan + rigorous
     rounding margins.  Returns (q32, qsq, ub, ub2, cand_live, lane1)
     — the certificate inputs of ``_certify_escalate``.  Exposed so
     measurement tooling (the band census, ``scripts/r5_lab.py``) uses
     the PRODUCTION bound formulas instead of a hand-copied replica
-    that could silently desync."""
+    that could silently desync.
+
+    ``top3=True`` (the large-k design) appends (ub3, lane2, live2):
+    the third-row bound plane, the runner-up lane per window, and
+    whether a live runner-up exists — what lets flagged windows be
+    patched with ONE exactly-scored row instead of all WINDOW rows."""
     b, d = queries.shape
     n = corpus_scan.shape[0]
 
@@ -378,30 +471,44 @@ def window_bounds_bf16(
         row_add = bias if row_add is None else row_add + bias
 
     q_scan = queries.astype(corpus_scan.dtype)
-    if backend == "pallas":
+    pk3 = None
+    if backend == "pallas" and n % 1024 == 0:
         from qrag_tpu.ops.pallas.fused_scan import (
-            pallas_packed_window_scan_top2,
             pallas_packed_window_scan_top2_t,
         )
 
         interp = interpret or jax.default_backend() != "tpu"
-        if n % 1024 == 0:
-            # transposed kernel: window max on sublanes, (NW, B) output
-            # blocks, fold = ONE clean 2D transpose — measured 10.8 vs
-            # 14.2 ms/batch1024 at 1M x 768 (r4 lab; kills the two
-            # nw-lane-minor plane relayouts of VERDICT r4 item 1)
-            pk1, pk2 = pallas_packed_window_scan_top2_t(
-                q_scan, corpus_scan,
-                bn=2048 if n % 2048 == 0 else 1024,
-                row_add=row_add, col_add=col_add, alpha=alpha,
-                interpret=interp,
-            )
-        else:
-            pk1, pk2 = pallas_packed_window_scan_top2(
-                q_scan, corpus_scan,
-                row_add=row_add, col_add=col_add, alpha=alpha,
-                interpret=interp,
-            )
+        # transposed kernel: window max on sublanes, (NW, B) output
+        # blocks, fold = ONE clean 2D transpose — measured 10.8 vs
+        # 14.2 ms/batch1024 at 1M x 768 (r4 lab; kills the two
+        # nw-lane-minor plane relayouts of VERDICT r4 item 1)
+        pks = pallas_packed_window_scan_top2_t(
+            q_scan, corpus_scan,
+            bn=2048 if n % 2048 == 0 else 1024,
+            row_add=row_add, col_add=col_add, alpha=alpha,
+            interpret=interp,
+            planes=3 if top3 else 2,
+        )
+        pk1, pk2 = pks[0], pks[1]
+        if top3:
+            pk3 = pks[2]
+    elif backend == "pallas" and not top3:
+        from qrag_tpu.ops.pallas.fused_scan import (
+            pallas_packed_window_scan_top2,
+        )
+
+        interp = interpret or jax.default_backend() != "tpu"
+        pk1, pk2 = pallas_packed_window_scan_top2(
+            q_scan, corpus_scan,
+            row_add=row_add, col_add=col_add, alpha=alpha,
+            interpret=interp,
+        )
+    elif top3:
+        # the straight Mosaic kernel has no third plane; XLA twin
+        pk1, pk2, pk3 = packed_window_scan_top3(
+            q_scan, corpus_scan, lane_rank,
+            row_add=row_add, col_add=col_add, alpha=alpha,
+        )
     else:
         pk1, pk2 = packed_window_scan_top2(
             q_scan, corpus_scan, lane_rank,
@@ -426,7 +533,15 @@ def window_bounds_bf16(
     # a window whose best score is exactly -inf is all-masked: never a
     # real candidate (its +128-step upper bound is finite, so test the
     # LOWER bound)
-    return q32, qsq, v1_ub + margin, v2_ub + margin, v1_lb > -jnp.inf, lane1
+    base = (
+        q32, qsq, v1_ub + margin, v2_ub + margin, v1_lb > -jnp.inf, lane1,
+    )
+    if not top3:
+        return base
+    v2_lb, _ = plane_value_bounds(pk2)
+    _, v3_ub = plane_value_bounds(pk3)
+    lane2 = WINDOW - 1 - (pk2 & jnp.int32(WINDOW - 1))  # (B, NW)
+    return base + (v3_ub + margin, lane2, v2_lb > -jnp.inf)
 
 
 def _certify_and_refine(
@@ -445,6 +560,12 @@ def _certify_and_refine(
     lane1: jnp.ndarray,  # (B, NW) argmax lane per window
     extra_fail: Optional[jnp.ndarray],  # bool: front-end soundness failure
     do_fallback: bool = True,
+    # ---- large-k (top3) design: runner-up-row patches ----
+    ub3: Optional[jnp.ndarray] = None,  # (B, NW) bound for rows 3..W
+    lane2: Optional[jnp.ndarray] = None,  # (B, NW) runner-up lane
+    live2: Optional[jnp.ndarray] = None,  # (B, NW) runner-up exists
+    runner_budget: int = 8,  # R: flagged runner-up rows per query
+    patch_windows: int = 2,  # P: whole-window patches per query
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The scan-domain-agnostic tail of the bounded-exact design:
     top-C window selection by upper bound -> exact re-score ->
@@ -455,7 +576,19 @@ def _certify_and_refine(
     ``ub``/``ub2`` to be sound.  With ``do_fallback=False`` the exact
     full sort is SKIPPED — the caller (``_certify_escalate``) owns the
     failure path and the returned values are only valid where
-    ``fell_back`` is False."""
+    ``fell_back`` is False.
+
+    With ``ub3``/``lane2``/``live2`` (the LARGE-K design): a window
+    whose runner-up bound clears the threshold gets its runner-up ROW
+    exactly scored (R per query, a (B, R)-row gather) instead of a
+    whole-WINDOW patch, and the window patch layer keys off ``ub3``
+    (third-row bound) instead of ``ub2``.  Rationale: at rerank-width
+    k the top-k rows birthday-collide into shared windows (expected
+    flagged queries ~ B*k^2/2NW — ~480/batch1024 at k=100), which
+    swamps any whole-window patch budget F and forced the full sort
+    every batch (measured 380 ms vs 33 ms; docs/PERFORMANCE.md
+    round-4 final).  Triple collisions (~B*k^3/6NW^2, a handful per
+    batch) still ride the window-patch layer."""
     b, d = q32.shape
     nw = ub.shape[1]
 
@@ -485,6 +618,56 @@ def _certify_and_refine(
     ck_vals, _ = topk_tiebreak(cand_g, cand_idx, k)
     thr = ck_vals[:, k - 1]  # (B,)
 
+    # ---- runner-up layer (large-k design): a window whose SECOND row
+    # might clear thr gets that one row exactly scored — R per query
+    cert_r_fail = jnp.asarray(False)
+    runner_g = None
+    runner_idx = None
+    if ub3 is not None:
+        # flags2 keys off the PRE-RUNNER threshold (it has to — the
+        # runner scores don't exist yet), a lower bound on the final
+        # k-th value, so the flag set is a sound superset
+        flags2 = (ub2 >= thr[:, None]) & live2  # (B, NW)
+        prio2 = jnp.where(flags2, ub2, -jnp.inf)
+        R = min(runner_budget, nw)
+        if nw > 4096:
+            _, rsel = jax.lax.approx_max_k(prio2, R, recall_target=0.999)
+        else:
+            _, rsel = jax.lax.top_k(prio2, R)  # (B, R)
+        r_live = jnp.take_along_axis(flags2, rsel, axis=1)
+        r_idx = rsel * WINDOW + jnp.take_along_axis(lane2, rsel, axis=1)
+        r_idx = jnp.where(r_live, r_idx, 0)
+        if valid_rows is not None:
+            r_live = r_live & jnp.take(valid_rows, r_idx)
+        r_rows = jnp.take(corpus_f, r_idx, axis=0)  # (B, R, d)
+        r_xsq = jnp.take(corpus_sqnorms, r_idx, axis=0)
+        runner_g = jnp.where(
+            r_live,
+            _exact_scores(q32, r_rows, r_xsq, qsq, metric),
+            -jnp.inf,
+        )
+        runner_idx = r_idx
+        # cert_r: the budget held AND the (approx) selection covered
+        # every flagged window — same coverage shape as cert_a
+        count2 = jnp.sum(flags2, axis=1)
+        cert_r_fail = jnp.any(
+            (count2 > R) | (count2 != jnp.sum(r_live, axis=1))
+        )
+        # RAISE the threshold with the runner scores before the other
+        # certificates: at rerank-width k the argmax-only candidate
+        # k-th sits a full collision-count below the true k-th, and
+        # every extra margin-width of threshold slack inflates the
+        # cert_a/cert_b flag sets (measured: the 12-double planted
+        # corpus cert_b-failed on background third rows with the
+        # pre-runner thr).  Still a lower bound on the final k-th
+        # (the merge is a superset of cand ∪ runner) — sound.
+        mk_vals, _ = topk_tiebreak(
+            jnp.concatenate([cand_g, runner_g], axis=1),
+            jnp.concatenate([cand_idx, runner_idx], axis=1),
+            k,
+        )
+        thr = mk_vals[:, k - 1]
+
     # ---- cert_a: every window that could clear thr is IN the
     # selection (counts both the budget and approx-selection recall)
     qualifies = ub >= thr[:, None]
@@ -494,38 +677,47 @@ def _certify_and_refine(
     )
     cert_a_fail = jnp.any((count_a > C) | (count_a != sel_qual))
 
-    # ---- cert_b: windows whose SECOND row might clear thr -> patch
-    flags = ub2 >= thr[:, None]  # (B, NW)
+    # ---- cert_b: windows whose SECOND (large-k: THIRD) row might
+    # clear thr -> whole-window patch
+    flags = (ub2 if ub3 is None else ub3) >= thr[:, None]  # (B, NW)
     fcount = jnp.sum(flags, axis=1)  # (B,)
-    prio = jnp.where(flags, ub2, -jnp.inf)
-    # top-2 flagged windows per query via two argmax passes (a full
-    # top_k sort over the plane costs ms at NW ~ 8k; argmax is a
-    # cheap reduction)
-    w0 = jnp.argmax(prio, axis=1)
-    prio_masked = prio.at[jnp.arange(b), w0].set(-jnp.inf)
-    w1 = jnp.argmax(prio_masked, axis=1)
-    pw = jnp.stack([w0, w1], axis=1)  # (B, 2)
-    # slot-1 liveness from the MASKED plane: if only window 0 is
-    # flagged, both argmaxes return 0 — reading prio for slot 1 would
-    # patch the same window twice (duplicate rows in the merge)
-    pv = jnp.stack(
-        [
-            jnp.take_along_axis(prio, w0[:, None], axis=1)[:, 0],
-            jnp.take_along_axis(prio_masked, w1[:, None], axis=1)[:, 0],
-        ],
-        axis=1,
-    )
+    prio = jnp.where(flags, ub2 if ub3 is None else ub3, -jnp.inf)
+    P = min(patch_windows, nw)
+    if P == 2:
+        # top-2 flagged windows per query via two argmax passes (a
+        # full top_k sort over the plane costs ms at NW ~ 8k; argmax
+        # is a cheap reduction)
+        w0 = jnp.argmax(prio, axis=1)
+        prio_masked = prio.at[jnp.arange(b), w0].set(-jnp.inf)
+        w1 = jnp.argmax(prio_masked, axis=1)
+        pw = jnp.stack([w0, w1], axis=1)  # (B, 2)
+        # slot-1 liveness from the MASKED plane: if only window 0 is
+        # flagged, both argmaxes return 0 — reading prio for slot 1
+        # would patch the same window twice (duplicate rows in the
+        # merge)
+        pv = jnp.stack(
+            [
+                jnp.take_along_axis(prio, w0[:, None], axis=1)[:, 0],
+                jnp.take_along_axis(prio_masked, w1[:, None], axis=1)[:, 0],
+            ],
+            axis=1,
+        )
+    else:
+        # dense large-k regimes (k approaching NW: margin-band windows
+        # pile onto the same queries) need P > 2; lax.top_k returns
+        # distinct positions so liveness is just finiteness
+        pv, pw = jax.lax.top_k(prio, P)  # (B, P)
     n_flagged_q = jnp.sum(fcount > 0)
-    cert_b_fail = jnp.any(fcount > 2) | (n_flagged_q > F)
+    cert_b_fail = jnp.any(fcount > P) | (n_flagged_q > F)
 
     # flagged-query compaction (top-F queries by flag count)
     _, qsel = jax.lax.top_k(fcount.astype(jnp.float32), F)  # (F,)
     q_active = fcount[qsel] > 0  # (F,)
     pq32 = q32[qsel]  # (F, d)
     pqsq = qsq[qsel]  # (F, 1)
-    p_w = pw[qsel]  # (F, 2)
-    p_live = jnp.isfinite(pv[qsel]) & q_active[:, None]  # (F, 2)
-    p_lane1 = jnp.take_along_axis(lane1[qsel], p_w, axis=1)  # (F, 2)
+    p_w = pw[qsel]  # (F, P)
+    p_live = jnp.isfinite(pv[qsel]) & q_active[:, None]  # (F, P)
+    p_lane1 = jnp.take_along_axis(lane1[qsel], p_w, axis=1)  # (F, P)
 
     def slice_window(w):
         rows = jax.lax.dynamic_slice(
@@ -536,30 +728,42 @@ def _certify_and_refine(
 
     p_rows, p_xsq = jax.vmap(
         lambda ws: jax.vmap(slice_window)(ws)
-    )(jnp.where(p_live, p_w, 0))  # (F, 2, WINDOW, d), (F, 2, WINDOW)
-    p_g = _exact_scores(pq32, p_rows, p_xsq, pqsq, metric)  # (F, 2, WINDOW)
+    )(jnp.where(p_live, p_w, 0))  # (F, P, WINDOW, d), (F, P, WINDOW)
+    p_g = _exact_scores(pq32, p_rows, p_xsq, pqsq, metric)  # (F, P, WINDOW)
     lanes = jnp.arange(WINDOW, dtype=jnp.int32)[None, None, :]
     p_idx = jnp.where(p_live, p_w, 0)[:, :, None] * WINDOW + lanes
     dead = (
         (lanes == p_lane1[:, :, None])  # argmax row: already a candidate
         | ~p_live[:, :, None]
     )
+    if ub3 is not None:
+        # large-k: a patched window's runner-up was exactly scored by
+        # the runner-up layer (its ub2 >= ub3 >= thr, so it was
+        # flagged2 and cert_r verified coverage) — mask it here or the
+        # merge would hold the same row twice
+        p_lane2 = jnp.take_along_axis(lane2[qsel], p_w, axis=1)  # (F, P)
+        dead = dead | (lanes == p_lane2[:, :, None])
     if valid_rows is not None:
         dead = dead | ~jnp.take(valid_rows, p_idx)
     p_g = jnp.where(dead, -jnp.inf, p_g)
 
-    extras_g = jnp.full((b, 2 * WINDOW), -jnp.inf, jnp.float32)
-    extras_g = extras_g.at[qsel].set(p_g.reshape(F, 2 * WINDOW))
-    extras_idx = jnp.zeros((b, 2 * WINDOW), jnp.int32)
-    extras_idx = extras_idx.at[qsel].set(p_idx.reshape(F, 2 * WINDOW))
+    extras_g = jnp.full((b, P * WINDOW), -jnp.inf, jnp.float32)
+    extras_g = extras_g.at[qsel].set(p_g.reshape(F, P * WINDOW))
+    extras_idx = jnp.zeros((b, P * WINDOW), jnp.int32)
+    extras_idx = extras_idx.at[qsel].set(p_idx.reshape(F, P * WINDOW))
 
     n_patched = jnp.sum(p_live)
-    fell_back = cert_a_fail | cert_b_fail
+    fell_back = cert_a_fail | cert_r_fail | cert_b_fail
     if extra_fail is not None:
         fell_back = fell_back | extra_fail
 
-    g_all = jnp.concatenate([cand_g, extras_g], axis=1)
-    idx_all = jnp.concatenate([cand_idx, extras_idx], axis=1)
+    parts_g = [cand_g, extras_g]
+    parts_i = [cand_idx, extras_idx]
+    if runner_g is not None:
+        parts_g.insert(1, runner_g)
+        parts_i.insert(1, runner_idx)
+    g_all = jnp.concatenate(parts_g, axis=1)
+    idx_all = jnp.concatenate(parts_i, axis=1)
     fast_vals, fast_idx = topk_tiebreak(g_all, idx_all, k)
     if not do_fallback:
         return fast_vals, fast_idx, fell_back, n_patched
@@ -604,6 +808,7 @@ def _exact_full_sort(
 def _certify_escalate(
     q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows, C, F,
     *, ub, ub2, cand_live, lane1, extra_fail,
+    ub3=None, lane2=None, live2=None, runner_budget=8, patch_windows=2,
 ) -> Tuple[
     jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray
 ]:
@@ -619,19 +824,30 @@ def _certify_escalate(
     common = dict(
         ub=ub, ub2=ub2, cand_live=cand_live, lane1=lane1,
         extra_fail=extra_fail,
+        ub3=ub3, lane2=lane2, live2=live2,
     )
     C2 = min(4 * C, nw)
     F2 = min(4 * F, b)
-    if C2 <= C:
+    R2 = min(4 * runner_budget, nw)
+    # the per-query patch-window cap only widens in large-k mode (the
+    # small-k headline path keeps the tuned 2-argmax selection at both
+    # tiers); 4x covers the dense-regime band pileup measured at
+    # k ~ NW/5 (docs/PERFORMANCE.md "Large-k")
+    P2 = patch_windows if ub3 is None else min(4 * patch_windows, nw)
+    if C2 <= C and (
+        ub3 is None or (R2 <= runner_budget and P2 <= patch_windows)
+    ):
         vals, idx, fb, npatch = _certify_and_refine(
             q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
-            C, F, **common,
+            C, F, runner_budget=runner_budget,
+            patch_windows=patch_windows, **common,
         )
         return vals, idx, fb, npatch, jnp.asarray(False)
 
     v1, i1, fb1, np1 = _certify_and_refine(
         q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
-        C, F, do_fallback=False, **common,
+        C, F, do_fallback=False, runner_budget=runner_budget,
+        patch_windows=patch_windows, **common,
     )
     # a front-end soundness failure (e.g. int8 key clipping) voids the
     # BOUNDS — no candidate budget can fix that, so escalation must
@@ -642,7 +858,7 @@ def _certify_escalate(
     def escalated():
         return _certify_and_refine(
             q32, qsq, corpus_f, corpus_sqnorms, k, metric, valid_rows,
-            C2, F2, **common,
+            C2, F2, runner_budget=R2, patch_windows=P2, **common,
         )
 
     def fast_or_void():

@@ -383,7 +383,7 @@ def pallas_packed_window_scan_t(
 
 
 def _packed_top2_t_kernel(
-    q_ref, ca_ref, x_ref, ra_ref, pk1_ref, pk2_ref, *, bn: int,
+    q_ref, ca_ref, x_ref, ra_ref, *plane_refs, bn: int,
     acc_dtype, alpha: float
 ):
     """Transposed twin of ``_packed_top2_kernel``: computes
@@ -423,22 +423,23 @@ def _packed_top2_t_kernel(
         key = mono & ~jnp.int32(127)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bn, bm), 0)
     packed = key | (127 - (lane & 127))
-    pk1_parts, pk2_parts = [], []
+    n_planes = len(plane_refs)
+    parts = [[] for _ in range(n_planes)]
     for w in range(nw):
         ps = packed[w * WINDOW : (w + 1) * WINDOW, :]
-        pmax = jnp.max(ps, axis=0, keepdims=True)  # (1, bm) lane vector
-        pk1_parts.append(pmax)
-        pk2_parts.append(
-            jnp.max(
-                jnp.where(ps == pmax, _I32_MIN_P, ps), axis=0, keepdims=True
-            )
-        )
-    pk1_ref[:] = jnp.concatenate(pk1_parts, axis=0)
-    pk2_ref[:] = jnp.concatenate(pk2_parts, axis=0)
+        # successive masked maxes: packed keys are unique within a
+        # window (lane bits), so each == mask removes exactly one row
+        for p in range(n_planes):
+            pmax = jnp.max(ps, axis=0, keepdims=True)  # (1, bm) lanes
+            parts[p].append(pmax)
+            if p + 1 < n_planes:
+                ps = jnp.where(ps == pmax, _I32_MIN_P, ps)
+    for p, ref in enumerate(plane_refs):
+        ref[:] = jnp.concatenate(parts[p], axis=0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "alpha", "interpret")
+    jax.jit, static_argnames=("bm", "bn", "alpha", "interpret", "planes")
 )
 def pallas_packed_window_scan_top2_t(
     queries: jnp.ndarray,  # (B, d) bf16/f32 (float domain) or int8
@@ -449,14 +450,18 @@ def pallas_packed_window_scan_top2_t(
     col_add=None,  # (B, 1) f32 per-query add (-|q|^2)
     alpha: float = 1.0,
     interpret: bool = False,
+    planes: int = 2,
 ):
-    """(pk1, pk2) (B, NW) packed planes via the TRANSPOSED kernel —
-    same contract as ``pallas_packed_window_scan_top2``, with the plane
-    fold reduced to one clean 2D transpose.  NOT bit-identical to the
-    straight/XLA twins: the contraction order (X@Q^T vs Q@X^T) shifts
-    f32 accumulation, so scores sitting on a truncation boundary can
-    flip one quantum — exactly the drift class ``bounded_topk``'s
-    margins (_EPS_ACC) cover; end-to-end exactness is unchanged
+    """(pk1, pk2[, pk3]) (B, NW) packed planes via the TRANSPOSED
+    kernel — same contract as ``pallas_packed_window_scan_top2``, with
+    the plane fold reduced to one clean 2D transpose.  ``planes=3``
+    adds the third-best plane (one more masked sublane max per window)
+    — the large-k bounded design's third-row bound
+    (``bounded_topk``).  NOT bit-identical to the straight/XLA twins:
+    the contraction order (X@Q^T vs Q@X^T) shifts f32 accumulation, so
+    scores sitting on a truncation boundary can flip one quantum —
+    exactly the drift class ``bounded_topk``'s margins (_EPS_ACC)
+    cover; end-to-end exactness is unchanged
     (tests/test_bounded_topk.py)."""
     b0, d = queries.shape
     n = corpus.shape[0]
@@ -495,7 +500,7 @@ def pallas_packed_window_scan_top2_t(
     spec = pl.BlockSpec(
         (nw, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM
     )
-    pk1, pk2 = pl.pallas_call(
+    pks = pl.pallas_call(
         functools.partial(
             _packed_top2_t_kernel, bn=bn, acc_dtype=acc_dtype, alpha=alpha
         ),
@@ -506,24 +511,23 @@ def pallas_packed_window_scan_top2_t(
             pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(spec, spec),
-        out_shape=(plane, plane),
+        out_specs=(spec,) * planes,
+        out_shape=(plane,) * planes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
             bytes_accessed=n * d * itemsize + b * d * itemsize
-            + 2 * b * (n // WINDOW) * 4,
+            + planes * b * (n // WINDOW) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(queries, col_add_t, corpus, row_add_t)
     # one full-utilization 2D transpose per plane (vs the nw-lane-minor
     # relayout of the straight kernel); barrier per the CLAUDE.md rule
-    return (
-        jax.lax.optimization_barrier(pk1.T[:b0]),
-        jax.lax.optimization_barrier(pk2.T[:b0]),
+    return tuple(
+        jax.lax.optimization_barrier(pk.T[:b0]) for pk in pks
     )
 
 

@@ -39,7 +39,11 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--backend", default="pallas")
-    p.add_argument("--candidates", type=int, default=32)
+    p.add_argument(
+        "--candidates", type=int, default=None,
+        help="C budget; default None = regime/k-aware auto "
+        "(bounded_topk._auto_budgets + the large-k widening)",
+    )
     p.add_argument(
         "--scan", default="bf16", choices=["bf16", "int8", "both"],
         help="bounded scan arithmetic (int8 = exact-integer dots at "
@@ -81,8 +85,8 @@ def main():
                     backend=args.backend,
                 )
                 carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
-                return carry, (vals.sum(), idx.sum(), fb, npatch)
-            q_out, (v, i, fbs, nps) = jax.lax.scan(
+                return carry, (vals.sum(), idx.sum(), fb, npatch, esc)
+            q_out, (v, i, fbs, nps, escs) = jax.lax.scan(
                 body, q0, None, length=iters
             )
             return (
@@ -90,15 +94,18 @@ def main():
                 i.sum(),
                 fbs.sum(),
                 nps.sum(),
+                escs.sum(),
             )
 
         dt, r = _timed_best(bounded_loop, q, corpus, sq, mx, lr)
         ms = dt / iters * 1e3
         print(
-            f"bounded[bf16,{args.backend},C={args.candidates}]: {ms:.2f} "
+            f"bounded[bf16,{args.backend},C={args.candidates or 'auto'},"
+            f"k={k}]: {ms:.2f} "
             f"ms/batch{b} = {b*iters/dt:,.0f} QPS  "
             f"fallbacks={int(np.asarray(r[2]))}/{iters} "
-            f"patched_windows={int(np.asarray(r[3]))}",
+            f"patched_windows={int(np.asarray(r[3]))} "
+            f"escalated={int(np.asarray(r[4]))}/{iters}",
             flush=True,
         )
 
@@ -124,12 +131,12 @@ def main():
                 vals, idx, fb, npatch, esc = bounded_exact_topk_int8(
                     carry, q8x_, wscale_, corpus_, sq_, mx_, minsq_,
                     resid_, lr_, k,
-                    metric="l2", candidates=args.candidates,
+                    metric="l2", candidates=args.candidates or 48,
                     backend=args.backend,
                 )
                 carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
-                return carry, (vals.sum(), idx.sum(), fb, npatch)
-            q_out, (v, i, fbs, nps) = jax.lax.scan(
+                return carry, (vals.sum(), idx.sum(), fb, npatch, esc)
+            q_out, (v, i, fbs, nps, escs) = jax.lax.scan(
                 body, q0, None, length=iters
             )
             return (
@@ -137,6 +144,7 @@ def main():
                 i.sum(),
                 fbs.sum(),
                 nps.sum(),
+                escs.sum(),
             )
 
         dt, r = _timed_best(
@@ -144,7 +152,7 @@ def main():
         )
         ms = dt / iters * 1e3
         print(
-            f"bounded[int8,{args.backend},C={args.candidates}]: {ms:.2f} "
+            f"bounded[int8,{args.backend},C={args.candidates or 'auto'}]: {ms:.2f} "
             f"ms/batch{b} = {b*iters/dt:,.0f} QPS  "
             f"fallbacks={int(np.asarray(r[2]))}/{iters} "
             f"patched_windows={int(np.asarray(r[3]))}",

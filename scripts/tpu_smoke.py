@@ -169,7 +169,7 @@ def main() -> None:
         assert qps > 10_000, f"{qps:.0f} QPS"
         print(f"       ({qps:,.0f} QPS)")
 
-    @check("bounded-exact mode on-chip (Mosaic top-2, vs exact oracle)")
+    @check("bounded-exact mode on-chip (Mosaic top-2/3, vs exact oracle)")
     def _bounded():
         from qrag_tpu.ops.bounded_topk import (
             bounded_exact_topk,
@@ -178,39 +178,51 @@ def main() -> None:
         from qrag_tpu.ops.topk import _goodness
         from qrag_tpu.ops.window_scan import make_lane_rank
 
-        n, d, b, k = 65536, 256, 64, 10
+        n, d, b = 65536, 256, 64
         x = jax.random.normal(jax.random.PRNGKey(4), (n, d), jnp.float32)
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
         sq = jnp.sum(x * x, axis=1)
         q = jax.random.normal(jax.random.PRNGKey(5), (b, d), jnp.float32)
-        vals, idx, fb, npatch, esc = bounded_exact_topk(
-            q, x.astype(jnp.bfloat16), x, sq,
-            window_maxnorms_device(sq), jnp.asarray(make_lane_rank(n)),
-            k, metric="l2", backend="pallas",
-        )
         g = np.asarray(_goodness(q, x, "l2", sq, None))
-        ov, oi = (np.asarray(a) for a in jax.lax.top_k(jnp.asarray(g), k))
-        idx, vals = np.asarray(idx), np.asarray(vals)
-        # real-chip exactness up to the contract (the CPU suite's
-        # _assert_exact): the oracle is a DIFFERENT f32 evaluation —
-        # on TPU, f32 matmuls themselves decompose into bf16 passes —
-        # so index swaps are allowed ONLY where the oracle's own
-        # values show a tie within the rigorous accumulation bound;
-        # anything wider is a real on-hardware exactness bug
-        rows, pos = np.where(idx != oi)
-        if len(rows):
-            tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))
-            gap = np.abs(g[rows, idx[rows, pos]] - ov[rows, pos])
-            assert (gap <= tol).all(), (
-                f"non-tie identity mismatch: gaps {gap[gap > tol]}"
+        # k=10 drives the top-2 path; k=100 the large-k design (third
+        # plane + runner-up-row patches — the transposed Mosaic kernel
+        # with planes=3)
+        for k in (10, 100):
+            vals, idx, fb, npatch, esc = bounded_exact_topk(
+                q, x.astype(jnp.bfloat16), x, sq,
+                window_maxnorms_device(sq), jnp.asarray(make_lane_rank(n)),
+                k, metric="l2", backend="pallas",
             )
-            print(f"       ({len(rows)} sub-noise tie swaps vs oracle)")
-        # value tolerance = the SAME accumulation-noise bound the tie
-        # check uses (a tighter rtol would flakily fail on legitimate
-        # sub-noise evaluation drift)
-        vtol = 3e-4 * (1.0 + np.abs(ov))
-        assert (np.abs(vals - ov) <= vtol).all(), "values beyond noise bound"
-        assert not bool(fb), "unexpected cert fallback on random data"
+            ov, oi = (
+                np.asarray(a) for a in jax.lax.top_k(jnp.asarray(g), k)
+            )
+            idx_n, vals_n = np.asarray(idx), np.asarray(vals)
+            # real-chip exactness up to the contract (the CPU suite's
+            # _assert_exact): the oracle is a DIFFERENT f32 evaluation
+            # — on TPU, f32 matmuls themselves decompose into bf16
+            # passes — so index swaps are allowed ONLY where the
+            # oracle's own values show a tie within the rigorous
+            # accumulation bound; anything wider is a real on-hardware
+            # exactness bug
+            rows, pos = np.where(idx_n != oi)
+            if len(rows):
+                tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))
+                gap = np.abs(g[rows, idx_n[rows, pos]] - ov[rows, pos])
+                assert (gap <= tol).all(), (
+                    f"k={k}: non-tie identity mismatch: gaps {gap[gap > tol]}"
+                )
+                print(
+                    f"       (k={k}: {len(rows)} sub-noise tie swaps "
+                    f"vs oracle)"
+                )
+            # value tolerance = the SAME accumulation-noise bound the
+            # tie check uses (a tighter rtol would flakily fail on
+            # legitimate sub-noise evaluation drift)
+            vtol = 3e-4 * (1.0 + np.abs(ov))
+            assert (np.abs(vals_n - ov) <= vtol).all(), (
+                f"k={k}: values beyond noise bound"
+            )
+            assert not bool(fb), f"k={k}: unexpected cert fallback"
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES")

@@ -489,6 +489,189 @@ def test_fuzz_exactness_many_shapes(rng):
         _assert_exact(q, x, metric, k, res, atol=5e-3)
 
 
+# ---------------------------------------------------------------- large-k
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_large_k_random_exact(rng, metric):
+    """k=64 (rerank width): the large-k design (auto at k > 16) must
+    certify on random data — window collisions ride the runner-up
+    layer, no full sort."""
+    n, d, b, k = 131072, 64, 8, 64
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    res = _run(q, x, metric, k)
+    assert not bool(res[2])  # fast path
+    _assert_exact(q, x, metric, k, res)
+
+
+def _plant_large_k(trng, n, d, b, k, doubles, triples=0, singles=None):
+    """Background + a planted top-k for query 0 that FILLS all k ranks
+    (doubles/triples in shared windows + singles in their own), so the
+    certification threshold lands among planted values, far above the
+    background — the test exercises the collision machinery, not the
+    background order statistics (a thr in the background band can
+    legitimately cert_b-flag planted windows' background rows, which
+    is sound behavior but a different test).  Deterministic local rng:
+    a failing draw must be replayable by running the test alone."""
+    x = 0.05 * trng.randn(n, d).astype(np.float32)
+    q = trng.randn(b, d).astype(np.float32)
+    t = q[0] / np.linalg.norm(q[0])
+    if singles is None:
+        singles = k - 2 * doubles - 3 * triples
+    assert singles >= 0 and doubles + triples + singles <= n // WINDOW // 4
+    planted = []
+
+    def put(w, lane, s):
+        x[w * WINDOW + lane] = t * s
+        planted.append(w * WINDOW + lane)
+
+    w = 3
+    for j in range(doubles):
+        put(w, 9, 4.0 + 0.01 * j)
+        put(w, 70, 3.7 + 0.01 * j)
+        w += 5
+    for j in range(triples):
+        put(w, 7, 3.9 + 0.01 * j)
+        put(w, 60, 3.8 + 0.01 * j)
+        put(w, 101, 3.75 + 0.01 * j)
+        w += 5
+    for j in range(singles):
+        put(w, 33, 3.5 + 0.01 * j)
+        w += 5
+    return x, q, planted
+
+
+def test_large_k_double_collisions_runner_layer():
+    """12 windows each holding TWO top-k rows for one query — far over
+    the 2-window whole-window patch budget that forced the full sort
+    pre-large-k.  The runner-up layer must score the second rows
+    individually: fast path, exact, all planted rows returned."""
+    n, d, b, k = 16384, 32, 4, 30
+    x, q, planted = _plant_large_k(
+        np.random.RandomState(42), n, d, b, k, doubles=12
+    )
+    res = _run(q, x, "ip", k)
+    assert not bool(res[2])  # runner layer, not the full sort
+    _assert_exact(q, x, "ip", k, res)
+    assert set(planted) <= set(map(int, np.asarray(res[1])[0]))
+
+
+def test_large_k_triple_collision_window_patch():
+    """Doubles ride the runner layer; a TRIPLE collision (3 top rows in
+    one window) still needs the whole-window patch — cert_b keys off
+    the third-row bound (ub3) in large-k mode."""
+    n, d, b, k = 16384, 32, 4, 20
+    x, q, planted = _plant_large_k(
+        np.random.RandomState(43), n, d, b, k, doubles=4, triples=1
+    )
+    res = _run(q, x, "ip", k)
+    assert not bool(res[2])
+    assert int(res[3]) >= 1  # the triple window got patched
+    _assert_exact(q, x, "ip", k, res)
+    assert set(planted) <= set(map(int, np.asarray(res[1])[0]))
+
+
+def test_large_k_runner_budget_escalates():
+    """More flagged runner-up windows than R but fewer than 4R:
+    cert_r fails at tier 1, the escalated re-certification (same
+    planes, 4R) succeeds — exact, no full sort."""
+    n, d, b, k = 16384, 32, 4, 24
+    x, q, planted = _plant_large_k(
+        np.random.RandomState(44), n, d, b, k, doubles=8  # 8 > R=4
+    )
+    res = _run(q, x, "ip", k, runner_rows=4)
+    assert bool(res[4])  # escalated
+    assert not bool(res[2])  # ... and certified there
+    _assert_exact(q, x, "ip", k, res)
+
+
+def test_large_k_beyond_runner_escalation_falls_back():
+    """More flagged runner-up windows than even 4R: the exact full
+    sort runs and the answer stays exact."""
+    n, d, b, k = 16384, 32, 4, 30
+    x, q, planted = _plant_large_k(
+        np.random.RandomState(45), n, d, b, k, doubles=12  # 12 > 4R=8
+    )
+    res = _run(q, x, "ip", k, runner_rows=2)
+    assert bool(res[2])
+    _assert_exact(q, x, "ip", k, res)
+
+
+def test_large_k_bf16_scan_margins(rng):
+    """Large-k + bf16 scan store: the ub2/ub3 margin math must absorb
+    input rounding with planted near-boundary doubles."""
+    n, d, b, k = 32768, 128, 6, 48
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = q[0]
+    for j in range(10):  # doubles within a hair of each other
+        w = 11 * j + 3
+        x[w * WINDOW + 2] = t * (1.0 - 5e-3 * j)
+        x[w * WINDOW + 77] = t * (1.0 - 5e-3 * j - 1e-3)
+    res = _run(q, x, "l2", k, x_scan=x.astype(jnp.bfloat16))
+    _assert_exact(q, x, "l2", k, res, atol=5e-3)
+
+
+def test_pallas_top3_transposed_parity(rng):
+    """planes=3 on the transposed Mosaic kernel matches the XLA top-3
+    twin within the one-trunc-quantum accumulation-drift contract."""
+    from qrag_tpu.ops.bounded_topk import (
+        packed_window_scan_top3,
+        plane_value_bounds,
+    )
+    from qrag_tpu.ops.pallas.fused_scan import (
+        pallas_packed_window_scan_top2_t,
+    )
+
+    n, d, b = 4096, 128, 8
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    sq = (x ** 2).sum(1)
+    ra = -jnp.asarray(sq)[None, :]
+    ca = -jnp.sum(jnp.asarray(q) ** 2, axis=1, keepdims=True)
+    ref = packed_window_scan_top3(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(make_lane_rank(n)),
+        row_add=ra, col_add=ca, alpha=2.0,
+    )
+    got = pallas_packed_window_scan_top2_t(
+        jnp.asarray(q), jnp.asarray(x), bn=1024,
+        row_add=ra, col_add=ca, alpha=2.0, interpret=True, planes=3,
+    )
+    assert len(got) == 3
+    for r, g_ in zip(ref, got):
+        _, hi_r = plane_value_bounds(r)
+        _, hi_g = plane_value_bounds(g_)
+        np.testing.assert_allclose(
+            np.asarray(hi_r), np.asarray(hi_g), rtol=1e-4, atol=1e-3
+        )
+
+
+def test_auto_runner_budget():
+    from qrag_tpu.ops.bounded_topk import _auto_runner_budget
+
+    assert _auto_runner_budget(100, 8192) == 8  # big corpus: floor
+    assert _auto_runner_budget(64, 128) == 64  # small corpus: scales
+    assert _auto_runner_budget(30, 128) >= 14  # 4x the Poisson mean
+
+
+def test_large_k_dense_regime_escalates_not_full_sorts(rng):
+    """k ~ NW/5 (the TPU-smoke shape that exposed the hard P=2 cap):
+    the margin band piles several triple-collision-class windows onto
+    one query — measured max 9 flagged at k=100, NW=512, far over 2.
+    The widened per-query patch cap (P ~ 4x the triple Poisson mean,
+    4P at escalation) must certify WITHOUT the full sort."""
+    n, d, b, k = 65536, 256, 32, 100
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.randn(b, d).astype(np.float32)
+    res = _run(q, x, "l2", k, x_scan=x.astype(jnp.bfloat16))
+    assert not bool(res[2]), "dense regime fell back to the full sort"
+    _assert_exact(q, x, "l2", k, res, atol=5e-3)
+
+
 def test_margin_coeff_domains():
     f32, bf16 = jnp.float32, jnp.bfloat16
     same = margin_coeff(bf16, bf16, bf16, 768)
@@ -574,7 +757,22 @@ def test_bounded_query_rounding_contract(rng):
     ov, oi = _oracle(
         np.asarray(q_r), np.asarray(x_r), "l2", sq_f32, None, k
     )
-    np.testing.assert_array_equal(r.indices, np.asarray(oi))
+    idx, oi = np.asarray(r.indices), np.asarray(oi)
+    if not np.array_equal(idx, oi):
+        # identical-after-rounding rows tie-break by index in BOTH
+        # evaluations; only sub-noise near-ties (two f32 evaluation
+        # orders of the same dot) may legitimately reorder — the same
+        # caveat _assert_exact documents
+        g = np.asarray(
+            _goodness(q_r, x_r, "l2", sq_f32, None)
+        )
+        ovn = np.asarray(ov)
+        rows, pos = np.where(idx != oi)
+        gap = np.abs(g[rows, idx[rows, pos]] - ovn[rows, pos])
+        tol = 3e-4 * (1.0 + np.abs(ovn[rows, pos]))
+        assert (gap <= tol).all(), (
+            f"non-tie index mismatch: rows {rows}, pos {pos}, gap {gap}"
+        )
 
     # constructor validation
     with pytest.raises(ValueError):
