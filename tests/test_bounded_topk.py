@@ -442,6 +442,36 @@ def test_sharded_bounded_exact(rng, merge):
         )
 
 
+def test_sharded_bounded_large_k_exact(rng):
+    """k=64 over an 8-shard mesh: every shard runs the LARGE-K design
+    (third plane + runner-up patches) on its slice and the tie-break
+    merge must still produce the exact global top-k — bit-equal to
+    the single-device exact index."""
+    from qrag_tpu.config import MeshConfig
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    from qrag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    n, d, b, k = 8 * 16384, 32, 6, 64  # 128 windows/shard, k = NW/2
+    x = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    for metric in ("ip", "l2"):
+        sharded = ShardedFlatIndex(
+            x, mesh, metric=metric, topk_mode="bounded"
+        )
+        exact = DeviceFlatIndex.from_numpy(
+            x, metric=metric, topk_mode="exact", normalize=False
+        )
+        rs = sharded.search(q, k=k)
+        re_ = exact.search(q, k=k)
+        np.testing.assert_array_equal(rs.indices, re_.indices)
+        np.testing.assert_allclose(
+            rs.scores, re_.scores, rtol=1e-5, atol=1e-4
+        )
+
+
 def test_sharded_bounded_small_shards_degrade(rng):
     from qrag_tpu.config import MeshConfig
     from qrag_tpu.index.flat_index import DeviceFlatIndex
