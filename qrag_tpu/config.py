@@ -126,6 +126,21 @@ class IndexConfig:
     # regime to narrow on a bf16 store (~81k vs 65.5k QPS at 1M x 768;
     # docs/PERFORMANCE.md "Margin-regime census").
     bounded_query_dtype: str = "float32"
+    # Small-batch latency accelerator: "none" | "clustered".
+    # "clustered" routes query batches of <= accel_max_batch through
+    # cluster-pruned PROVABLY-EXACT search (ops/cluster_topk.py):
+    # k-means groups + centroid/radius upper bounds certify which
+    # contiguous row groups can hold top-k rows, so a small batch
+    # reads a few MB instead of the whole corpus (the full scan is
+    # HBM-read-bound at small B).  Exact for every topk_mode; uniform
+    # random corpora defeat the bounds and self-correct through
+    # escalation -> full scan (exact, just not faster).
+    small_batch_accel: str = "none"
+    accel_max_batch: int = 32
+    # rows per clustered group (contiguous dynamic_slice unit)
+    cluster_group_rows: int = 512
+    # top-S group budget per query; 0 = auto (max(8, 2k))
+    cluster_budget: int = 0
     # "none" | "int8": int8 scan with exact refinement
     # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.
     quantization: str = "none"

@@ -286,6 +286,10 @@ def _index_cls_and_kwargs(config: QragConfig):
         store_dtype=config.index.dtype,
         bounded_scan=config.index.bounded_scan,
         bounded_query_dtype=config.index.bounded_query_dtype,
+        small_batch_accel=config.index.small_batch_accel,
+        accel_max_batch=config.index.accel_max_batch,
+        cluster_group_rows=config.index.cluster_group_rows,
+        cluster_budget=config.index.cluster_budget or None,
     )
     if config.index.quantization == "int8":
         from qrag_tpu.index.quantized_index import QuantizedFlatIndex
@@ -866,6 +870,15 @@ class QragEngine:
         t0 = time.time()
         if self.index.ntotal == 0:
             return 0.0
+        # eager-build the small-batch clustered accelerator: the
+        # k-means build is seconds-scale at 1M rows and must not land
+        # on the first live small-batch query
+        if (
+            getattr(self.index, "small_batch_accel", "none") == "clustered"
+            and hasattr(self.index, "_accel_eligible")
+            and self.index._accel_eligible(1, 10)
+        ):
+            self.index.build_clustered()
         if batch_sizes is None:
             batch_sizes = self.config.serving.warmup_batch_buckets
         if doc_buckets is None:
@@ -1000,6 +1013,18 @@ class QragEngine:
             "verified_fallback_rows": self.index.fallback_rows,
             "bounded_escalations": getattr(
                 self.index, "bounded_escalations", 0
+            ),
+            # small-batch clustered accelerator (exact; counters mirror
+            # the bounded ladder: escalation = 4x-budget tier ran,
+            # fallback = chunked full scan ran)
+            "small_batch_accel": getattr(
+                self.index, "small_batch_accel", "none"
+            ),
+            "cluster_escalations": getattr(
+                self.index, "cluster_escalations", 0
+            ),
+            "cluster_fallbacks": getattr(
+                self.index, "cluster_fallbacks", 0
             ),
             # the mode each query path ACTUALLY runs with (VERDICT r3
             # weak #5: a configured mode an internal path can't honor

@@ -137,6 +137,10 @@ class DeviceFlatIndex:
         store_dtype: str = "float32",
         bounded_scan: str = "bf16",
         bounded_query_dtype: str = "float32",
+        small_batch_accel: str = "none",
+        accel_max_batch: int = 32,
+        cluster_group_rows: int = 512,
+        cluster_budget: Optional[int] = None,
         device=None,
     ):
         if metric not in ("l2", "ip"):
@@ -149,6 +153,19 @@ class DeviceFlatIndex:
             raise ValueError(
                 f"unknown bounded_query_dtype {bounded_query_dtype!r}"
             )
+        if small_batch_accel not in ("none", "clustered"):
+            raise ValueError(
+                f"unknown small_batch_accel {small_batch_accel!r}"
+            )
+        # Small-batch latency accelerator (ops/cluster_topk.py): at
+        # B <= accel_max_batch the scan is HBM-read-bound, so queries
+        # route through the cluster-pruned PROVABLY-EXACT path (reads
+        # only the certified groups) instead of the full scan.  Exact
+        # for every topk_mode; rebuilt lazily per snapshot generation.
+        self.small_batch_accel = small_batch_accel
+        self.accel_max_batch = int(accel_max_batch)
+        self.cluster_group_rows = int(cluster_group_rows)
+        self.cluster_budget = cluster_budget
         self.bounded_scan = bounded_scan
         # "store": round queries to the store dtype before the bounded
         # scan — the result is then provably exact w.r.t. the ROUNDED
@@ -168,6 +185,8 @@ class DeviceFlatIndex:
         self.device = device
         self.fallback_rows = 0  # verified-mode exact re-runs (observability)
         self.bounded_escalations = 0  # bounded-mode 4x-budget re-certs
+        self.cluster_fallbacks = 0  # accel: full-scan backstop ran
+        self.cluster_escalations = 0  # accel: 4x-budget tier ran
         self._host_vectors = np.zeros((0, d), dtype=np.float32)
         self.metadata: List[str] = []
         self._snapshot: Optional[DeviceBuffers] = None
@@ -538,6 +557,53 @@ class DeviceFlatIndex:
             backend=backend,
         )
 
+    def _accel_eligible(self, batch: int, k: int) -> bool:
+        """Route this query batch through the small-batch clustered
+        accelerator?  Geometry guards mirror _bounded_eligible: small
+        corpora are already cheap exactly, and the structure needs
+        several groups per top-k row to prune anything."""
+        if self.small_batch_accel != "clustered" or batch > self.accel_max_batch:
+            return False
+        n = self.ntotal
+        L = self.cluster_group_rows
+        return n >= max(4096, 4 * L) and n // L >= max(2 * k, 8)
+
+    def build_clustered(self):
+        """Build (or fetch the cached) cluster-pruned acceleration
+        structure for the current snapshot (ops/cluster_topk.py).
+        Lazily invoked by search routing; call eagerly at serve
+        startup (engine.warmup) — the k-means build is seconds-scale
+        at 1M rows and must not land on the first live query."""
+        from qrag_tpu.ops.cluster_topk import build_clustered_groups
+
+        snap = self.device_buffers()
+        groups = snap.extras.get("clustered")
+        if groups is None:
+            n = self.ntotal
+            # build over the VALID rows only (capacity padding would
+            # dilute the group stats); the clustered structure carries
+            # its own permutation/padding
+            groups = build_clustered_groups(
+                snap.matrix[:n],
+                group_rows=self.cluster_group_rows,
+            )
+            snap.extras["clustered"] = groups
+        return groups
+
+    def _accel_search(self, queries: jnp.ndarray, k: int):
+        """Raw cluster-pruned exact search (goodness, ORIGINAL idx,
+        fell_back, escalated) — callers finalize."""
+        from qrag_tpu.ops.cluster_topk import cluster_pruned_topk
+
+        groups = self.build_clustered()
+        return cluster_pruned_topk(
+            queries.astype(jnp.float32),
+            groups,
+            k,
+            metric=self.metric,
+            budget=self.cluster_budget,
+        )
+
     def search_device(
         self, queries: jnp.ndarray, k: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -545,7 +611,22 @@ class DeviceFlatIndex:
         device, padded rows masked out.  Stays inside jit if called
         under one (the "verified" mode's host patch-up degrades to
         "approx" here; "bounded" runs its real exact path; use
-        `search` for verified-exact results with observability)."""
+        `search` for verified-exact results with observability).
+
+        The small-batch clustered accelerator routes here only when
+        its structure is ALREADY built (the k-means build needs host
+        control flow, so it cannot happen under an enclosing trace —
+        `search`/`build_clustered` build it)."""
+        if (
+            self._accel_eligible(queries.shape[0], k)
+            and self.device_buffers().extras.get("clustered") is not None
+        ):
+            from qrag_tpu.ops.topk import _finalize
+
+            vals, idx, _, _ = self._accel_search(
+                queries.astype(jnp.float32), k
+            )
+            return _finalize(vals, idx, self.metric)
         if self._bounded_eligible(k):
             from qrag_tpu.ops.topk import _finalize
 
@@ -576,7 +657,16 @@ class DeviceFlatIndex:
             )
         k_eff = min(k, max(self.ntotal, 1))
         snap = self.device_buffers()
-        if self.topk_mode == "verified" and not self.use_pallas:
+        if self._accel_eligible(queries.shape[0], k_eff):
+            from qrag_tpu.ops.topk import _finalize
+
+            vals, idx, fell_back, escalated = self._accel_search(
+                jnp.asarray(queries, jnp.float32), k_eff
+            )
+            self.cluster_fallbacks += int(np.asarray(fell_back))
+            self.cluster_escalations += int(np.asarray(escalated))
+            scores, indices = _finalize(vals, idx, self.metric)
+        elif self.topk_mode == "verified" and not self.use_pallas:
             scores, indices, n_bad = scan_topk_verified(
                 jnp.asarray(queries).astype(self.store_dtype),
                 snap.matrix,

@@ -467,10 +467,34 @@ def main(argv=None) -> None:
         "bf16 store (~81k vs 65.5k QPS; PERFORMANCE.md margin-regime "
         "census).  Default float32 = exact w.r.t. the query as given",
     )
+    parser.add_argument(
+        "--small-batch-accel",
+        default=None,
+        choices=["none", "clustered"],
+        help="small-batch latency accelerator: 'clustered' routes "
+        "query batches <= IndexConfig.accel_max_batch through the "
+        "cluster-pruned PROVABLY-EXACT path (ops/cluster_topk.py) — "
+        "certified group reads instead of the full HBM scan; exact "
+        "for every topk-mode (single-device index only)",
+    )
     args = parser.parse_args(argv)
 
     configure_logging()
     config = QragConfig().with_env_overrides()
+    if args.small_batch_accel and args.sharded:
+        parser.error("--small-batch-accel is a single-device index mode")
+    if args.small_batch_accel:
+        from dataclasses import replace as _r
+
+        config = _r(
+            config,
+            index=_r(
+                config.index, small_batch_accel=args.small_batch_accel
+            ),
+        )
+        import os as _os
+
+        _os.environ["QRAG_INDEX_SMALL_BATCH_ACCEL"] = args.small_batch_accel
     if (args.shard_merge or args.elastic) and not args.sharded:
         parser.error("--shard-merge/--elastic require --sharded")
     if args.lean_scan and args.sharded:
@@ -626,6 +650,10 @@ def main(argv=None) -> None:
                         bounded_query_dtype=(
                             config.index.bounded_query_dtype
                         ),
+                        small_batch_accel=config.index.small_batch_accel,
+                        accel_max_batch=config.index.accel_max_batch,
+                        cluster_group_rows=config.index.cluster_group_rows,
+                        cluster_budget=config.index.cluster_budget or None,
                     )
                 engine = QragEngine(config=config, index=index)
         else:

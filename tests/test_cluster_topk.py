@@ -1,0 +1,226 @@
+"""Cluster-pruned provably-exact top-k (ops/cluster_topk.py).
+
+Oracle: full f32 goodness + lax.top_k over the ORIGINAL row order
+(position tie-break == original-index tie-break), the same contract
+every other exact mode in the framework is tested against."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qrag_tpu.ops.cluster_topk import (
+    build_clustered_groups,
+    cluster_pruned_topk,
+)
+from qrag_tpu.ops.topk import _goodness
+
+
+def _oracle(queries, corpus, metric, k):
+    g = _goodness(
+        jnp.asarray(queries, jnp.float32),
+        jnp.asarray(corpus, jnp.float32),
+        metric,
+        None,
+        None,
+    )
+    return jax.lax.top_k(g, k)
+
+
+def _clustered_corpus(rng, n, d, n_centers=24, spread=0.05):
+    """Mixture of Gaussians on the unit sphere — the geometry real
+    embedding corpora have (and the one cluster pruning serves)."""
+    centers = rng.randn(n_centers, d).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.randint(0, n_centers, size=n)
+    x = centers[which] + spread * rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def _check_exact(queries, corpus, groups, metric, k, budget=None):
+    """Exactness up to the framework contract (the bounded-mode test
+    convention): identity equals the full-matrix oracle EXCEPT where
+    the oracle's values show a sub-noise tie (two f32 evaluation
+    orders of the same dot drift ~1e-7 absolute; refine-domain and
+    matmul-domain orderings of such ties legitimately differ)."""
+    vals, idx, fb, esc = cluster_pruned_topk(
+        jnp.asarray(queries), groups, k, metric=metric, budget=budget
+    )
+    ov, oi = _oracle(queries, corpus, metric, k)
+    idx, oi = np.asarray(idx), np.asarray(oi)
+    vals, ov = np.asarray(vals), np.asarray(ov)
+    if not np.array_equal(idx, oi):
+        g = np.asarray(
+            _goodness(
+                jnp.asarray(queries, jnp.float32),
+                jnp.asarray(corpus, jnp.float32),
+                metric, None, None,
+            )
+        )
+        rows, pos = np.where(idx != oi)
+        tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))
+        gap = np.abs(g[rows, idx[rows, pos]] - ov[rows, pos])
+        assert (gap <= tol).all(), (
+            f"non-tie index mismatch: rows {rows}, pos {pos}, gap {gap}"
+        )
+    np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=1e-4)
+    return bool(np.asarray(fb)), bool(np.asarray(esc))
+
+
+def test_clustered_corpus_certifies_without_fallback(rng):
+    x = _clustered_corpus(rng, 4096, 64)
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=4)
+    q = _clustered_corpus(rng, 16, 64)  # same mixture: realistic queries
+    fb, esc = _check_exact(q, x, groups, "l2", 10)
+    assert not fb, "clustered geometry must certify without the full scan"
+
+
+def test_uniform_corpus_still_exact(rng):
+    # uniform random on the sphere: radii ~ row norms, bounds prune
+    # nothing useful — escalation/fallback must preserve exactness
+    x = rng.randn(2048, 48).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
+    q = rng.randn(8, 48).astype(np.float32)
+    _check_exact(q, x, groups, "l2", 10)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_metrics_exact(rng, metric):
+    x = _clustered_corpus(rng, 3000, 32)  # non-multiple of group_rows
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=3)
+    q = _clustered_corpus(rng, 9, 32)
+    _check_exact(q, x, groups, metric, 7)
+
+
+def test_duplicate_rows_tie_break_by_original_index(rng):
+    x = _clustered_corpus(rng, 1024, 32)
+    # plant the same row at scattered ORIGINAL indices; after the
+    # build's permutation they land in one cluster's groups, but the
+    # returned order must follow the original indices
+    dup = x[137].copy()
+    for i in (3, 200, 512, 900, 1019):
+        x[i] = dup
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=3)
+    q = (dup + 0.001 * rng.randn(32)).astype(np.float32)[None, :]
+    q /= np.linalg.norm(q)
+    _check_exact(q, x, groups, "l2", 8)
+
+
+def test_tiny_budget_escalates_then_full_sorts(rng):
+    x = _clustered_corpus(rng, 2048, 32, n_centers=4, spread=0.3)
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
+    q = rng.randn(4, 32).astype(np.float32)
+    # budget 1 < k guarantees tier-1 failure; exactness must survive
+    fb, esc = _check_exact(q, x, groups, "l2", 10, budget=1)
+    assert esc, "budget below k must at least escalate"
+
+
+def test_bf16_store_exact_wrt_stored_rows(rng):
+    x = _clustered_corpus(rng, 2048, 64)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    groups = build_clustered_groups(xb, group_rows=128, kmeans_iters=3)
+    q = _clustered_corpus(rng, 8, 64)
+    # the scoring function is defined on the STORED rows: oracle on
+    # the f32 cast of the bf16 store
+    _check_exact(q, np.asarray(xb.astype(jnp.float32)), groups, "l2", 10)
+
+
+def test_budget_covering_all_groups_is_exact(rng):
+    x = _clustered_corpus(rng, 1024, 32)
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
+    q = rng.randn(5, 32).astype(np.float32)
+    # S >= G: tier-1 scores the whole corpus, cert trivially holds
+    _check_exact(q, x, groups, "l2", 10, budget=64)
+
+
+def test_small_corpus_rejected():
+    x = np.random.default_rng(0).normal(size=(64, 32)).astype(np.float32)
+    with pytest.raises(ValueError):
+        build_clustered_groups(x, group_rows=128)
+
+
+def test_index_accel_routes_and_counts(rng):
+    """DeviceFlatIndex small-batch accelerator: small batches route
+    through the clustered exact path (counters move only on its
+    escalation/fallback events), large batches keep the normal mode,
+    and both agree with the oracle."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    x = _clustered_corpus(rng, 6000, 64)
+    idx = DeviceFlatIndex.from_numpy(
+        x,
+        metric="l2",
+        topk_mode="verified",
+        small_batch_accel="clustered",
+        cluster_group_rows=128,
+        accel_max_batch=8,
+    )
+    assert idx._accel_eligible(4, 10)
+    assert not idx._accel_eligible(9, 10)  # over accel_max_batch
+    q = _clustered_corpus(rng, 4, 64)
+    res = idx.search(q, 10)
+    ov, oi = _oracle(q, x, "l2", 10)
+    np.testing.assert_array_equal(res.indices, np.asarray(oi))
+    # structure built once, cached on the snapshot
+    assert idx.device_buffers().extras.get("clustered") is not None
+    # device-level route (jit-safe path) agrees once built
+    sv, si = idx.search_device(jnp.asarray(q), 10)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(oi))
+    # appending invalidates the snapshot cache; next search rebuilds
+    idx.add(_clustered_corpus(rng, 10, 64))
+    res2 = idx.search(q, 10)
+    ov2, oi2 = _oracle(
+        q, np.asarray(idx.sample_rows(range(idx.ntotal))), "l2", 10
+    )
+    np.testing.assert_array_equal(res2.indices, np.asarray(oi2))
+
+
+def test_engine_accel_config_and_stats(rng):
+    """Config plumbing: an engine built with small_batch_accel=
+    'clustered' warms the structure eagerly and reports the counters
+    in /stats."""
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    cfg = QragConfig.from_dict(
+        {
+            "embedding": {"provider": "hash", "dim": 64},
+            "index": {
+                "small_batch_accel": "clustered",
+                "cluster_group_rows": 128,
+            },
+        }
+    )
+    x = _clustered_corpus(rng, 5000, 64)
+    idx = DeviceFlatIndex.from_numpy(
+        x,
+        metric="l2",
+        small_batch_accel=cfg.index.small_batch_accel,
+        cluster_group_rows=cfg.index.cluster_group_rows,
+    )
+    eng = QragEngine(config=cfg, index=idx)
+    eng.warmup(batch_sizes=[1], doc_buckets=[8])
+    assert idx.device_buffers().extras.get("clustered") is not None
+    st = eng.stats()
+    assert st["index"]["small_batch_accel"] == "clustered"
+    assert "cluster_fallbacks" in st["index"]
+    assert "cluster_escalations" in st["index"]
+
+
+def test_build_shapes_and_permutation_integrity(rng):
+    x = _clustered_corpus(rng, 1000, 32)
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
+    n_pad = groups.corpus_p.shape[0]
+    assert n_pad % (128 * 16) == 0  # fallback chunking invariant
+    oid = np.asarray(groups.orig_idx)
+    valid = np.asarray(groups.valid_p)
+    assert valid.sum() == 1000
+    # the valid original indices are a permutation of range(n)
+    assert sorted(oid[valid].tolist()) == list(range(1000))
+    # permuted rows match the original rows they claim to be
+    np.testing.assert_array_equal(
+        np.asarray(groups.corpus_p)[valid], x[oid[valid]]
+    )

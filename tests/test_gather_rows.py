@@ -50,6 +50,25 @@ def test_gather_clamps_out_of_range(rng):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_gather_blockspec_matches_take(rng):
+    from qrag_tpu.ops.pallas.gather_rows import gather_rows_blockspec
+
+    x = jnp.asarray(rng.randn(4096, 256).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    idx = jnp.asarray(rng.randint(0, 4096, size=(513,)).astype(np.int32))
+    got = gather_rows_blockspec(x, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(x)[np.asarray(idx)]
+    )
+    # out-of-range clamps like the DMA form
+    idx2 = jnp.asarray(np.array([0, -3, 4095, 9999], np.int32))
+    got2 = gather_rows_blockspec(x, idx2, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got2), np.asarray(x)[np.clip(np.asarray(idx2), 0, 4095)]
+    )
+
+
 def test_gather_ready_and_availability_probe():
     assert gather_ready(1000, 256)
     assert not gather_ready(1000, 100)  # non-lane-aligned rows
