@@ -166,6 +166,7 @@ class DeviceFlatIndex:
         self.accel_max_batch = int(accel_max_batch)
         self.cluster_group_rows = int(cluster_group_rows)
         self.cluster_budget = cluster_budget
+        self._cluster_perm: Optional[np.ndarray] = None
         self.bounded_scan = bounded_scan
         # "store": round queries to the store dtype before the bounded
         # scan — the result is then provably exact w.r.t. the ROUNDED
@@ -573,21 +574,35 @@ class DeviceFlatIndex:
         structure for the current snapshot (ops/cluster_topk.py).
         Lazily invoked by search routing; call eagerly at serve
         startup (engine.warmup) — the k-means build is seconds-scale
-        at 1M rows and must not land on the first live query."""
+        at 1M rows and must not land on the first live query.  A
+        persisted permutation (save_native/load_native) skips the
+        k-means; it invalidates on append (ntotal changes)."""
         from qrag_tpu.ops.cluster_topk import build_clustered_groups
 
         snap = self.device_buffers()
         groups = snap.extras.get("clustered")
         if groups is None:
             n = self.ntotal
+            perm = getattr(self, "_cluster_perm", None)
+            if perm is not None and perm.shape[0] != n:
+                perm = None  # appended since the perm was made
             # build over the VALID rows only (capacity padding would
             # dilute the group stats); the clustered structure carries
             # its own permutation/padding
             groups = build_clustered_groups(
                 snap.matrix[:n],
                 group_rows=self.cluster_group_rows,
+                perm=perm,
             )
             snap.extras["clustered"] = groups
+            if perm is None:
+                # recover the permutation from the structure (the
+                # valid entries of orig_idx, in permuted order, ARE
+                # it) so save_native can persist it
+                perm = np.asarray(groups.orig_idx)[
+                    np.asarray(groups.valid_p)
+                ]
+            self._cluster_perm = perm
         return groups
 
     def _accel_search(self, queries: jnp.ndarray, k: int):
@@ -734,6 +749,16 @@ class DeviceFlatIndex:
             "normalized": self.normalize,
             "row_pad_multiple": self.row_pad_multiple,
         }
+        # persist the clustered-accel permutation when one exists for
+        # the current rows: load_native then skips the k-means rebuild
+        # (the rest of the structure is one cheap device pass)
+        perm = getattr(self, "_cluster_perm", None)
+        if perm is not None and perm.shape[0] == self.ntotal:
+            np.save(
+                os.path.join(directory, "cluster_perm.npy"),
+                np.asarray(perm, np.int32),
+            )
+            manifest["cluster_group_rows"] = self.cluster_group_rows
         with open(os.path.join(directory, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, indent=2)
 
@@ -757,4 +782,12 @@ class DeviceFlatIndex:
             **kwargs,
         )
         idx.normalize = bool(manifest.get("normalized", False))
+        perm_path = os.path.join(directory, "cluster_perm.npy")
+        if (
+            os.path.exists(perm_path)
+            and manifest.get("cluster_group_rows") == idx.cluster_group_rows
+        ):
+            perm = np.load(perm_path)
+            if perm.shape[0] == idx.ntotal:
+                idx._cluster_perm = perm.astype(np.int32)
         return idx

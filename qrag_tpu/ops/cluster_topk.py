@@ -142,15 +142,45 @@ def _kmeans_assign(
     return cent, a
 
 
+def cluster_permutation(
+    corpus: jnp.ndarray,  # (N, d)
+    group_rows: int = 512,
+    kmeans_iters: int = 6,
+    seed: int = 0,
+    chunk: int = 16384,
+) -> np.ndarray:
+    """The expensive half of the build: k-means + stable sort of rows
+    by (cluster, original index) — equal-cluster rows keep ascending
+    original order, aligning group-internal tie-break positions with
+    the original-index contract.  The returned (N,) permutation is the
+    thing worth PERSISTING (``DeviceFlatIndex.save_native``): the rest
+    of the structure rebuilds from it in one cheap device pass."""
+    corpus = jnp.asarray(corpus)
+    n, d = corpus.shape
+    x32 = corpus.astype(jnp.float32)
+    n_clusters = max(1, n // group_rows)
+
+    rng = np.random.default_rng(seed)
+    init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
+    init = x32[jnp.asarray(init_rows)]
+    _, assign = _kmeans_assign(
+        x32, init, n_clusters, kmeans_iters, min(chunk, n)
+    )
+    a_host = np.asarray(assign)
+    return np.lexsort((np.arange(n), a_host)).astype(np.int32)
+
+
 def build_clustered_groups(
     corpus: jnp.ndarray,  # (N, d) store dtype (device or host)
     group_rows: int = 512,
     kmeans_iters: int = 6,
     seed: int = 0,
     chunk: int = 16384,
+    perm: Optional[np.ndarray] = None,
 ) -> ClusteredGroups:
     """Build the acceleration structure (offline; one device pass per
-    k-means iteration plus one permutation gather)."""
+    k-means iteration plus one permutation gather).  Pass a persisted
+    ``perm`` (from ``cluster_permutation``) to skip the k-means."""
     corpus = jnp.asarray(corpus)
     n, d = corpus.shape
     L = group_rows
@@ -159,23 +189,21 @@ def build_clustered_groups(
             f"clustered build needs >= group_rows rows (n={n}, L={L}) — "
             "route small corpora to the exact sort"
         )
-    x32 = corpus.astype(jnp.float32)
-    n_clusters = max(1, n // L)
-
-    # deterministic strided init (rows are in arbitrary order already;
-    # a seeded permutation just re-rolls which rows seed the clusters)
-    rng = np.random.default_rng(seed)
-    init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
-    init = x32[jnp.asarray(init_rows)]
-    _, assign = _kmeans_assign(
-        x32, init, n_clusters, kmeans_iters, min(chunk, n)
-    )
-
-    # stable sort by (cluster, original index): equal-cluster rows keep
-    # ascending original order, which makes group-internal tie-break
-    # positions align with the original-index contract
-    a_host = np.asarray(assign)
-    perm = np.lexsort((np.arange(n), a_host)).astype(np.int32)
+    if perm is None:
+        perm = cluster_permutation(
+            corpus, group_rows=L, kmeans_iters=kmeans_iters, seed=seed,
+            chunk=chunk,
+        )
+    else:
+        perm = np.asarray(perm, np.int32)
+        if perm.shape != (n,) or not np.array_equal(
+            np.sort(perm), np.arange(n, dtype=np.int32)
+        ):
+            raise ValueError(
+                "persisted cluster permutation does not match the "
+                f"corpus (len {perm.shape} vs n={n}, or not a "
+                "permutation) — rebuild it"
+            )
 
     g_total = -(-n // L)
     g_pad = -(-g_total // _FALLBACK_GROUP_CHUNK) * _FALLBACK_GROUP_CHUNK

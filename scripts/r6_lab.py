@@ -209,6 +209,115 @@ def section_latency(corpus, sq, mx, lr, k, d):
         )
 
 
+def section_accel(n, d, k):
+    """Small-batch latency: cluster-pruned exact vs the bounded scan
+    on a CLUSTERED corpus (mixture of Gaussians on the sphere — the
+    geometry real embedding corpora have; uniform corpora defeat the
+    bounds by construction and ride the fallback)."""
+    from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+    from qrag_tpu.ops.cluster_topk import (
+        build_clustered_groups,
+        cluster_pruned_topk,
+    )
+    from qrag_tpu.ops.window_scan import WINDOW, make_lane_rank
+
+    n = -(-n // 2048) * 2048
+    # ~8 groups per natural cluster: the 512-row groups must subdivide
+    # the mixture components, not span several (a group spanning two
+    # centers has radius ~ the inter-center distance and prunes
+    # nothing — the first cut of this lab made that mistake with
+    # n_centers >> n_groups and measured 100% fallbacks)
+    n_centers = max(16, n // (512 * 8))
+
+    # within-cluster noise NORM ~0.25 (spread scales 1/sqrt(d): a
+    # constant per-coordinate sigma at d=768 would swamp the unit
+    # centers and the "clusters" would cover the sphere)
+    spread = 0.25 / float(np.sqrt(d))
+
+    @jax.jit
+    def gen():
+        kc, kw, kn = jax.random.split(jax.random.PRNGKey(42), 3)
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        which = jax.random.randint(kw, (n,), 0, n_centers)
+        x = centers[which] + spread * jax.random.normal(
+            kn, (n, d), jnp.float32
+        )
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(jnp.bfloat16), which
+
+    t0 = time.time()
+    corpus, which = gen()
+    np.asarray(which[0])
+    print(f"accel: clustered corpus gen {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    groups = build_clustered_groups(corpus, group_rows=512, kmeans_iters=6)
+    np.asarray(groups.radii[0])
+    print(f"accel: build {time.time()-t0:.1f}s "
+          f"(G={groups.centroids.shape[0]})", flush=True)
+
+    sq = jnp.sum(
+        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
+    )
+    mx = jnp.sqrt(jnp.max(sq.reshape(-1, WINDOW), axis=1))
+    lr = jnp.asarray(make_lane_rank(corpus.shape[0]))
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    for b in (1, 8, 32):
+        kq = jax.random.PRNGKey(b)
+        q = corpus[jax.random.randint(kq, (b,), 0, n)].astype(jnp.float32)
+        q = q + (0.1 / float(np.sqrt(d))) * jax.random.normal(
+            kq, (b, d), jnp.float32
+        )
+        iters = 32
+
+        @jax.jit
+        def loop_cluster(q0, *g):
+            cg = type(groups)(*g, groups.group_rows)
+
+            def body(carry, _):
+                vals, idx, fb, esc = cluster_pruned_topk(
+                    carry, cg, k, metric="l2"
+                )
+                carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
+                return carry, (vals.sum(), fb, esc)
+
+            q_out, (v, fbs, escs) = jax.lax.scan(body, q0, None, length=iters)
+            return (
+                v.sum() + q_out[0, 0].astype(jnp.float32),
+                fbs.sum(), escs.sum(),
+            )
+
+        dt, r = _timed_best(loop_cluster, q, *groups[:-1])
+        print(
+            f"accel B={b}: clustered {dt/iters*1e3:.3f} ms/query-batch "
+            f"(fb {int(np.asarray(r[1]))}/{iters}, "
+            f"esc {int(np.asarray(r[2]))}/{iters})",
+            flush=True,
+        )
+
+        @jax.jit
+        def loop_bounded(q0, x, sq_, mx_, lr_):
+            def body(carry, _):
+                vals, idx, fb, npatch, esc = bounded_exact_topk(
+                    carry, x, x, sq_, mx_, lr_, k, metric="l2",
+                    backend=backend,
+                )
+                carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
+                return carry, vals.sum()
+
+            q_out, v = jax.lax.scan(body, q0, None, length=iters)
+            return v.sum() + q_out[0, 0].astype(jnp.float32), v
+
+        dt_b, _ = _timed_best(loop_bounded, q.astype(jnp.bfloat16),
+                              corpus, sq, mx, lr)
+        print(
+            f"accel B={b}: bounded   {dt_b/iters*1e3:.3f} ms/query-batch "
+            f"({dt_b/max(dt,1e-12):.1f}x)",
+            flush=True,
+        )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sections", default="floor,scan,stages")
@@ -236,6 +345,8 @@ def main():
         section_stages(q, corpus, sq, mx, lr, args.iters, args.b, args.k)
     if "latency" in sections:
         section_latency(corpus, sq, mx, lr, args.k, args.d)
+    if "accel" in sections:
+        section_accel(args.n, args.d, args.k)
 
 
 if __name__ == "__main__":

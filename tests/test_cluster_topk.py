@@ -210,6 +210,43 @@ def test_engine_accel_config_and_stats(rng):
     assert "cluster_escalations" in st["index"]
 
 
+def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
+    """save_native persists the clustered permutation; load_native
+    rebuilds the structure WITHOUT re-running k-means, and search
+    stays exact."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    import qrag_tpu.ops.cluster_topk as ct
+
+    x = _clustered_corpus(rng, 5000, 64)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", small_batch_accel="clustered",
+        cluster_group_rows=128,
+    )
+    idx.build_clustered()
+    d = str(tmp_path / "native")
+    idx.save_native(d)
+    assert (tmp_path / "native" / "cluster_perm.npy").exists()
+
+    def boom(*a, **kw):  # noqa: ANN001
+        raise AssertionError("k-means must not run on the load path")
+
+    monkeypatch.setattr(ct, "_kmeans_assign", boom)
+    idx2 = DeviceFlatIndex.load_native(
+        d, small_batch_accel="clustered", cluster_group_rows=128
+    )
+    assert idx2._cluster_perm is not None
+    q = _clustered_corpus(rng, 4, 64)
+    res = idx2.search(q, 10)
+    ov, oi = _oracle(q, x, "l2", 10)
+    np.testing.assert_array_equal(res.indices, np.asarray(oi))
+    # mismatched group_rows must NOT adopt the stale permutation
+    monkeypatch.undo()
+    idx3 = DeviceFlatIndex.load_native(
+        d, small_batch_accel="clustered", cluster_group_rows=256
+    )
+    assert idx3._cluster_perm is None
+
+
 def test_build_shapes_and_permutation_integrity(rng):
     x = _clustered_corpus(rng, 1000, 32)
     groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
