@@ -166,7 +166,7 @@ class DeviceFlatIndex:
         self.accel_max_batch = int(accel_max_batch)
         self.cluster_group_rows = int(cluster_group_rows)
         self.cluster_budget = cluster_budget
-        self._cluster_perm: Optional[np.ndarray] = None
+        self._cluster_assign: Optional[np.ndarray] = None
         self.bounded_scan = bounded_scan
         # "store": round queries to the store dtype before the bounded
         # scan — the result is then provably exact w.r.t. the ROUNDED
@@ -583,26 +583,32 @@ class DeviceFlatIndex:
         groups = snap.extras.get("clustered")
         if groups is None:
             n = self.ntotal
-            perm = getattr(self, "_cluster_perm", None)
-            if perm is not None and perm.shape[0] != n:
-                perm = None  # appended since the perm was made
+            assign = self._cluster_assign
+            if assign is not None and assign.shape[0] != n:
+                assign = None  # appended since the assignment was made
             # build over the VALID rows only (capacity padding would
             # dilute the group stats); the clustered structure carries
             # its own permutation/padding
             groups = build_clustered_groups(
                 snap.matrix[:n],
                 group_rows=self.cluster_group_rows,
-                perm=perm,
+                assign=assign,
             )
             snap.extras["clustered"] = groups
-            if perm is None:
-                # recover the permutation from the structure (the
-                # valid entries of orig_idx, in permuted order, ARE
-                # it) so save_native can persist it
-                perm = np.asarray(groups.orig_idx)[
-                    np.asarray(groups.valid_p)
-                ]
-            self._cluster_perm = perm
+            if assign is None:
+                # recover a persistable assignment from the structure:
+                # labeling each row by its GROUP reproduces the exact
+                # layout on rebuild (each group re-pads to itself, and
+                # within-group original order is already ascending)
+                oid = np.asarray(groups.orig_idx)
+                vld = np.asarray(groups.valid_p)
+                L = groups.group_rows
+                gid = np.repeat(
+                    np.arange(oid.shape[0] // L, dtype=np.int32), L
+                )
+                assign = np.empty((n,), np.int32)
+                assign[oid[vld]] = gid[vld]
+            self._cluster_assign = assign
         return groups
 
     def _accel_search(self, queries: jnp.ndarray, k: int):
@@ -749,14 +755,14 @@ class DeviceFlatIndex:
             "normalized": self.normalize,
             "row_pad_multiple": self.row_pad_multiple,
         }
-        # persist the clustered-accel permutation when one exists for
+        # persist the clustered-accel assignment when one exists for
         # the current rows: load_native then skips the k-means rebuild
         # (the rest of the structure is one cheap device pass)
-        perm = getattr(self, "_cluster_perm", None)
-        if perm is not None and perm.shape[0] == self.ntotal:
+        assign = getattr(self, "_cluster_assign", None)
+        if assign is not None and assign.shape[0] == self.ntotal:
             np.save(
-                os.path.join(directory, "cluster_perm.npy"),
-                np.asarray(perm, np.int32),
+                os.path.join(directory, "cluster_assign.npy"),
+                np.asarray(assign, np.int32),
             )
             manifest["cluster_group_rows"] = self.cluster_group_rows
         with open(os.path.join(directory, MANIFEST_NAME), "w") as f:
@@ -782,12 +788,12 @@ class DeviceFlatIndex:
             **kwargs,
         )
         idx.normalize = bool(manifest.get("normalized", False))
-        perm_path = os.path.join(directory, "cluster_perm.npy")
+        assign_path = os.path.join(directory, "cluster_assign.npy")
         if (
-            os.path.exists(perm_path)
+            os.path.exists(assign_path)
             and manifest.get("cluster_group_rows") == idx.cluster_group_rows
         ):
-            perm = np.load(perm_path)
-            if perm.shape[0] == idx.ntotal:
-                idx._cluster_perm = perm.astype(np.int32)
+            assign = np.load(assign_path)
+            if assign.shape[0] == idx.ntotal:
+                idx._cluster_assign = assign.astype(np.int32)
         return idx

@@ -142,23 +142,28 @@ def _kmeans_assign(
     return cent, a
 
 
-def cluster_permutation(
+def cluster_assignments(
     corpus: jnp.ndarray,  # (N, d)
     group_rows: int = 512,
+    rows_per_cluster: int = 0,  # 0 = 4 * group_rows
     kmeans_iters: int = 6,
     seed: int = 0,
     chunk: int = 16384,
 ) -> np.ndarray:
-    """The expensive half of the build: k-means + stable sort of rows
-    by (cluster, original index) — equal-cluster rows keep ascending
-    original order, aligning group-internal tie-break positions with
-    the original-index contract.  The returned (N,) permutation is the
-    thing worth PERSISTING (``DeviceFlatIndex.save_native``): the rest
-    of the structure rebuilds from it in one cheap device pass."""
+    """The expensive half of the build: k-means cluster assignment of
+    every row.  The returned (N,) int32 vector is the thing worth
+    PERSISTING (``DeviceFlatIndex.save_native``): the rest of the
+    structure rebuilds from it in one cheap pass.  ANY assignment
+    vector yields a correct (exact) structure — its quality only
+    decides the pruning rate."""
     corpus = jnp.asarray(corpus)
     n, d = corpus.shape
     x32 = corpus.astype(jnp.float32)
-    n_clusters = max(1, n // group_rows)
+    # clusters several groups wide: the layout pads each cluster to a
+    # group boundary, so cluster width / group_rows sets the padding
+    # overhead (~L/2 pad rows per cluster -> ~12% at 4L)
+    rpc = rows_per_cluster or 4 * group_rows
+    n_clusters = max(1, n // rpc)
 
     rng = np.random.default_rng(seed)
     init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
@@ -166,21 +171,29 @@ def cluster_permutation(
     _, assign = _kmeans_assign(
         x32, init, n_clusters, kmeans_iters, min(chunk, n)
     )
-    a_host = np.asarray(assign)
-    return np.lexsort((np.arange(n), a_host)).astype(np.int32)
+    return np.asarray(assign, np.int32)
 
 
 def build_clustered_groups(
     corpus: jnp.ndarray,  # (N, d) store dtype (device or host)
     group_rows: int = 512,
+    rows_per_cluster: int = 0,
     kmeans_iters: int = 6,
     seed: int = 0,
     chunk: int = 16384,
-    perm: Optional[np.ndarray] = None,
+    assign: Optional[np.ndarray] = None,
 ) -> ClusteredGroups:
     """Build the acceleration structure (offline; one device pass per
     k-means iteration plus one permutation gather).  Pass a persisted
-    ``perm`` (from ``cluster_permutation``) to skip the k-means."""
+    ``assign`` (from ``cluster_assignments``) to skip the k-means.
+
+    Layout invariant: every cluster is padded to a GROUP boundary, so
+    no group ever spans two clusters.  (The first cut chunked the
+    cluster-sorted rows into fixed groups directly; with cluster size
+    ~ group size nearly every group then straddled two arbitrary
+    clusters and its radius covered the inter-cluster distance — the
+    bounds pruned nothing.  ~L/2 pad rows per cluster is the price of
+    radii that reflect actual cluster geometry.)"""
     corpus = jnp.asarray(corpus)
     n, d = corpus.shape
     L = group_rows
@@ -189,29 +202,37 @@ def build_clustered_groups(
             f"clustered build needs >= group_rows rows (n={n}, L={L}) — "
             "route small corpora to the exact sort"
         )
-    if perm is None:
-        perm = cluster_permutation(
-            corpus, group_rows=L, kmeans_iters=kmeans_iters, seed=seed,
-            chunk=chunk,
+    if assign is None:
+        assign = cluster_assignments(
+            corpus, group_rows=L, rows_per_cluster=rows_per_cluster,
+            kmeans_iters=kmeans_iters, seed=seed, chunk=chunk,
         )
     else:
-        perm = np.asarray(perm, np.int32)
-        if perm.shape != (n,) or not np.array_equal(
-            np.sort(perm), np.arange(n, dtype=np.int32)
-        ):
+        assign = np.asarray(assign, np.int32)
+        if assign.shape != (n,) or (n and assign.min() < 0):
             raise ValueError(
-                "persisted cluster permutation does not match the "
-                f"corpus (len {perm.shape} vs n={n}, or not a "
-                "permutation) — rebuild it"
+                "persisted cluster assignment does not match the "
+                f"corpus (shape {assign.shape} vs n={n}) — rebuild it"
             )
 
-    g_total = -(-n // L)
+    # stable sort by (cluster, original index): equal-cluster rows
+    # keep ascending original order, aligning group-internal tie-break
+    # positions with the original-index contract
+    order = np.lexsort((np.arange(n), assign)).astype(np.int64)
+    sizes = np.bincount(assign)
+    sizes = sizes[sizes > 0]  # empty clusters contribute no groups
+    padded = (-(-sizes // L) * L).astype(np.int64)
+    g_total = int(padded.sum()) // L
     g_pad = -(-g_total // _FALLBACK_GROUP_CHUNK) * _FALLBACK_GROUP_CHUNK
     n_pad = g_pad * L
-    perm_p = np.full((n_pad,), 0, np.int32)
-    perm_p[:n] = perm
+    perm_p = np.zeros((n_pad,), np.int32)
     valid = np.zeros((n_pad,), bool)
-    valid[:n] = True
+    starts = np.concatenate([[0], np.cumsum(padded)])[:-1]
+    src = 0
+    for c, (off, size) in enumerate(zip(starts, sizes)):
+        perm_p[off : off + size] = order[src : src + size]
+        valid[off : off + size] = True
+        src += size
     orig_idx = np.where(valid, perm_p, _PAD_IDX).astype(np.int32)
 
     perm_j = jnp.asarray(perm_p)

@@ -69,9 +69,12 @@ def _check_exact(queries, corpus, groups, metric, k, budget=None):
 
 
 def test_clustered_corpus_certifies_without_fallback(rng):
-    x = _clustered_corpus(rng, 4096, 64)
+    # fewer natural centers than k-means clusters (n/rows_per_cluster
+    # = 8 here), so clusters subdivide the mixture and radii reflect
+    # real geometry — the regime the accelerator serves
+    x = _clustered_corpus(rng, 4096, 64, n_centers=6)
     groups = build_clustered_groups(x, group_rows=128, kmeans_iters=4)
-    q = _clustered_corpus(rng, 16, 64)  # same mixture: realistic queries
+    q = _clustered_corpus(rng, 16, 64, n_centers=6)
     fb, esc = _check_exact(q, x, groups, "l2", 10)
     assert not fb, "clustered geometry must certify without the full scan"
 
@@ -225,7 +228,7 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
     idx.build_clustered()
     d = str(tmp_path / "native")
     idx.save_native(d)
-    assert (tmp_path / "native" / "cluster_perm.npy").exists()
+    assert (tmp_path / "native" / "cluster_assign.npy").exists()
 
     def boom(*a, **kw):  # noqa: ANN001
         raise AssertionError("k-means must not run on the load path")
@@ -234,17 +237,24 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
     idx2 = DeviceFlatIndex.load_native(
         d, small_batch_accel="clustered", cluster_group_rows=128
     )
-    assert idx2._cluster_perm is not None
+    assert idx2._cluster_assign is not None
     q = _clustered_corpus(rng, 4, 64)
     res = idx2.search(q, 10)
     ov, oi = _oracle(q, x, "l2", 10)
     np.testing.assert_array_equal(res.indices, np.asarray(oi))
-    # mismatched group_rows must NOT adopt the stale permutation
+    # the rebuilt-from-assignment structure must reproduce the
+    # original layout exactly (group-labeled assignment round-trip)
+    g1 = idx.device_buffers().extras["clustered"]
+    g2 = idx2.device_buffers().extras["clustered"]
+    np.testing.assert_array_equal(
+        np.asarray(g1.orig_idx), np.asarray(g2.orig_idx)
+    )
+    # mismatched group_rows must NOT adopt the stale assignment
     monkeypatch.undo()
     idx3 = DeviceFlatIndex.load_native(
         d, small_batch_accel="clustered", cluster_group_rows=256
     )
-    assert idx3._cluster_perm is None
+    assert idx3._cluster_assign is None
 
 
 def test_build_shapes_and_permutation_integrity(rng):
