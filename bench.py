@@ -336,6 +336,100 @@ def bench_bounded_mode(n, d, b, k, iters, query_dtype=jnp.bfloat16):
     return b * iters / dt, dt / iters, int(np.asarray(r[2]))
 
 
+def bench_accel_latency(n, d, k=10):
+    """Small-batch latency: cluster-pruned exact search vs the bounded
+    scan, on a CLUSTERED corpus (mixture of Gaussians — the geometry
+    real embedding corpora have; the accelerator exists for exactly
+    this structure, and uniform corpora ride its exact fallback)."""
+    from qrag_tpu.ops.bounded_topk import bounded_exact_topk
+    from qrag_tpu.ops.cluster_topk import (
+        build_clustered_groups,
+        cluster_pruned_topk,
+    )
+    from qrag_tpu.ops.window_scan import WINDOW, make_lane_rank
+
+    n = -(-n // 2048) * 2048
+    n_centers = max(16, n // (512 * 8))
+    spread = 0.25 / float(np.sqrt(d))
+
+    @jax.jit
+    def gen():
+        kc, kw, kn = jax.random.split(jax.random.PRNGKey(42), 3)
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        which = jax.random.randint(kw, (n,), 0, n_centers)
+        x = centers[which] + spread * jax.random.normal(
+            kn, (n, d), jnp.float32
+        )
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(jnp.bfloat16)
+
+    corpus = gen()
+    np.asarray(corpus[0, 0])
+    t0 = time.time()
+    groups = build_clustered_groups(corpus, group_rows=512)
+    np.asarray(groups.radii[0])
+    build_s = time.time() - t0
+    sq = jnp.sum(
+        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=1
+    )
+    mx = jnp.sqrt(jnp.max(sq.reshape(-1, WINDOW), axis=1))
+    lr = jnp.asarray(make_lane_rank(corpus.shape[0]))
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    out = {"accel_build_s": round(build_s, 1)}
+
+    for b in (1, 8):
+        kq = jax.random.PRNGKey(b)
+        q = corpus[jax.random.randint(kq, (b,), 0, n)].astype(jnp.float32)
+        q = q + (0.1 / float(np.sqrt(d))) * jax.random.normal(
+            kq, (b, d), jnp.float32
+        )
+        iters = 32
+
+        @jax.jit
+        def loop_cluster(q0, *g):
+            cg = type(groups)(*g, groups.group_rows)
+
+            def body(carry, _):
+                vals, idx, fb, esc = cluster_pruned_topk(
+                    carry, cg, k, metric="l2"
+                )
+                carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
+                return carry, (vals.sum(), fb)
+
+            q_out, (v, fbs) = jax.lax.scan(body, q0, None, length=iters)
+            return v.sum() + q_out[0, 0].astype(jnp.float32), fbs.sum()
+
+        dt_c, r = _timed_best(loop_cluster, q, *groups[:-1])
+
+        @jax.jit
+        def loop_bounded(q0, x, sq_, mx_, lr_):
+            def body(carry, _):
+                vals, idx, fb, npatch, esc = bounded_exact_topk(
+                    carry, x, x, sq_, mx_, lr_, k, metric="l2",
+                    backend=backend,
+                )
+                carry = carry + (1e-9 * vals[:, :1]).astype(carry.dtype)
+                return carry, vals.sum()
+
+            q_out, v = jax.lax.scan(body, q0, None, length=iters)
+            return v.sum() + q_out[0, 0].astype(jnp.float32), v
+
+        dt_b, _ = _timed_best(
+            loop_bounded, q.astype(jnp.bfloat16), corpus, sq, mx, lr
+        )
+        out[f"accel_b{b}_ms"] = round(dt_c / iters * 1e3, 3)
+        out[f"accel_b{b}_vs_bounded"] = round(dt_b / dt_c, 2)
+        out[f"accel_b{b}_fallbacks"] = int(np.asarray(r[1]))
+        print(
+            f"# small-batch exact latency B={b}: clustered "
+            f"{dt_c/iters*1e3:.3f} ms vs bounded {dt_b/iters*1e3:.3f} ms "
+            f"({dt_b/dt_c:.1f}x; fallbacks {int(np.asarray(r[1]))}/{iters})",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true", help="CPU-sized run")
@@ -418,6 +512,9 @@ def main() -> None:
         bench_int8(n, d, b, iters)
         # BASELINE configs[3]: 10-qubit fidelity over 1k candidates/query
         bench_fused_rerank(n, d, b, args.mode, cands=1000)
+        # small-batch exact latency (cluster-pruned accelerator) on a
+        # clustered corpus of the same scale
+        bench_accel_latency(n, d)
     print(
         f"# bf16 matmul+rowmax reference: {floor_ms*1e3:.2f} ms/batch{b} "
         f"({b/floor_ms:,.0f} QPS at this session's clock)",

@@ -271,6 +271,10 @@ def _index_cls_and_kwargs(config: QragConfig):
             store_dtype=config.index.dtype,
             merge=config.index.shard_merge,
             bounded_query_dtype=config.index.bounded_query_dtype,
+            small_batch_accel=config.index.small_batch_accel,
+            accel_max_batch=config.index.accel_max_batch,
+            cluster_group_rows=config.index.cluster_group_rows,
+            cluster_budget=config.index.cluster_budget or None,
         )
         if config.index.elastic:
             from qrag_tpu.parallel.elastic import ElasticShardedIndex

@@ -197,11 +197,13 @@ def build_clustered_groups(
     corpus = jnp.asarray(corpus)
     n, d = corpus.shape
     L = group_rows
-    if n < L:
-        raise ValueError(
-            f"clustered build needs >= group_rows rows (n={n}, L={L}) — "
-            "route small corpora to the exact sort"
-        )
+    if n == 0:
+        return empty_groups(d, L, corpus.dtype)
+    if n < L and assign is None:
+        # too few rows to cluster usefully — one sequential group
+        # (bounds are sound over any grouping; a single group means
+        # tier-1 scores everything, which is exactly right this small)
+        assign = np.zeros((n,), np.int32)
     if assign is None:
         assign = cluster_assignments(
             corpus, group_rows=L, rows_per_cluster=rows_per_cluster,
@@ -272,6 +274,28 @@ def build_clustered_groups(
         radii=radii,
         maxnorms=mxn,
         group_valid=gvalid,
+        group_rows=L,
+    )
+
+
+def empty_groups(d: int, group_rows: int, dtype) -> ClusteredGroups:
+    """All-invalid structure for a rowless corpus/shard: every group
+    bound is -inf, every row invalid — it contributes nothing and
+    certifies trivially (the sharded accelerator needs a well-shaped
+    placeholder for shards the capacity padding left empty)."""
+    L = group_rows
+    n_pad = _FALLBACK_GROUP_CHUNK * L
+    g = _FALLBACK_GROUP_CHUNK
+    return ClusteredGroups(
+        corpus_p=jnp.zeros((n_pad, d), dtype),
+        sqnorms_p=jnp.zeros((n_pad,), jnp.float32),
+        orig_idx=jnp.full((n_pad,), int(_PAD_IDX), jnp.int32),
+        valid_p=jnp.zeros((n_pad,), bool),
+        centroids=jnp.zeros((g, d), jnp.float32),
+        csq=jnp.zeros((g,), jnp.float32),
+        radii=jnp.zeros((g,), jnp.float32),
+        maxnorms=jnp.zeros((g,), jnp.float32),
+        group_valid=jnp.zeros((g,), bool),
         group_rows=L,
     )
 
@@ -441,6 +465,11 @@ def _cluster_pruned_topk_impl(
     g_count = ub.shape[1]
     S1 = min(max(budget, k), g_count)
     v1, i1, f1 = _certify_tier(q32, qsq, cg, ub, k, S1, metric)
+    # a structure with NO valid rows (an empty shard's placeholder)
+    # trivially certifies: its all--inf fast result IS exact, and
+    # letting the -inf threshold void the cert would count phantom
+    # fallbacks on every sharded query
+    f1 = f1 & jnp.any(cg.valid_p)
     S2 = min(4 * S1, g_count)
     if S2 <= S1:
         # budget already covers every group: tier 1 scored the whole

@@ -50,6 +50,110 @@ def _merge_candidates(
     )
 
 
+def _merge_over_model_axis(vals, idx, k: int, s: int, merge: str):
+    """Exact global (B, k) merge of per-shard candidates inside a
+    shard_map ``local`` body (idx already globalized).  Tie-break:
+    candidates are shard-major and within-shard index-ascending among
+    equal values, so top_k's positional preference == lower global
+    index — lax.top_k-over-the-full-matrix parity."""
+    if merge == "ring":
+        # memory-bounded ring merge (the retrieval analogue of ring
+        # attention — SURVEY.md §2): the ORIGINAL per-shard
+        # candidates travel around the ring via ppermute; each shard
+        # folds the traveling set into its accumulator.  Peak memory
+        # per step is (B, 2k) instead of allgather's (S, B, k).
+        perm = [(j, (j + 1) % s) for j in range(s)]
+        acc_v, acc_i = vals, idx
+        trav_v, trav_i = vals, idx
+        for _ in range(s - 1):
+            trav_v = jax.lax.ppermute(trav_v, MODEL_AXIS, perm)
+            trav_i = jax.lax.ppermute(trav_i, MODEL_AXIS, perm)
+            acc_v, acc_i = _merge_candidates(acc_v, acc_i, trav_v, trav_i, k)
+        return acc_v, acc_i
+    # one ICI collective: k candidates per shard, all-to-all-gather
+    all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # (S, Bl, k)
+    all_idx = jax.lax.all_gather(idx, MODEL_AXIS)
+    bl = all_vals.shape[1]
+    comb_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bl, s * k)
+    comb_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bl, s * k)
+    v, sel = jax.lax.top_k(comb_v, k)  # local k-way merge
+    i = jnp.take_along_axis(comb_i, sel, axis=1)
+    return v, i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "budget", "group_rows", "rows_per",
+                     "mesh", "merge"),
+)
+def _sharded_accel_search(
+    queries: jnp.ndarray,  # (B, d) f32, sharded P(data, None)
+    corpus_p: jnp.ndarray,  # (S, n_pad, d) sharded P(model, None, None)
+    sqnorms_p: jnp.ndarray,  # (S, n_pad) P(model, None)
+    orig_idx: jnp.ndarray,  # (S, n_pad) int32 shard-LOCAL device row ids
+    valid_p: jnp.ndarray,  # (S, n_pad) bool
+    centroids: jnp.ndarray,  # (S, G, d) f32
+    csq: jnp.ndarray,  # (S, G)
+    radii: jnp.ndarray,  # (S, G)
+    maxnorms: jnp.ndarray,  # (S, G)
+    group_valid: jnp.ndarray,  # (S, G) bool
+    k: int,
+    metric: str,
+    budget: int,
+    group_rows: int,
+    rows_per: int,  # device capacity rows per shard (globalization)
+    mesh: Mesh,
+    merge: str = "allgather",
+):
+    """Sharded small-batch clustered accelerator: each shard runs the
+    cluster-pruned PROVABLY-EXACT search over its own structure
+    (ops/cluster_topk.py), then the per-shard exact candidates merge
+    with the standard exact tie-break — exact GLOBAL top-k, reading
+    only each shard's certified groups."""
+    from qrag_tpu.ops.cluster_topk import _cluster_pruned_topk_impl
+
+    def local(q, cp, sp, oi, vp, ce, cs, ra, mx, gv):
+        vals, idx, fb, esc = _cluster_pruned_topk_impl(
+            q, cp[0], sp[0], oi[0], vp[0], ce[0], cs[0], ra[0], mx[0],
+            gv[0], k, metric, budget, group_rows,
+        )
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        # globalize into device-capacity row space (pad sentinels stay
+        # >= 2^30 -> invalid at the host edge)
+        idx = idx + shard * rows_per
+        s = jax.lax.axis_size(MODEL_AXIS)
+        stats = jax.lax.psum(
+            jax.lax.psum(
+                jnp.stack([fb.astype(jnp.int32), esc.astype(jnp.int32)]),
+                MODEL_AXIS,
+            ),
+            DATA_AXIS,
+        )
+        return _merge_over_model_axis(vals, idx, k, s, merge) + (stats,)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None),
+            P(MODEL_AXIS, None, None),
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None, None),
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None)),
+        check_vma=False,
+    )(
+        queries, corpus_p, sqnorms_p, orig_idx, valid_p,
+        centroids, csq, radii, maxnorms, group_valid,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "mode", "mesh", "merge")
 )
@@ -147,29 +251,7 @@ def _sharded_search(
         stats = jax.lax.psum(
             jax.lax.psum(stats, MODEL_AXIS), DATA_AXIS
         )
-        if merge == "ring":
-            # memory-bounded ring merge (the retrieval analogue of ring
-            # attention — SURVEY.md §2): the ORIGINAL per-shard
-            # candidates travel around the ring via ppermute; each shard
-            # folds the traveling set into its accumulator.  Peak memory
-            # per step is (B, 2k) instead of allgather's (S, B, k).
-            perm = [(j, (j + 1) % s) for j in range(s)]
-            acc_v, acc_i = vals, idx
-            trav_v, trav_i = vals, idx
-            for _ in range(s - 1):
-                trav_v = jax.lax.ppermute(trav_v, MODEL_AXIS, perm)
-                trav_i = jax.lax.ppermute(trav_i, MODEL_AXIS, perm)
-                acc_v, acc_i = _merge_candidates(acc_v, acc_i, trav_v, trav_i, k)
-            return acc_v, acc_i, stats
-        # one ICI collective: k candidates per shard, all-to-all-gather
-        all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # (S, Bl, k)
-        all_idx = jax.lax.all_gather(idx, MODEL_AXIS)
-        bl = all_vals.shape[1]
-        comb_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bl, s * k)
-        comb_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bl, s * k)
-        v, sel = jax.lax.top_k(comb_v, k)  # local k-way merge
-        i = jnp.take_along_axis(comb_i, sel, axis=1)
-        return v, i, stats
+        return _merge_over_model_axis(vals, idx, k, s, merge) + (stats,)
 
     return jax.shard_map(
         local,
@@ -248,11 +330,33 @@ class ShardedFlatIndex:
         normalize: bool = False,
         keep_host_master: bool = True,
         bounded_query_dtype: str = "float32",
+        small_batch_accel: str = "none",
+        accel_max_batch: int = 32,
+        cluster_group_rows: int = 512,
+        cluster_budget: Optional[int] = None,
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
         if merge not in ("allgather", "ring"):
             raise ValueError(f"unknown merge strategy {merge!r}")
+        if small_batch_accel not in ("none", "clustered"):
+            raise ValueError(
+                f"unknown small_batch_accel {small_batch_accel!r}"
+            )
+        # Small-batch latency accelerator, sharded: each shard builds
+        # its own cluster-pruned structure (ops/cluster_topk.py) and
+        # small batches read only certified groups per shard, merged
+        # exactly — the per-chip read pruning is what makes single-
+        # query serving viable at pod scale.  Exact for every
+        # topk_mode; rebuilt lazily per device generation.
+        self.small_batch_accel = small_batch_accel
+        self.accel_max_batch = int(accel_max_batch)
+        self.cluster_group_rows = int(cluster_group_rows)
+        self.cluster_budget = cluster_budget
+        self._accel_struct = None  # (arrays tuple, rows_per, ntotal)
+        self.cluster_fallbacks = 0
+        self.cluster_escalations = 0
+        self._pending_cluster_stats = None
         if bounded_query_dtype not in ("float32", "store"):
             raise ValueError(
                 f"unknown bounded_query_dtype {bounded_query_dtype!r}"
@@ -539,6 +643,131 @@ class ShardedFlatIndex:
         self._pending = []
         self._needs_full = False
 
+    def _accel_eligible(self, batch: int, k: int) -> bool:
+        """Route this batch through the sharded clustered accelerator?
+        Every shard needs enough VALID rows for a useful structure
+        (the last shard holds the capacity padding)."""
+        if (
+            self.small_batch_accel != "clustered"
+            or batch > self.accel_max_batch
+            or self.ntotal == 0
+        ):
+            return False
+        # AGGREGATE thresholds (mirrors DeviceFlatIndex._accel_eligible
+        # scaled to the whole corpus): capacity headroom concentrates
+        # padding on the last shards, so per-shard minimums would
+        # disqualify real corpora — tiny/empty shards get degenerate
+        # structures instead (unpruned but exact)
+        L = self.cluster_group_rows
+        return self.ntotal >= max(4096, 4 * L) and self.ntotal // L >= max(
+            2 * k, 8
+        )
+
+    def build_clustered(self):
+        """Build (or fetch the cached) per-shard clustered structures,
+        stacked and device_put sharded over the model axis.  Lazily
+        invoked by search routing; call eagerly at serve startup
+        (engine.warmup).  Uses ``sample_rows`` for shard rows, so it
+        works in keep_host_master=False mode too (one shard-size host
+        array at a time)."""
+        from qrag_tpu.ops.cluster_topk import (
+            _PAD_IDX,
+            build_clustered_groups,
+        )
+
+        self._ensure_device()
+        s = self.mesh.shape[MODEL_AXIS]
+        rows_per = self._dev_matrix.shape[0] // s
+        if (
+            self._accel_struct is not None
+            and self._accel_struct[2] == self.ntotal
+        ):
+            return self._accel_struct
+        from qrag_tpu.ops.cluster_topk import empty_groups
+
+        per = []
+        for sh in range(s):
+            lo = sh * rows_per
+            hi = min(self.ntotal, lo + rows_per)
+            if hi <= lo:
+                # capacity padding left this shard rowless: a
+                # well-shaped all-invalid placeholder (exact no-op)
+                per.append(
+                    empty_groups(
+                        self.d, self.cluster_group_rows, self.store_dtype
+                    )
+                )
+                continue
+            rows = self.sample_rows(range(lo, hi))
+            g = build_clustered_groups(
+                jnp.asarray(rows).astype(self.store_dtype),
+                group_rows=self.cluster_group_rows,
+            )
+            per.append(g)
+        L = self.cluster_group_rows
+        n_pad = max(g.corpus_p.shape[0] for g in per)
+        g_max = n_pad // L
+
+        def pad_shard(g):
+            pn = n_pad - g.corpus_p.shape[0]
+            pg = g_max - g.centroids.shape[0]
+            return (
+                jnp.pad(g.corpus_p, ((0, pn), (0, 0))),
+                jnp.pad(g.sqnorms_p, (0, pn)),
+                jnp.pad(g.orig_idx, (0, pn), constant_values=int(_PAD_IDX)),
+                jnp.pad(g.valid_p, (0, pn)),
+                jnp.pad(g.centroids, ((0, pg), (0, 0))),
+                jnp.pad(g.csq, (0, pg)),
+                jnp.pad(g.radii, (0, pg)),
+                jnp.pad(g.maxnorms, (0, pg)),
+                jnp.pad(g.group_valid, (0, pg)),
+            )
+
+        stacked_host = [
+            np.stack([np.asarray(t) for t in parts])
+            for parts in zip(*(pad_shard(g) for g in per))
+        ]
+        specs = [
+            P(MODEL_AXIS, None, None),  # corpus_p
+            P(MODEL_AXIS, None),  # sqnorms_p
+            P(MODEL_AXIS, None),  # orig_idx
+            P(MODEL_AXIS, None),  # valid_p
+            P(MODEL_AXIS, None, None),  # centroids
+            P(MODEL_AXIS, None),  # csq
+            P(MODEL_AXIS, None),  # radii
+            P(MODEL_AXIS, None),  # maxnorms
+            P(MODEL_AXIS, None),  # group_valid
+        ]
+        arrays = tuple(
+            jax.device_put(a, NamedSharding(self.mesh, sp))
+            for a, sp in zip(stacked_host, specs)
+        )
+        self._accel_struct = (arrays, rows_per, self.ntotal)
+        return self._accel_struct
+
+    def _accel_search_device(self, queries: jnp.ndarray, k: int):
+        """Raw sharded accel search (goodness, global idx) + pending
+        stats; callers finalize."""
+        from qrag_tpu.ops.cluster_topk import _auto_budget
+
+        arrays, rows_per, _ = self.build_clustered()
+        budget = self.cluster_budget or _auto_budget(
+            k, self.cluster_group_rows
+        )
+        vals, idx, stats = _sharded_accel_search(
+            queries.astype(jnp.float32),
+            *arrays,
+            k=k,
+            metric=self.metric,
+            budget=budget,
+            group_rows=self.cluster_group_rows,
+            rows_per=rows_per,
+            mesh=self.mesh,
+            merge=self.merge,
+        )
+        self._pending_cluster_stats = stats
+        return vals, idx
+
     def search_device_raw(
         self, queries: jnp.ndarray, k: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -552,6 +781,8 @@ class ShardedFlatIndex:
         rounded-query exactness; scan modes cast to the store dtype so
         the scan matmul rides the MXU's bf16 rate."""
         self._ensure_device()
+        if self._accel_eligible(queries.shape[0], k):
+            return self._accel_search_device(queries, k)
         keep_f32 = (
             self.topk_mode == "bounded"
             and self.bounded_query_dtype == "float32"
@@ -787,6 +1018,11 @@ class ShardedFlatIndex:
             self._pending_bounded_stats = None
             self.fallback_rows += int(st[0])
             self.bounded_escalations += int(st[1])
+        if self._pending_cluster_stats is not None:
+            st = np.asarray(self._pending_cluster_stats)
+            self._pending_cluster_stats = None
+            self.cluster_fallbacks += int(st[0])
+            self.cluster_escalations += int(st[1])
         invalid = (indices < 0) | (indices >= self.ntotal)
         indices = np.where(invalid, -1, indices)
         meta = [

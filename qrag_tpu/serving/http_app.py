@@ -475,14 +475,13 @@ def main(argv=None) -> None:
         "query batches <= IndexConfig.accel_max_batch through the "
         "cluster-pruned PROVABLY-EXACT path (ops/cluster_topk.py) — "
         "certified group reads instead of the full HBM scan; exact "
-        "for every topk-mode (single-device index only)",
+        "for every topk-mode; with --sharded each shard prunes its "
+        "own structure and the candidates merge exactly",
     )
     args = parser.parse_args(argv)
 
     configure_logging()
     config = QragConfig().with_env_overrides()
-    if args.small_batch_accel and args.sharded:
-        parser.error("--small-batch-accel is a single-device index mode")
     if args.small_batch_accel:
         from dataclasses import replace as _r
 
@@ -622,6 +621,10 @@ def main(argv=None) -> None:
                         bounded_query_dtype=(
                             config.index.bounded_query_dtype
                         ),
+                        small_batch_accel=config.index.small_batch_accel,
+                        accel_max_batch=config.index.accel_max_batch,
+                        cluster_group_rows=config.index.cluster_group_rows,
+                        cluster_budget=config.index.cluster_budget or None,
                     )
                 elif config.index.quantization == "int8":
                     from qrag_tpu.index.quantized_index import (

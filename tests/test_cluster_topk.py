@@ -138,10 +138,21 @@ def test_budget_covering_all_groups_is_exact(rng):
     _check_exact(q, x, groups, "l2", 10, budget=64)
 
 
-def test_small_corpus_rejected():
-    x = np.random.default_rng(0).normal(size=(64, 32)).astype(np.float32)
-    with pytest.raises(ValueError):
-        build_clustered_groups(x, group_rows=128)
+def test_small_and_empty_corpora_degrade_exactly(rng):
+    # below one group: a single sequential group, tier-1 scores
+    # everything, results exact
+    x = rng.normal(size=(64, 32)).astype(np.float32)
+    groups = build_clustered_groups(x, group_rows=128)
+    q = rng.normal(size=(2, 32)).astype(np.float32)
+    _check_exact(q, x, groups, "l2", 5)
+    # empty: well-shaped placeholder, all results invalid, certifies
+    # trivially (no phantom fallback counts)
+    from qrag_tpu.ops.cluster_topk import empty_groups
+
+    eg = empty_groups(32, 128, jnp.float32)
+    vals, idx, fb, esc = cluster_pruned_topk(q, eg, 5)
+    assert not bool(np.asarray(fb)) and not bool(np.asarray(esc))
+    assert np.all(np.isneginf(np.asarray(vals)))
 
 
 def test_index_accel_routes_and_counts(rng):
@@ -255,6 +266,84 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
         d, small_batch_accel="clustered", cluster_group_rows=256
     )
     assert idx3._cluster_assign is None
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from qrag_tpu.config import MeshConfig
+    from qrag_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+
+
+def test_sharded_accel_exact_and_counted(mesh8, rng):
+    """Sharded clustered accelerator: per-shard pruning + exact merge
+    equals the oracle; counters surface; large batches keep the
+    normal sharded path."""
+    from qrag_tpu.parallel import ShardedFlatIndex
+
+    x = _clustered_corpus(rng, 20000, 64)
+    # duplicates across shards: tie order must follow global index
+    dup = x[17].copy()
+    for i in (17, 6001, 12003, 19997):
+        x[i] = dup
+    idx = ShardedFlatIndex(
+        x,
+        mesh8,
+        metric="l2",
+        metadata=[f"m{i}" for i in range(20000)],
+        small_batch_accel="clustered",
+        cluster_group_rows=128,
+        accel_max_batch=8,
+    )
+    assert idx._accel_eligible(4, 10)
+    q = np.concatenate(
+        [
+            _clustered_corpus(rng, 3, 64),
+            (dup + 0.0005 * rng.randn(64)).astype(np.float32)[None, :],
+        ]
+    )
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    res = idx.search(q, 10)
+    ov, oi = _oracle(q, x, "l2", 10)
+    np.testing.assert_array_equal(res.indices, np.asarray(oi))
+    assert res.metadata[0][0] == f"m{res.indices[0, 0]}"
+    # counters are ints and the structure is cached
+    assert isinstance(idx.cluster_fallbacks, int)
+    s1 = idx._accel_struct
+    idx.search(q, 10)
+    assert idx._accel_struct is s1
+    # beyond accel_max_batch: normal sharded path, same oracle
+    qb = np.repeat(q, 4, axis=0)
+    res_b = idx.search(qb, 10)
+    ovb, oib = _oracle(qb, x, "l2", 10)
+    np.testing.assert_array_equal(res_b.indices, np.asarray(oib))
+    # append invalidates; next small search rebuilds and stays exact
+    extra = _clustered_corpus(rng, 50, 64)
+    idx.add(extra, [f"m{20000+i}" for i in range(50)])
+    x2 = np.concatenate([x, extra])
+    res2 = idx.search(q, 10)
+    ov2, oi2 = _oracle(q, x2, "l2", 10)
+    np.testing.assert_array_equal(res2.indices, np.asarray(oi2))
+
+
+def test_sharded_accel_tiny_budget_still_exact(mesh8, rng):
+    from qrag_tpu.parallel import ShardedFlatIndex
+
+    x = _clustered_corpus(rng, 20000, 64, n_centers=4, spread=0.3)
+    idx = ShardedFlatIndex(
+        x, mesh8, metric="l2",
+        small_batch_accel="clustered",
+        cluster_group_rows=128,
+        cluster_budget=1,  # < k: tier-1 must fail; exactness survives
+    )
+    q = rng.randn(2, 64).astype(np.float32)
+    res = idx.search(q, 10)
+    ov, oi = _oracle(q, x, "l2", 10)
+    np.testing.assert_array_equal(res.indices, np.asarray(oi))
+    assert idx.cluster_escalations > 0 or idx.cluster_fallbacks > 0
 
 
 def test_build_shapes_and_permutation_integrity(rng):
