@@ -62,6 +62,17 @@ from qrag_tpu.ops.bounded_topk import (
 _FALLBACK_GROUP_CHUNK = 16
 
 
+def _acc_rel(d: int) -> float:
+    """Relative error bound of one f32 reduction over d terms
+    (d * eps_f32 ~ 4.6e-5 at d=768, with ~1.6x headroom).  Unlike the
+    bounded mode — whose affine terms are the SAME fl values on both
+    sides of the certificate and cancel — the cluster bound compares
+    fl-computed stats (qsq, csq, radii, sqnorms) against TRUE
+    geometric quantities, so each one's own computation error must be
+    covered explicitly."""
+    return max(d, 768) / 768.0 * 7.5e-5
+
+
 class ClusteredGroups(NamedTuple):
     """Device-resident acceleration structure over a permuted corpus.
 
@@ -256,9 +267,12 @@ def build_clustered_groups(
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=2))
         radii = jnp.max(jnp.where(vg, dist, 0.0), axis=1)
         mxn = jnp.sqrt(jnp.max(jnp.where(vg, sq.reshape(g_pad, L), 0.0), axis=1))
-        # inflate for the f32 rounding of computing the stats themselves
-        radii = radii * (1.0 + 1e-5) + 1e-20
-        mxn = mxn * (1.0 + 1e-5) + 1e-20
+        # inflate for the f32 rounding of computing the stats
+        # themselves: a d-term reduction carries ~d*eps_f32 relative
+        # error (_acc_rel), not the 1e-5 the first cut assumed
+        infl = 1.0 + _acc_rel(d)
+        radii = radii * infl + 1e-20
+        mxn = mxn * infl + 1e-20
         csq = jnp.sum(cent * cent, axis=1)
         return sq, cent, csq, radii, mxn, cnt > 0
 
@@ -316,21 +330,35 @@ def _group_upper_bounds(
     cn = jnp.sqrt(cg.csq)[None, :]  # (1, G)
     qc = q32 @ cg.centroids.T  # (B, G) f32
     coeff = margin_coeff(jnp.float32, jnp.float32, jnp.float32, d)
+    acc = _acc_rel(d)
     e_qc = coeff * qn * cn  # |fl(q.c) - q.c| bound (safety included)
-    # refine-domain drift: 2*coeff*|q|*maxnorm for l2's doubled dot,
-    # plus the affine-epilogue association term (see bounded_topk)
+    mxn = cg.maxnorms[None, :]
     if metric == "l2":
-        refine_m = 2.0 * coeff * qn * cg.maxnorms[None, :] + 5e-7 * (
-            qsq + cg.maxnorms[None, :] ** 2
+        # refine evaluation: g_r = 2*fl(q.x_r) - qsq_a - xsq_a.  Via
+        # 2 q.x = qsq_true + xsq_true - |q-x|^2:
+        #   g_r <= (qsq_true - qsq_a) + (xsq_true - xsq_a)
+        #          - dist_lb^2 + 2*coeff*|q|*maxnorm
+        # The first two terms are the fl-computation errors of the
+        # STORED norm arrays (they do NOT cancel here the way the
+        # bounded mode's shared affine terms do) — cover each with
+        # _acc_rel of its magnitude.
+        refine_m = (
+            2.0 * coeff * qn * mxn + acc * (qsq + mxn * mxn) + 1e-30
         )
         d2 = qsq + cg.csq[None, :] - 2.0 * qc
-        # |error in d2| <= 2 e_qc + association dust on the three-term sum
-        e2 = _SAFETY * (2.0 * e_qc + 5e-7 * (qsq + cg.csq[None, :]))
+        # |fl(d2) - d2_true| <= 2 e_qc + acc*(qsq + csq) (the norm
+        # arrays' own errors) + association dust (inside _SAFETY)
+        e2 = _SAFETY * (
+            2.0 * e_qc + acc * (qsq + cg.csq[None, :])
+        )
         d_lb = jnp.sqrt(jnp.maximum(d2 - e2, 0.0))
         dist_lb = jnp.maximum(d_lb - cg.radii[None, :], 0.0)
         ub = -(dist_lb * dist_lb) + refine_m
     elif metric == "ip":
-        refine_m = coeff * qn * cg.maxnorms[None, :]
+        # fl(q.x_r) <= q.c_true + |q| r_true + coeff*|q|*maxnorm
+        #           <= fl(qc) + e_qc + |q| r + refine drift
+        # (radii/maxnorms already inflated by _acc_rel at build)
+        refine_m = coeff * qn * mxn
         ub = qc + _SAFETY * e_qc + qn * cg.radii[None, :] + refine_m
     else:
         raise ValueError(f"unknown metric {metric!r}")

@@ -111,6 +111,23 @@ def test_duplicate_rows_tie_break_by_original_index(rng):
     _check_exact(q, x, groups, "l2", 8)
 
 
+def test_mass_ties_at_threshold(rng):
+    """40 exact copies of one vector scattered across the corpus: the
+    top-10 are the 10 lowest ORIGINAL indices, every copy's group
+    ties at the threshold, and the certificate must refuse to certify
+    any selection that could miss one (escalate/fallback, exactness
+    unconditional)."""
+    x = _clustered_corpus(rng, 4096, 32, n_centers=6)
+    v = x[500].copy()
+    spots = rng.choice(4096, size=40, replace=False)
+    for i in spots:
+        x[i] = v
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=3)
+    q = v[None, :]
+    _check_exact(q, x, groups, "l2", 10)
+    _check_exact(q, x, groups, "ip", 10)
+
+
 def test_tiny_budget_escalates_then_full_sorts(rng):
     x = _clustered_corpus(rng, 2048, 32, n_centers=4, spread=0.3)
     groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
