@@ -52,7 +52,7 @@ def main():
         metric="l2",
         metadata=meta,
         small_batch_accel="clustered",
-        cluster_group_rows=512,
+        cluster_group_rows=256,
         accel_max_batch=8,
     )
     t0 = time.time()

@@ -141,6 +141,11 @@ class IndexConfig:
     cluster_group_rows: int = 512
     # top-S group budget per query; 0 = auto (max(8, 2k))
     cluster_budget: int = 0
+    # routing guard: skip the accelerator when its expected read
+    # volume (batch * S * group_rows rows, per chip) would exceed
+    # this fraction of the (per-chip) corpus — the full scan is then
+    # strictly better.  0 disables the guard.
+    accel_read_cap: float = 0.5
     # "none" | "int8": int8 scan with exact refinement
     # (index/quantized_index.py) — ~2x scan bandwidth/MXU rate.
     quantization: str = "none"

@@ -275,6 +275,7 @@ def _index_cls_and_kwargs(config: QragConfig):
             accel_max_batch=config.index.accel_max_batch,
             cluster_group_rows=config.index.cluster_group_rows,
             cluster_budget=config.index.cluster_budget or None,
+            accel_read_cap=config.index.accel_read_cap,
         )
         if config.index.elastic:
             from qrag_tpu.parallel.elastic import ElasticShardedIndex
@@ -294,6 +295,7 @@ def _index_cls_and_kwargs(config: QragConfig):
         accel_max_batch=config.index.accel_max_batch,
         cluster_group_rows=config.index.cluster_group_rows,
         cluster_budget=config.index.cluster_budget or None,
+        accel_read_cap=config.index.accel_read_cap,
     )
     if config.index.quantization == "int8":
         from qrag_tpu.index.quantized_index import QuantizedFlatIndex

@@ -141,6 +141,7 @@ class DeviceFlatIndex:
         accel_max_batch: int = 32,
         cluster_group_rows: int = 512,
         cluster_budget: Optional[int] = None,
+        accel_read_cap: float = 0.5,
         device=None,
     ):
         if metric not in ("l2", "ip"):
@@ -166,6 +167,11 @@ class DeviceFlatIndex:
         self.accel_max_batch = int(accel_max_batch)
         self.cluster_group_rows = int(cluster_group_rows)
         self.cluster_budget = cluster_budget
+        # routing guard: skip the accelerator when its expected read
+        # volume (batch * S * group_rows rows) would exceed this
+        # fraction of the corpus — the full scan is then strictly
+        # better.  0 disables the guard (correctness tests).
+        self.accel_read_cap = float(accel_read_cap)
         self._cluster_assign: Optional[np.ndarray] = None
         self.bounded_scan = bounded_scan
         # "store": round queries to the store dtype before the bounded
@@ -567,7 +573,17 @@ class DeviceFlatIndex:
             return False
         n = self.ntotal
         L = self.cluster_group_rows
-        return n >= max(4096, 4 * L) and n // L >= max(2 * k, 8)
+        if not (n >= max(4096, 4 * L) and n // L >= max(2 * k, 8)):
+            return False
+        # the accelerator reads ~batch*S*L rows (per-query groups);
+        # past accel_read_cap of the corpus the full scan is strictly
+        # better (it reads each row once and prunes selection instead)
+        if not self.accel_read_cap:
+            return True
+        from qrag_tpu.ops.cluster_topk import _auto_budget
+
+        s_budget = self.cluster_budget or _auto_budget(k, L)
+        return batch * s_budget * L <= n * self.accel_read_cap
 
     def build_clustered(self):
         """Build (or fetch the cached) cluster-pruned acceleration

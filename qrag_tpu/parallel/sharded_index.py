@@ -334,6 +334,7 @@ class ShardedFlatIndex:
         accel_max_batch: int = 32,
         cluster_group_rows: int = 512,
         cluster_budget: Optional[int] = None,
+        accel_read_cap: float = 0.5,
     ):
         if metric not in ("l2", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -353,6 +354,7 @@ class ShardedFlatIndex:
         self.accel_max_batch = int(accel_max_batch)
         self.cluster_group_rows = int(cluster_group_rows)
         self.cluster_budget = cluster_budget
+        self.accel_read_cap = float(accel_read_cap)
         self._accel_struct = None  # (arrays tuple, rows_per, ntotal)
         self.cluster_fallbacks = 0
         self.cluster_escalations = 0
@@ -659,8 +661,22 @@ class ShardedFlatIndex:
         # disqualify real corpora — tiny/empty shards get degenerate
         # structures instead (unpruned but exact)
         L = self.cluster_group_rows
-        return self.ntotal >= max(4096, 4 * L) and self.ntotal // L >= max(
-            2 * k, 8
+        if not (
+            self.ntotal >= max(4096, 4 * L)
+            and self.ntotal // L >= max(2 * k, 8)
+        ):
+            return False
+        # read-volume cap (per shard): ~batch*S*L rows per shard vs
+        # the shard's share of the corpus — past accel_read_cap of it
+        # the scan wins.  0 disables (correctness tests).
+        if not self.accel_read_cap:
+            return True
+        from qrag_tpu.ops.cluster_topk import _auto_budget
+
+        s = self.mesh.shape[MODEL_AXIS]
+        s_budget = self.cluster_budget or _auto_budget(k, L)
+        return batch * s_budget * L <= max(self.ntotal // s, 1) * (
+            self.accel_read_cap
         )
 
     def build_clustered(self):

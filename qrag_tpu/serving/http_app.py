@@ -625,6 +625,7 @@ def main(argv=None) -> None:
                         accel_max_batch=config.index.accel_max_batch,
                         cluster_group_rows=config.index.cluster_group_rows,
                         cluster_budget=config.index.cluster_budget or None,
+                        accel_read_cap=config.index.accel_read_cap,
                     )
                 elif config.index.quantization == "int8":
                     from qrag_tpu.index.quantized_index import (
@@ -657,6 +658,7 @@ def main(argv=None) -> None:
                         accel_max_batch=config.index.accel_max_batch,
                         cluster_group_rows=config.index.cluster_group_rows,
                         cluster_budget=config.index.cluster_budget or None,
+                        accel_read_cap=config.index.accel_read_cap,
                     )
                 engine = QragEngine(config=config, index=index)
         else:

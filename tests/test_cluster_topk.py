@@ -187,9 +187,16 @@ def test_index_accel_routes_and_counts(rng):
         small_batch_accel="clustered",
         cluster_group_rows=128,
         accel_max_batch=8,
+        accel_read_cap=0,  # correctness test: bypass the read guard
     )
     assert idx._accel_eligible(4, 10)
     assert not idx._accel_eligible(9, 10)  # over accel_max_batch
+    # the default read cap routes read-heavy shapes to the scan:
+    # batch * S * L (4 * 20 * 128 = 10k rows) > 0.5 * 6000
+    idx.accel_read_cap = 0.5
+    assert not idx._accel_eligible(4, 10)
+    assert idx._accel_eligible(1, 10)  # 2.5k <= 3k
+    idx.accel_read_cap = 0.0
     q = _clustered_corpus(rng, 4, 64)
     res = idx.search(q, 10)
     ov, oi = _oracle(q, x, "l2", 10)
@@ -231,6 +238,7 @@ def test_engine_accel_config_and_stats(rng):
         metric="l2",
         small_batch_accel=cfg.index.small_batch_accel,
         cluster_group_rows=cfg.index.cluster_group_rows,
+        accel_read_cap=0,
     )
     eng = QragEngine(config=cfg, index=idx)
     eng.warmup(batch_sizes=[1], doc_buckets=[8])
@@ -251,7 +259,7 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
     x = _clustered_corpus(rng, 5000, 64)
     idx = DeviceFlatIndex.from_numpy(
         x, metric="l2", small_batch_accel="clustered",
-        cluster_group_rows=128,
+        cluster_group_rows=128, accel_read_cap=0,
     )
     idx.build_clustered()
     d = str(tmp_path / "native")
@@ -263,7 +271,8 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
 
     monkeypatch.setattr(ct, "_kmeans_assign", boom)
     idx2 = DeviceFlatIndex.load_native(
-        d, small_batch_accel="clustered", cluster_group_rows=128
+        d, small_batch_accel="clustered", cluster_group_rows=128,
+        accel_read_cap=0,
     )
     assert idx2._cluster_assign is not None
     q = _clustered_corpus(rng, 4, 64)
@@ -314,6 +323,7 @@ def test_sharded_accel_exact_and_counted(mesh8, rng):
         small_batch_accel="clustered",
         cluster_group_rows=128,
         accel_max_batch=8,
+        accel_read_cap=0,  # small-scale correctness test
     )
     assert idx._accel_eligible(4, 10)
     q = np.concatenate(
@@ -355,6 +365,7 @@ def test_sharded_accel_tiny_budget_still_exact(mesh8, rng):
         small_batch_accel="clustered",
         cluster_group_rows=128,
         cluster_budget=1,  # < k: tier-1 must fail; exactness survives
+        accel_read_cap=0,
     )
     q = rng.randn(2, 64).astype(np.float32)
     res = idx.search(q, 10)
