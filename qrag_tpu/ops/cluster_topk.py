@@ -144,13 +144,24 @@ def _kmeans_assign(
         return c_new, None
 
     cent, _ = jax.lax.scan(step, init, None, length=iters)
+    return cent, _kmeans_assign_only(x32, cent, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _kmeans_assign_only(
+    x32: jnp.ndarray, cent: jnp.ndarray, chunk: int
+) -> jnp.ndarray:
+    """One chunked assignment pass of every row to its nearest
+    centroid (l2 via the dot identity)."""
+    n, d = x32.shape
+    pad = (-n) % chunk
+    xc = jnp.pad(x32, ((0, pad), (0, 0))).reshape(-1, chunk, d)
     csq = jnp.sum(cent * cent, axis=1)
 
     def assign(xb):
         return jnp.argmax(xb @ cent.T - 0.5 * csq[None, :], axis=1)
 
-    a = jax.lax.map(assign, xc).reshape(-1)[:n].astype(jnp.int32)
-    return cent, a
+    return jax.lax.map(assign, xc).reshape(-1)[:n].astype(jnp.int32)
 
 
 def cluster_assignments(
@@ -179,9 +190,21 @@ def cluster_assignments(
     rng = np.random.default_rng(seed)
     init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
     init = x32[jnp.asarray(init_rows)]
-    _, assign = _kmeans_assign(
-        x32, init, n_clusters, kmeans_iters, min(chunk, n)
+    # Lloyd iterations train on a SUBSAMPLE (clustering quality only
+    # affects the pruning rate, never exactness); the full corpus gets
+    # exactly one assignment pass.  At 1M x 768 this cuts the build
+    # from ~9 TFLOP of f32 matmuls to ~2 TFLOP.
+    train_cap = max(131072, 64 * n_clusters)
+    if n > train_cap:
+        stride = -(-n // train_cap)
+        x_train = x32[::stride]
+    else:
+        x_train = x32
+    cent, _ = _kmeans_assign(
+        x_train, init, n_clusters, kmeans_iters,
+        min(chunk, x_train.shape[0]),
     )
+    assign = _kmeans_assign_only(x32, cent, min(chunk, n))
     return np.asarray(assign, np.int32)
 
 
