@@ -39,6 +39,14 @@ Result contract matches ``bounded_exact_topk``: exact top-k goodness
 (descending) of the refine-domain scoring function over the ORIGINAL
 row indices, ties broken by lower original index; finalize to
 distances at the API edge (``ops.topk._finalize``).
+
+Tie caveat (the same class every exact mode documents): a row scored
+by the fast path's gathered einsum and a bitwise-identical row scored
+by the fallback's matmul can drift ~1e-7 apart (two f32 contraction
+orders of the same dot), so sub-noise ties across DIFFERENT
+evaluation paths — e.g. duplicate rows on different shards when one
+shard falls back — order by that drift rather than by index.  Within
+one evaluation path the index tie-break is exact.
 """
 
 from __future__ import annotations

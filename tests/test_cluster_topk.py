@@ -38,32 +38,39 @@ def _clustered_corpus(rng, n, d, n_centers=24, spread=0.05):
     return x.astype(np.float32)
 
 
-def _check_exact(queries, corpus, groups, metric, k, budget=None):
-    """Exactness up to the framework contract (the bounded-mode test
+def _assert_indices_tie_tolerant(queries, corpus, metric, idx, oi, ov):
+    """The framework exactness contract (the bounded-mode test
     convention): identity equals the full-matrix oracle EXCEPT where
     the oracle's values show a sub-noise tie (two f32 evaluation
     orders of the same dot drift ~1e-7 absolute; refine-domain and
-    matmul-domain orderings of such ties legitimately differ)."""
+    matmul-domain orderings of such ties legitimately differ — e.g. a
+    duplicate row scored by the fast einsum on one shard and the
+    fallback matmul on another)."""
+    if np.array_equal(idx, oi):
+        return
+    g = np.asarray(
+        _goodness(
+            jnp.asarray(queries, jnp.float32),
+            jnp.asarray(corpus, jnp.float32),
+            metric, None, None,
+        )
+    )
+    rows, pos = np.where(idx != oi)
+    tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))
+    gap = np.abs(g[rows, idx[rows, pos]] - ov[rows, pos])
+    assert (gap <= tol).all(), (
+        f"non-tie index mismatch: rows {rows}, pos {pos}, gap {gap}"
+    )
+
+
+def _check_exact(queries, corpus, groups, metric, k, budget=None):
     vals, idx, fb, esc = cluster_pruned_topk(
         jnp.asarray(queries), groups, k, metric=metric, budget=budget
     )
     ov, oi = _oracle(queries, corpus, metric, k)
     idx, oi = np.asarray(idx), np.asarray(oi)
     vals, ov = np.asarray(vals), np.asarray(ov)
-    if not np.array_equal(idx, oi):
-        g = np.asarray(
-            _goodness(
-                jnp.asarray(queries, jnp.float32),
-                jnp.asarray(corpus, jnp.float32),
-                metric, None, None,
-            )
-        )
-        rows, pos = np.where(idx != oi)
-        tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))
-        gap = np.abs(g[rows, idx[rows, pos]] - ov[rows, pos])
-        assert (gap <= tol).all(), (
-            f"non-tie index mismatch: rows {rows}, pos {pos}, gap {gap}"
-        )
+    _assert_indices_tie_tolerant(queries, corpus, metric, idx, oi, ov)
     np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=1e-4)
     return bool(np.asarray(fb)), bool(np.asarray(esc))
 
@@ -335,7 +342,9 @@ def test_sharded_accel_exact_and_counted(mesh8, rng):
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     res = idx.search(q, 10)
     ov, oi = _oracle(q, x, "l2", 10)
-    np.testing.assert_array_equal(res.indices, np.asarray(oi))
+    _assert_indices_tie_tolerant(
+        q, x, "l2", res.indices, np.asarray(oi), np.asarray(ov)
+    )
     assert res.metadata[0][0] == f"m{res.indices[0, 0]}"
     # counters are ints and the structure is cached
     assert isinstance(idx.cluster_fallbacks, int)
@@ -346,14 +355,18 @@ def test_sharded_accel_exact_and_counted(mesh8, rng):
     qb = np.repeat(q, 4, axis=0)
     res_b = idx.search(qb, 10)
     ovb, oib = _oracle(qb, x, "l2", 10)
-    np.testing.assert_array_equal(res_b.indices, np.asarray(oib))
+    _assert_indices_tie_tolerant(
+        qb, x, "l2", res_b.indices, np.asarray(oib), np.asarray(ovb)
+    )
     # append invalidates; next small search rebuilds and stays exact
     extra = _clustered_corpus(rng, 50, 64)
     idx.add(extra, [f"m{20000+i}" for i in range(50)])
     x2 = np.concatenate([x, extra])
     res2 = idx.search(q, 10)
     ov2, oi2 = _oracle(q, x2, "l2", 10)
-    np.testing.assert_array_equal(res2.indices, np.asarray(oi2))
+    _assert_indices_tie_tolerant(
+        q, x2, "l2", res2.indices, np.asarray(oi2), np.asarray(ov2)
+    )
 
 
 def test_sharded_accel_tiny_budget_still_exact(mesh8, rng):
@@ -370,7 +383,9 @@ def test_sharded_accel_tiny_budget_still_exact(mesh8, rng):
     q = rng.randn(2, 64).astype(np.float32)
     res = idx.search(q, 10)
     ov, oi = _oracle(q, x, "l2", 10)
-    np.testing.assert_array_equal(res.indices, np.asarray(oi))
+    _assert_indices_tie_tolerant(
+        q, x, "l2", res.indices, np.asarray(oi), np.asarray(ov)
+    )
     assert idx.cluster_escalations > 0 or idx.cluster_fallbacks > 0
 
 
