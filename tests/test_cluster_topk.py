@@ -301,6 +301,52 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
     assert idx3._cluster_assign is None
 
 
+def test_batcher_coalesced_requests_route_accel(rng):
+    """Serving batcher + accel: concurrent small /search requests
+    coalesce into one device batch that still routes through the
+    clustered exact path (bucketed batch <= accel_max_batch), results
+    equal the oracle per request."""
+    import threading
+
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+    from qrag_tpu.serving.batcher import SearchBatcher
+
+    cfg = QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 64}})
+    x = _clustered_corpus(rng, 5000, 64)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", metadata=[f"m/{i}" for i in range(5000)],
+        small_batch_accel="clustered", cluster_group_rows=128,
+        accel_read_cap=0,
+    )
+    eng = QragEngine(config=cfg, index=idx)
+    idx.build_clustered()
+    batcher = SearchBatcher(eng, max_wait_s=0.05)
+    try:
+        qs = [x[i : i + 1] + 0.001 for i in (7, 312, 4999)]
+        results = [None] * len(qs)
+
+        def worker(i):
+            results[i] = batcher.search(qs[i], k=5)
+
+        ts = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(qs))
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for i, q in enumerate(qs):
+            ov, oi = _oracle(q, x, "l2", 5)
+            np.testing.assert_array_equal(
+                results[i].indices, np.asarray(oi)
+            )
+    finally:
+        batcher.close()
+
+
 @pytest.fixture(scope="module")
 def mesh8():
     from qrag_tpu.config import MeshConfig
