@@ -1020,7 +1020,9 @@ class ShardedFlatIndex:
         b = queries.shape[0]
         bp = _round_up(b, self._dp)
         if bp != b:
-            queries = np.pad(queries, ((0, bp - b), (0, 0)))
+            # edge-repeat (see serving/batcher.py): zero padding rows
+            # are certificate-hostile for the clustered accelerator
+            queries = np.pad(queries, ((0, bp - b), (0, 0)), mode="edge")
         k_eff = min(k, max(self.ntotal, 1))
         batch_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         qdev = jax.device_put(queries, batch_sh)

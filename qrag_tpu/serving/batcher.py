@@ -302,7 +302,12 @@ class SearchBatcher:
         # pad to a power-of-two bucket → few compiled shapes
         bucket = pow2_bucket(b, self.bucket_floor)
         if bucket != b:
-            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)))
+            # edge-repeat, not zeros: results beyond b are discarded
+            # either way, but an all-zero padding query is equidistant
+            # from the whole corpus and would fail the clustered
+            # accelerator's certificate, dragging the real requests
+            # into its fallback
+            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)), mode="edge")
         res = self.engine.search(vecs, k=k)
         self.batches += 1
         self.batched_queries += b
@@ -446,7 +451,7 @@ class SearchBatcher:
         b = vecs.shape[0]
         bucket = pow2_bucket(b, self.bucket_floor)
         if bucket != b:
-            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)))
+            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)), mode="edge")
         out = self.engine.search_rerank(
             vecs, k=k, candidates=candidates, reranker_type=reranker_type
         )
