@@ -224,6 +224,47 @@ def main() -> None:
             )
             assert not bool(fb), f"k={k}: unexpected cert fallback"
 
+    @check("cluster-pruned accel (exact on-chip, clustered corpus)")
+    def _cluster_accel():
+        from qrag_tpu.ops.cluster_topk import (
+            build_clustered_groups,
+            cluster_pruned_topk,
+        )
+        from qrag_tpu.ops.topk import _goodness
+
+        n, d, b, k = 65536, 256, 8, 10
+        n_centers = 16
+        kc, kw, kn = jax.random.split(jax.random.PRNGKey(9), 3)
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        which = jax.random.randint(kw, (n,), 0, n_centers)
+        x = centers[which] + (0.25 / np.sqrt(d)) * jax.random.normal(
+            kn, (n, d), jnp.float32
+        )
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        groups = build_clustered_groups(
+            x.astype(jnp.bfloat16), group_rows=512
+        )
+        q = x[jax.random.randint(jax.random.PRNGKey(10), (b,), 0, n)]
+        q = q + 0.005 * jax.random.normal(jax.random.PRNGKey(11), (b, d))
+        x32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+        g = np.asarray(_goodness(q, x32, "l2", None, None))
+        vals, idx, fb, esc = cluster_pruned_topk(q, groups, k)
+        ov, oi = (np.asarray(a) for a in jax.lax.top_k(jnp.asarray(g), k))
+        idx_n, vals_n = np.asarray(idx), np.asarray(vals)
+        rows, pos = np.where(idx_n != oi)
+        if len(rows):
+            tol = 3e-4 * (1.0 + np.abs(ov[rows, pos]))
+            gap = np.abs(g[rows, idx_n[rows, pos]] - ov[rows, pos])
+            assert (gap <= tol).all(), (
+                f"non-tie identity mismatch: gaps {gap[gap > tol]}"
+            )
+        vtol = 3e-4 * (1.0 + np.abs(ov))
+        assert (np.abs(vals_n - ov) <= vtol).all(), "values beyond noise"
+        assert not bool(np.asarray(fb)), (
+            "clustered corpus must certify without the full scan"
+        )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES")
         sys.exit(1)
