@@ -126,7 +126,8 @@ class IndexConfig:
     # regime to narrow on a bf16 store (~81k vs 65.5k QPS at 1M x 768;
     # docs/PERFORMANCE.md "Margin-regime census").
     bounded_query_dtype: str = "float32"
-    # Small-batch latency accelerator: "none" | "clustered".
+    # Small-batch latency accelerator: "none" | "clustered" |
+    # "clustered_probe".
     # "clustered" routes query batches of <= accel_max_batch through
     # cluster-pruned PROVABLY-EXACT search (ops/cluster_topk.py):
     # k-means groups + centroid/radius upper bounds certify which
@@ -135,6 +136,9 @@ class IndexConfig:
     # HBM-read-bound at small B).  Exact for every topk_mode; uniform
     # random corpora defeat the bounds and self-correct through
     # escalation -> full scan (exact, just not faster).
+    # "clustered_probe" is the classic FAISS-IVF nprobe trade —
+    # certificates OFF, recall set by cluster_budget — the only
+    # APPROXIMATE arm, and an explicit opt-in.
     small_batch_accel: str = "none"
     accel_max_batch: int = 32
     # rows per clustered group (contiguous dynamic_slice unit)

@@ -880,7 +880,7 @@ class QragEngine:
         # k-means build is seconds-scale at 1M rows and must not land
         # on the first live small-batch query
         if (
-            getattr(self.index, "small_batch_accel", "none") == "clustered"
+            getattr(self.index, "small_batch_accel", "none") != "none"
             and hasattr(self.index, "_accel_eligible")
             and self.index._accel_eligible(1, 10)
         ):

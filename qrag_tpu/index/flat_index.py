@@ -154,7 +154,7 @@ class DeviceFlatIndex:
             raise ValueError(
                 f"unknown bounded_query_dtype {bounded_query_dtype!r}"
             )
-        if small_batch_accel not in ("none", "clustered"):
+        if small_batch_accel not in ("none", "clustered", "clustered_probe"):
             raise ValueError(
                 f"unknown small_batch_accel {small_batch_accel!r}"
             )
@@ -569,7 +569,10 @@ class DeviceFlatIndex:
         accelerator?  Geometry guards mirror _bounded_eligible: small
         corpora are already cheap exactly, and the structure needs
         several groups per top-k row to prune anything."""
-        if self.small_batch_accel != "clustered" or batch > self.accel_max_batch:
+        if (
+            self.small_batch_accel not in ("clustered", "clustered_probe")
+            or batch > self.accel_max_batch
+        ):
             return False
         n = self.ntotal
         L = self.cluster_group_rows
@@ -639,6 +642,11 @@ class DeviceFlatIndex:
             k,
             metric=self.metric,
             budget=self.cluster_budget,
+            # "clustered_probe" = IVF nprobe semantics: no
+            # certificates, recall set by cluster_budget — the ONLY
+            # approximate arm of this accelerator, and an explicit
+            # opt-in ("clustered" stays provably exact)
+            certify=self.small_batch_accel != "clustered_probe",
         )
 
     def search_device(

@@ -506,6 +506,35 @@ def _fallback_full(
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "budget", "group_rows")
 )
+def _cluster_probe_topk_impl(
+    queries: jnp.ndarray,
+    corpus_p, sqnorms_p, orig_idx, valid_p,
+    centroids, csq, radii, maxnorms, group_valid,
+    k: int, metric: str, budget: int, group_rows: int,
+):
+    """IVF-style PROBE search: score the top-S groups, skip the
+    certificates — classic FAISS-IVF nprobe semantics (S == nprobe in
+    group units).  Approximate by design: recall rises with S; scores
+    of returned hits are still exact refine-domain evaluations.  The
+    certified op is the default — this exists for callers who
+    explicitly accept IVF's recall/latency trade."""
+    cg = ClusteredGroups(
+        corpus_p, sqnorms_p, orig_idx, valid_p,
+        centroids, csq, radii, maxnorms, group_valid, group_rows,
+    )
+    b, d = queries.shape
+    q32 = queries.astype(jnp.float32)
+    qsq = jnp.sum(q32 * q32, axis=1, keepdims=True)
+    ub = _group_upper_bounds(q32, qsq, cg, metric, d)
+    S = min(max(budget, k), ub.shape[1])
+    _, gsel = jax.lax.top_k(ub, S)
+    cand_g, cand_i = _score_selected_groups(q32, qsq, cg, gsel, metric)
+    return topk_tiebreak(cand_g, cand_i, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "budget", "group_rows")
+)
 def _cluster_pruned_topk_impl(
     queries: jnp.ndarray,
     corpus_p, sqnorms_p, orig_idx, valid_p,
@@ -563,21 +592,36 @@ def cluster_pruned_topk(
     k: int,
     metric: str = "l2",
     budget: Optional[int] = None,
+    certify: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Provably-exact top-k over the clustered structure (module doc).
 
     Returns (goodness desc (B, k), ORIGINAL indices (B, k), fell_back
     (bool scalar: tier-2 certificate also failed -> the chunked exact
     scan ran), escalated (bool scalar: tier-1 failed)).  Finalize to
-    distances at the API edge (``ops.topk._finalize``)."""
+    distances at the API edge (``ops.topk._finalize``).
+
+    ``certify=False`` is the IVF nprobe mode: same selection and exact
+    candidate scoring, NO certificates/escalation/fallback — recall is
+    the caller's trade (budget == nprobe in group units); the two
+    status flags come back False."""
     if budget is None:
         budget = _auto_budget(k, groups.group_rows)
-    return _cluster_pruned_topk_impl(
+    args = (
         queries,
         groups.corpus_p, groups.sqnorms_p, groups.orig_idx,
         groups.valid_p, groups.centroids, groups.csq, groups.radii,
         groups.maxnorms, groups.group_valid,
-        k, metric, budget, groups.group_rows,
+    )
+    if not certify:
+        vals, idx = _cluster_probe_topk_impl(
+            *args, k=k, metric=metric, budget=budget,
+            group_rows=groups.group_rows,
+        )
+        return vals, idx, jnp.asarray(False), jnp.asarray(False)
+    return _cluster_pruned_topk_impl(
+        *args, k=k, metric=metric, budget=budget,
+        group_rows=groups.group_rows,
     )
 
 

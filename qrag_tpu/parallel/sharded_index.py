@@ -84,7 +84,7 @@ def _merge_over_model_axis(vals, idx, k: int, s: int, merge: str):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "budget", "group_rows", "rows_per",
-                     "mesh", "merge"),
+                     "mesh", "merge", "certify"),
 )
 def _sharded_accel_search(
     queries: jnp.ndarray,  # (B, d) f32, sharded P(data, None)
@@ -104,19 +104,33 @@ def _sharded_accel_search(
     rows_per: int,  # device capacity rows per shard (globalization)
     mesh: Mesh,
     merge: str = "allgather",
+    certify: bool = True,
 ):
     """Sharded small-batch clustered accelerator: each shard runs the
     cluster-pruned PROVABLY-EXACT search over its own structure
     (ops/cluster_topk.py), then the per-shard exact candidates merge
     with the standard exact tie-break — exact GLOBAL top-k, reading
     only each shard's certified groups."""
-    from qrag_tpu.ops.cluster_topk import _cluster_pruned_topk_impl
+    from qrag_tpu.ops.cluster_topk import (
+        _cluster_probe_topk_impl,
+        _cluster_pruned_topk_impl,
+    )
 
     def local(q, cp, sp, oi, vp, ce, cs, ra, mx, gv):
-        vals, idx, fb, esc = _cluster_pruned_topk_impl(
-            q, cp[0], sp[0], oi[0], vp[0], ce[0], cs[0], ra[0], mx[0],
-            gv[0], k, metric, budget, group_rows,
-        )
+        if certify:
+            vals, idx, fb, esc = _cluster_pruned_topk_impl(
+                q, cp[0], sp[0], oi[0], vp[0], ce[0], cs[0], ra[0],
+                mx[0], gv[0], k, metric, budget, group_rows,
+            )
+        else:
+            # IVF nprobe mode per shard: exact per-group scoring, no
+            # certificates; the merge is still exact over whatever
+            # candidates the shards surfaced
+            vals, idx = _cluster_probe_topk_impl(
+                q, cp[0], sp[0], oi[0], vp[0], ce[0], cs[0], ra[0],
+                mx[0], gv[0], k, metric, budget, group_rows,
+            )
+            fb = esc = jnp.asarray(False)
         shard = jax.lax.axis_index(MODEL_AXIS)
         # globalize into device-capacity row space (pad sentinels stay
         # >= 2^30 -> invalid at the host edge)
@@ -340,7 +354,7 @@ class ShardedFlatIndex:
             raise ValueError(f"unknown metric {metric!r}")
         if merge not in ("allgather", "ring"):
             raise ValueError(f"unknown merge strategy {merge!r}")
-        if small_batch_accel not in ("none", "clustered"):
+        if small_batch_accel not in ("none", "clustered", "clustered_probe"):
             raise ValueError(
                 f"unknown small_batch_accel {small_batch_accel!r}"
             )
@@ -650,7 +664,7 @@ class ShardedFlatIndex:
         Every shard needs enough VALID rows for a useful structure
         (the last shard holds the capacity padding)."""
         if (
-            self.small_batch_accel != "clustered"
+            self.small_batch_accel not in ("clustered", "clustered_probe")
             or batch > self.accel_max_batch
             or self.ntotal == 0
         ):
@@ -780,6 +794,7 @@ class ShardedFlatIndex:
             rows_per=rows_per,
             mesh=self.mesh,
             merge=self.merge,
+            certify=self.small_batch_accel != "clustered_probe",
         )
         self._pending_cluster_stats = stats
         return vals, idx

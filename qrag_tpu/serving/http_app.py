@@ -470,13 +470,16 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--small-batch-accel",
         default=None,
-        choices=["none", "clustered"],
+        choices=["none", "clustered", "clustered_probe"],
         help="small-batch latency accelerator: 'clustered' routes "
         "query batches <= IndexConfig.accel_max_batch through the "
         "cluster-pruned PROVABLY-EXACT path (ops/cluster_topk.py) — "
         "certified group reads instead of the full HBM scan; exact "
         "for every topk-mode; with --sharded each shard prunes its "
-        "own structure and the candidates merge exactly",
+        "own structure and the candidates merge exactly.  "
+        "'clustered_probe' = FAISS-IVF nprobe semantics (no "
+        "certificates, recall via QRAG_INDEX_CLUSTER_BUDGET) — the "
+        "explicit approximate opt-in",
     )
     args = parser.parse_args(argv)
 

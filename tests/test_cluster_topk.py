@@ -301,6 +301,59 @@ def test_native_roundtrip_persists_permutation(rng, tmp_path, monkeypatch):
     assert idx3._cluster_assign is None
 
 
+def test_probe_mode_is_ivf_nprobe(rng):
+    """certify=False = FAISS-IVF nprobe semantics: no fallback ever,
+    recall governed by the budget; exact on clustered data where the
+    budget covers the true groups, and returned scores are exact
+    refine-domain evaluations even when recall < 1."""
+    x = _clustered_corpus(rng, 4096, 64, n_centers=6)
+    groups = build_clustered_groups(x, group_rows=128, kmeans_iters=4)
+    q = _clustered_corpus(rng, 8, 64, n_centers=6)
+    vals, idx, fb, esc = cluster_pruned_topk(
+        jnp.asarray(q), groups, 10, certify=False
+    )
+    assert not bool(np.asarray(fb)) and not bool(np.asarray(esc))
+    ov, oi = _oracle(q, x, "l2", 10)
+    _assert_indices_tie_tolerant(
+        q, x, "l2", np.asarray(idx), np.asarray(oi), np.asarray(ov)
+    )
+    # starved budget: recall may drop, but it must NOT fall back and
+    # every returned (idx, score) pair must be a true evaluation
+    vals1, idx1, fb1, esc1 = cluster_pruned_topk(
+        jnp.asarray(q), groups, 10, certify=False, budget=1
+    )
+    assert not bool(np.asarray(fb1)) and not bool(np.asarray(esc1))
+    g = np.asarray(
+        _goodness(
+            jnp.asarray(q, jnp.float32), jnp.asarray(x, jnp.float32),
+            "l2", None, None,
+        )
+    )
+    i1 = np.asarray(idx1)
+    v1 = np.asarray(vals1)
+    rows, cols = np.nonzero(i1 < x.shape[0])
+    np.testing.assert_allclose(
+        v1[rows, cols], g[rows, i1[rows, cols]], rtol=1e-5, atol=1e-4
+    )
+
+
+def test_index_probe_mode_routes(rng):
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    x = _clustered_corpus(rng, 5000, 64, n_centers=6)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", small_batch_accel="clustered_probe",
+        cluster_group_rows=128, accel_read_cap=0,
+    )
+    q = _clustered_corpus(rng, 4, 64, n_centers=6)
+    res = idx.search(q, 10)
+    ov, oi = _oracle(q, x, "l2", 10)
+    _assert_indices_tie_tolerant(
+        q, x, "l2", res.indices, np.asarray(oi), np.asarray(ov)
+    )
+    assert idx.cluster_fallbacks == 0 and idx.cluster_escalations == 0
+
+
 def test_batcher_coalesced_requests_route_accel(rng):
     """Serving batcher + accel: concurrent small /search requests
     coalesce into one device batch that still routes through the
