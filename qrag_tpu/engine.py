@@ -882,7 +882,10 @@ class QragEngine:
         if (
             getattr(self.index, "small_batch_accel", "none") != "none"
             and hasattr(self.index, "_accel_eligible")
-            and self.index._accel_eligible(1, 10)
+            # probe at k=1 (the loosest k gate): a corpus eligible at
+            # ANY serving k must get its k-means built here, not on
+            # the first live query
+            and self.index._accel_eligible(1, 1)
         ):
             self.index.build_clustered()
         if batch_sizes is None:

@@ -253,7 +253,11 @@ def build_clustered_groups(
         )
     else:
         assign = np.asarray(assign, np.int32)
-        if assign.shape != (n,) or (n and assign.min() < 0):
+        if assign.shape != (n,) or (
+            n and (assign.min() < 0 or assign.max() >= n)
+        ):
+            # the max bound also keeps a corrupted artifact from
+            # driving np.bincount into a (max+1)-sized allocation
             raise ValueError(
                 "persisted cluster assignment does not match the "
                 f"corpus (shape {assign.shape} vs n={n}) — rebuild it"
@@ -562,13 +566,16 @@ def _cluster_pruned_topk_impl(
     if S2 <= S1:
         # budget already covers every group: tier 1 scored the whole
         # corpus, the certificate cannot fail on coverage — only on a
-        # degenerate threshold, which the fallback handles
+        # degenerate threshold, which the fallback handles.  The
+        # escalated flag mirrors f1 so the counters keep the ladder
+        # invariant (a fallback is always preceded by a tier-1
+        # failure) even though there is no distinct 4x tier here.
         vals, idx = jax.lax.cond(
             f1,
             lambda: _fallback_full(q32, qsq, cg, k, metric),
             lambda: (v1, i1),
         )
-        return vals, idx, f1, jnp.asarray(False)
+        return vals, idx, f1, f1
 
     def escalated():
         v2, i2, f2 = _certify_tier(q32, qsq, cg, ub, k, S2, metric)

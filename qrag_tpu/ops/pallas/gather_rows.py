@@ -128,21 +128,18 @@ def gather_rows_2d(
     return flat.reshape(b, c, corpus.shape[1])
 
 
-def _gather_bs_kernel(idx_ref, row_ref, out_ref, *, rows: int):
+def _gather_bs_kernel(idx_ref, row_ref, out_ref):
     # the pipeline machinery already DMA'd the right row block here
     # (the in_spec index_map reads the prefetched index ref); the body
     # only forwards it to the output block
-    del idx_ref, rows
+    del idx_ref
     out_ref[:] = row_ref[:]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("rows_per_block", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_rows_blockspec(
-    corpus: jnp.ndarray,  # (N, d) any dtype; N % rows_per_block == 0
+    corpus: jnp.ndarray,  # (N, d) any dtype
     idx: jnp.ndarray,  # (M,) int32 row indices (caller-clamped)
-    rows_per_block: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(M, d) = corpus[idx] via index_map-driven pipeline DMAs.
@@ -156,10 +153,8 @@ def gather_rows_blockspec(
     block-sparse gather shape, a different compile path from the
     in-kernel DMA.
 
-    ``rows_per_block`` > 1 fetches that many CONSECUTIVE-index rows
-    per grid step only when the caller's indices are block-aligned; the
-    default gathers one row per step and relies on pipeline
-    double-buffering to keep several row DMAs in flight."""
+    One row per grid step; the pipeline's double buffering keeps a
+    couple of row DMAs in flight."""
     m = idx.shape[0]
     n, d = corpus.shape
     idx_p = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
@@ -178,7 +173,7 @@ def gather_rows_blockspec(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_gather_bs_kernel, rows=1),
+        _gather_bs_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), corpus.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -689,7 +689,11 @@ class ShardedFlatIndex:
 
         s = self.mesh.shape[MODEL_AXIS]
         s_budget = self.cluster_budget or _auto_budget(k, L)
-        return batch * s_budget * L <= max(self.ntotal // s, 1) * (
+        # queries shard over the data axis: each device sees
+        # batch/dp queries, and each reads S groups per query from
+        # its OWN shard
+        eff_batch = -(-batch // max(self._dp, 1))
+        return eff_batch * s_budget * L <= max(self.ntotal // s, 1) * (
             self.accel_read_cap
         )
 

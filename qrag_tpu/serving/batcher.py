@@ -306,8 +306,11 @@ class SearchBatcher:
             # either way, but an all-zero padding query is equidistant
             # from the whole corpus and would fail the clustered
             # accelerator's certificate, dragging the real requests
-            # into its fallback
-            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)), mode="edge")
+            # into its fallback.  An EMPTY batch has no edge to
+            # repeat (np.pad mode="edge" rejects it) — zeros are fine
+            # there, nothing real shares the batch.
+            mode = "edge" if b else "constant"
+            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)), mode=mode)
         res = self.engine.search(vecs, k=k)
         self.batches += 1
         self.batched_queries += b
@@ -451,7 +454,8 @@ class SearchBatcher:
         b = vecs.shape[0]
         bucket = pow2_bucket(b, self.bucket_floor)
         if bucket != b:
-            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)), mode="edge")
+            mode = "edge" if b else "constant"
+            vecs = np.pad(vecs, ((0, bucket - b), (0, 0)), mode=mode)
         out = self.engine.search_rerank(
             vecs, k=k, candidates=candidates, reranker_type=reranker_type
         )

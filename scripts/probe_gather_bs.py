@@ -72,29 +72,38 @@ def main():
 
     iters = args.iters
 
+    def _dep_body(gather_fn, n):
+        # FULL dependence (the CLAUDE.md bench rule): every gathered
+        # row feeds the next iteration's indices through a DATA-
+        # dependent term XLA cannot fold (int `* 0` folds and
+        # consuming only rows[0, 0] lets the gather slice-propagate
+        # to one element — the first cut of this probe measured
+        # nothing), and the emitted per-step value sums the WHOLE
+        # gather output.
+        def body(c, _):
+            rows = gather_fn(c)
+            sums = jnp.sum(rows.astype(jnp.float32), axis=1)  # (M,)
+            bump = (sums * 1e-20).astype(jnp.int32)  # data-dep, ~0
+            c2 = (c + 1 + bump) % n
+            return c2, sums.sum()
+
+        return body
+
     @jax.jit
     def take_loop(x, idx0):
-        def body(c, _):
-            rows = jnp.take(x, c, axis=0)
-            # full dependence: fold the gathered rows back into the
-            # next iteration's indices (cheap, defeats hoisting)
-            c2 = (c + rows[:, :1].astype(jnp.int32)[:, 0] * 0 + 1) % x.shape[0]
-            return c2, rows[0, 0]
-
+        body = _dep_body(lambda c: jnp.take(x, c, axis=0), x.shape[0])
         c, v = jax.lax.scan(body, idx0, None, length=iters)
-        return v.astype(jnp.float32).sum() + c[0].astype(jnp.float32), c
+        return v.sum() + c[0].astype(jnp.float32), c
 
     r_take = timed(take_loop, "jnp.take")
 
     @jax.jit
     def bs_loop(x, idx0):
-        def body(c, _):
-            rows = gather_rows_blockspec(x, c)
-            c2 = (c + rows[:, :1].astype(jnp.int32)[:, 0] * 0 + 1) % x.shape[0]
-            return c2, rows[0, 0]
-
+        body = _dep_body(
+            lambda c: gather_rows_blockspec(x, c), x.shape[0]
+        )
         c, v = jax.lax.scan(body, idx0, None, length=iters)
-        return v.astype(jnp.float32).sum() + c[0].astype(jnp.float32), c
+        return v.sum() + c[0].astype(jnp.float32), c
 
     try:
         r_bs = timed(bs_loop, "blockspec")

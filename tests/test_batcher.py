@@ -369,3 +369,16 @@ def test_doc_rerank_pair_axis_capped(engine):
         ]
     finally:
         batcher.close()
+
+
+def test_empty_vector_batch_pads_safely(engine):
+    """A (0, d) request must not crash the pow2 padding (np.pad
+    mode='edge' rejects empty axes — the pad falls back to zeros,
+    which share the batch with nothing real)."""
+    eng, x = engine
+    batcher = SearchBatcher(eng)
+    try:
+        res = batcher.search(np.zeros((0, 32), np.float32), k=5)
+        assert res.indices.shape[0] == 0
+    finally:
+        batcher.close()
