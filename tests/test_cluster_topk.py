@@ -535,3 +535,24 @@ def test_build_shapes_and_permutation_integrity(rng):
     np.testing.assert_array_equal(
         np.asarray(groups.corpus_p)[valid], x[oid[valid]]
     )
+
+
+def test_sharded_accel_ip_metric(mesh8, rng):
+    from qrag_tpu.parallel import ShardedFlatIndex
+
+    x = _clustered_corpus(rng, 20000, 64)
+    idx = ShardedFlatIndex(
+        x, mesh8, metric="ip",
+        small_batch_accel="clustered",
+        cluster_group_rows=128,
+        accel_read_cap=0,
+    )
+    q = _clustered_corpus(rng, 4, 64)
+    res = idx.search(q, 10)
+    ov, oi = _oracle(q, x, "ip", 10)
+    _assert_indices_tie_tolerant(
+        q, x, "ip", res.indices, np.asarray(oi), np.asarray(ov)
+    )
+    np.testing.assert_allclose(
+        res.scores, np.asarray(ov), rtol=1e-5, atol=1e-4
+    )
