@@ -51,9 +51,21 @@ def _fused_candidates(
     bounded_backend: str,
     bounded_kind: str = "bf16",
     bounded_query_store: bool = False,
+    cluster_bufs=None,  # ClusteredGroups arrays (minus group_rows)
+    cluster_group_rows: int = 512,
+    cluster_budget: int = 16,
+    cluster_probe: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate generation for the fused rerank graphs: finalized
     (B, C) retrieval scores + indices.
+
+    ``topk_mode="clustered"`` (with ``cluster_bufs`` = the index's
+    built acceleration structure) runs the cluster-pruned search
+    IN-GRAPH — the small-batch latency path extends to the flagship
+    fused retrieval→rerank endpoint: candidates come from certified
+    group reads instead of the full scan (exact; ``cluster_probe``
+    selects the IVF nprobe arm instead).  Certificate telemetry is
+    dropped in-graph (the host search path carries the counters).
 
     ``topk_mode="bounded"`` (with ``bounded_bufs`` = the index's
     bounded buffers — bf16 scan copy or int8 codes+margin inputs per
@@ -64,6 +76,27 @@ def _fused_candidates(
     modes keep the partial-reduce scan ("verified" has a host patch-up
     stage and degrades to "approx" here — the rerank fully re-scores
     the set either way)."""
+    if topk_mode == "clustered" and cluster_bufs is not None:
+        from qrag_tpu.ops.cluster_topk import (
+            _cluster_probe_topk_impl,
+            _cluster_pruned_topk_impl,
+        )
+        from qrag_tpu.ops.topk import _finalize
+
+        q32 = query_vecs.astype(jnp.float32)
+        if cluster_probe:
+            vals, idx = _cluster_probe_topk_impl(
+                q32, *cluster_bufs, candidates, metric, cluster_budget,
+                cluster_group_rows,
+            )
+        else:
+            vals, idx, _, _ = _cluster_pruned_topk_impl(
+                q32, *cluster_bufs, candidates, metric, cluster_budget,
+                cluster_group_rows,
+            )
+        # pad-sentinel indices (2^30) carry -inf goodness; _finalize
+        # marks them invalid and the rerank stage masks them
+        return _finalize(vals, idx, metric)
     if topk_mode == "bounded" and bounded_bufs is not None:
         from qrag_tpu.ops.bounded_topk import (
             bounded_exact_topk,
@@ -113,7 +146,9 @@ def _fused_candidates(
         metric=metric,
         corpus_sqnorms=corpus_sqnorms,
         valid_rows=valid_rows,
-        mode="approx" if topk_mode in ("verified", "bounded") else topk_mode,
+        mode="approx"
+        if topk_mode in ("verified", "bounded", "clustered")
+        else topk_mode,
         # the rerank stage fully re-ranks the candidate SET, so the
         # retrieval stage needs no oversampling of its own
         oversample=1,
@@ -125,6 +160,7 @@ def _fused_candidates(
     static_argnames=(
         "k", "candidates", "n_qubits", "metric", "analytic", "topk_mode",
         "bounded_backend", "bounded_kind", "bounded_query_store",
+        "cluster_group_rows", "cluster_budget", "cluster_probe",
     ),
 )
 def fused_search_rerank(
@@ -143,6 +179,10 @@ def fused_search_rerank(
     bounded_backend: str = "xla",
     bounded_kind: str = "bf16",
     bounded_query_store: bool = False,
+    cluster_bufs=None,  # built accel structure for topk_mode="clustered"
+    cluster_group_rows: int = 512,
+    cluster_budget: int = 16,
+    cluster_probe: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused graph: retrieval top-C → quantum fidelity → top-k.
 
@@ -156,7 +196,8 @@ def fused_search_rerank(
     retr_scores, idx = _fused_candidates(
         query_vecs, corpus, corpus_sqnorms, valid_rows, candidates,
         metric, topk_mode, bounded_bufs, bounded_backend, bounded_kind,
-        bounded_query_store,
+        bounded_query_store, cluster_bufs, cluster_group_rows,
+        cluster_budget, cluster_probe,
     )  # (B, C)
     if analytic and fid_feats is not None:
         from qrag_tpu.ops.statevector import (
@@ -189,6 +230,7 @@ def fused_search_rerank(
     static_argnames=(
         "k", "candidates", "n_qubits", "metric", "topk_mode",
         "bounded_backend", "bounded_kind", "bounded_query_store",
+        "cluster_group_rows", "cluster_budget", "cluster_probe",
     ),
 )
 def fused_search_rerank_routed(
@@ -206,6 +248,10 @@ def fused_search_rerank_routed(
     bounded_backend: str = "xla",
     bounded_kind: str = "bf16",
     bounded_query_store: bool = False,
+    cluster_bufs=None,
+    cluster_group_rows: int = 512,
+    cluster_budget: int = 16,
+    cluster_probe: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-query expert-routed rerank in one jit (SURVEY.md §2 EP row).
 
@@ -219,7 +265,8 @@ def fused_search_rerank_routed(
     retr_scores, idx = _fused_candidates(
         query_vecs, corpus, corpus_sqnorms, valid_rows, candidates,
         metric, topk_mode, bounded_bufs, bounded_backend, bounded_kind,
-        bounded_query_store,
+        bounded_query_store, cluster_bufs, cluster_group_rows,
+        cluster_budget, cluster_probe,
     )
     cand_vecs = jnp.take(corpus, idx, axis=0).astype(jnp.float32)  # (B, C, d)
     q32 = query_vecs.astype(jnp.float32)
@@ -423,7 +470,9 @@ class QragEngine:
                     qv, query_texts, n, k_eff, c_eff, reranker_type
                 )
             snap = self.index.device_buffers()  # one atomic generation
-            fused_mode, bounded_kw = self._fused_candidate_mode(c_eff)
+            fused_mode, bounded_kw = self._fused_candidate_mode(
+                c_eff, batch=qv.shape[0]
+            )
             if reranker_type == "auto" and query_texts is None:
                 # no text → the routing truth table can't run; label
                 # honestly instead of claiming "auto" ran
@@ -519,9 +568,15 @@ class QragEngine:
             "reranker_used": reranker_type,
         }
 
-    def _fused_candidate_mode(self, candidates: int):
+    def _fused_candidate_mode(self, candidates: int, batch=None):
         """Effective candidate-generation mode for the fused/pipelined
         graphs + the kwargs that realize it.
+
+        With ``batch`` (the non-pipelined search_rerank path): the
+        small-batch clustered accelerator routes candidate generation
+        through certified group reads when eligible — the latency
+        mode extends to the flagship fused endpoint.  Built lazily in
+        this host context (warmup builds it eagerly).
 
         "bounded" runs for real in-graph when the index shapes are
         eligible (exactness-honest fused paths — VERDICT r3 weak #5);
@@ -530,6 +585,27 @@ class QragEngine:
         live inside one jit, so fused candidates degrade to "approx"
         (the rerank fully re-scores the set); /stats reports this via
         ``effective_topk_modes``."""
+        if (
+            batch is not None
+            and self.index.has_device_snapshot
+            and getattr(
+                self.index, "_accel_eligible", lambda b, k: False
+            )(batch, candidates)
+        ):
+            from qrag_tpu.ops.cluster_topk import _auto_budget
+
+            groups = self.index.build_clustered()
+            budget = self.index.cluster_budget or _auto_budget(
+                candidates, groups.group_rows
+            )
+            return "clustered", {
+                "cluster_bufs": tuple(groups[:-1]),
+                "cluster_group_rows": groups.group_rows,
+                "cluster_budget": budget,
+                "cluster_probe": (
+                    self.index.small_batch_accel == "clustered_probe"
+                ),
+            }
         mode = self.index.topk_mode
         if mode == "bounded" and self.index.has_device_snapshot:
             if getattr(self.index, "_bounded_eligible", lambda k: False)(

@@ -556,3 +556,39 @@ def test_sharded_accel_ip_metric(mesh8, rng):
     np.testing.assert_allclose(
         res.scores, np.asarray(ov), rtol=1e-5, atol=1e-4
     )
+
+
+def test_fused_search_rerank_uses_accel_candidates(rng):
+    """search_rerank at small batch routes candidate generation
+    through the clustered accel IN-GRAPH; results must match the same
+    engine with the accelerator off (same candidate set -> same
+    rerank), and the quantum rerank semantics are untouched."""
+    from qrag_tpu.config import QragConfig
+    from qrag_tpu.engine import QragEngine
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    cfg = QragConfig.from_dict({"embedding": {"provider": "hash", "dim": 64}})
+    x = _clustered_corpus(rng, 6000, 64, n_centers=6)
+    meta = [f"m/{i}" for i in range(6000)]
+    accel_idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", metadata=meta,
+        small_batch_accel="clustered", cluster_group_rows=128,
+        accel_read_cap=0,
+    )
+    plain_idx = DeviceFlatIndex.from_numpy(x, metric="l2", metadata=meta)
+    eng_a = QragEngine(config=cfg, index=accel_idx)
+    eng_p = QragEngine(config=cfg, index=plain_idx)
+    accel_idx.build_clustered()
+
+    mode, kw = eng_a._fused_candidate_mode(16, batch=1)
+    assert mode == "clustered" and "cluster_bufs" in kw
+    # beyond accel_max_batch the normal mode returns
+    mode_b, _ = eng_a._fused_candidate_mode(16, batch=64)
+    assert mode_b != "clustered"
+
+    q = x[17:18] + 0.001
+    out_a = eng_a.search_rerank(q, k=5, candidates=16)
+    out_p = eng_p.search_rerank(q, k=5, candidates=16)
+    ids_a = [h["index"] for h in out_a["results"][0]]
+    ids_p = [h["index"] for h in out_p["results"][0]]
+    assert ids_a == ids_p, (ids_a, ids_p)
