@@ -90,6 +90,19 @@ def load_library() -> ctypes.CDLL:
             c.c_void_p, c.POINTER(c.c_float), c.c_uint64, c.c_uint32,
             c.c_uint32, c.POINTER(c.c_float), c.POINTER(c.c_int64),
         ]
+        lib.qidx_raw_cluster_topk.restype = None
+        lib.qidx_raw_cluster_topk.argtypes = [
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # x, n, d
+            c.POINTER(c.c_float),  # xsq
+            c.POINTER(c.c_int32), c.POINTER(c.c_int64),  # order, goff
+            c.POINTER(c.c_float), c.POINTER(c.c_float),  # cent, csq
+            c.POINTER(c.c_float), c.POINTER(c.c_float),  # radii, mxn
+            c.c_uint32,  # G
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # q, b, k
+            c.c_uint32, c.c_uint32,  # metric, budget
+            c.POINTER(c.c_float), c.POINTER(c.c_int64),  # out
+            c.POINTER(c.c_uint32),  # stats (2,)
+        ]
         _LIB = lib
     return _LIB
 
@@ -241,3 +254,127 @@ def cpu_scan_topk(
             metric_code, threads, _fptr(scores), out_i,
         )
     return scores, idx
+
+
+class HostClusters:
+    """Variable-size cluster structure for the native cluster-pruned
+    exact search (``qidx_raw_cluster_topk`` — the host-tier twin of
+    ``ops/cluster_topk.py``; faiss-cpu's IVF role, but provably
+    exact).  Built once per corpus; any assignment yields a correct
+    structure (quality only sets the pruning rate)."""
+
+    def __init__(self, order, goff, cent, csq, radii, mxn, xsq):
+        self.order = order  # (n,) int32 row ids grouped by cluster
+        self.goff = goff  # (G+1,) int64 offsets into order
+        self.cent = cent  # (G, d) f32
+        self.csq = csq  # (G,) f32
+        self.radii = radii  # (G,) f32 (inflated)
+        self.mxn = mxn  # (G,) f32 (inflated)
+        self.xsq = xsq  # (n,) f32 row squared norms (build-time)
+
+
+def build_host_clusters(
+    x: np.ndarray,
+    rows_per_cluster: int = 2048,
+    iters: int = 6,
+    seed: int = 0,
+) -> HostClusters:
+    """NumPy Lloyd k-means + per-cluster stats, with the same float-
+    rounding inflation discipline as the device build (radii/maxnorms
+    scaled by 1 + ~d*eps headroom so the C++ float margins stay
+    rigorous)."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n, d = x.shape
+    g = max(1, n // max(rows_per_cluster, 1))
+    rng = np.random.default_rng(seed)
+    cent = x[np.sort(rng.choice(n, size=g, replace=False))].astype(
+        np.float64
+    )
+    x64 = x.astype(np.float64)
+    assign = np.zeros((n,), np.int64)
+    for _ in range(max(iters, 1)):
+        # chunked assignment (memory-bounded)
+        for s in range(0, n, 65536):
+            xb = x64[s : s + 65536]
+            dots = xb @ cent.T
+            assign[s : s + 65536] = np.argmax(
+                dots - 0.5 * np.sum(cent * cent, axis=1)[None, :], axis=1
+            )
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x64)
+        counts = np.bincount(assign, minlength=g).astype(np.float64)
+        nonzero = counts > 0
+        cent[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    sizes = np.bincount(assign, minlength=g)
+    goff = np.zeros((g + 1,), np.int64)
+    goff[1:] = np.cumsum(sizes)
+    centf = cent.astype(np.float32)
+    infl = np.float32(1.0 + 4.0e-7 * max(d, 768))
+    radii = np.zeros((g,), np.float32)
+    mxn = np.zeros((g,), np.float32)
+    for c in range(g):
+        rows = x[order[goff[c] : goff[c + 1]]]
+        if rows.shape[0] == 0:
+            continue
+        diff = rows.astype(np.float64) - cent[c][None, :]
+        radii[c] = np.sqrt((diff * diff).sum(axis=1).max()) * infl + 1e-20
+        mxn[c] = np.sqrt(
+            (rows.astype(np.float64) ** 2).sum(axis=1).max()
+        ) * infl + 1e-20
+    # csq is NOT inflated: for l2 a larger csq would RAISE the
+    # distance lower bound and under-state ub (unsound direction);
+    # its computation error is covered by the C side's e2 margin
+    csq = np.sum(centf.astype(np.float64) * centf, axis=1).astype(
+        np.float32
+    )
+    xsq = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+    return HostClusters(order, goff, centf, csq, radii, mxn, xsq)
+
+
+def raw_cluster_topk(
+    x: np.ndarray,
+    clusters: HostClusters,
+    queries: np.ndarray,
+    k: int,
+    metric: str = "l2",
+    budget: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cluster-pruned PROVABLY-EXACT top-k over a raw host matrix.
+
+    Returns (scores finalized like ``raw_scan_topk``, indices, stats
+    (2,) uint32 = (fallback queries, escalated queries)).  Exactness
+    is unconditional — certificate failures escalate 4x then run the
+    exact full scan per query."""
+    lib = load_library()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    queries = np.ascontiguousarray(queries, dtype=np.float32)
+    if queries.ndim == 1:
+        queries = queries[None, :]
+    b = queries.shape[0]
+    n, d = x.shape
+    xsq = np.ascontiguousarray(clusters.xsq, np.float32)
+    if budget <= 0:
+        budget = max(8, 2 * k)
+    scores = np.empty((b, k), np.float32)
+    idx = np.empty((b, k), np.int64)
+    stats = np.zeros((2,), np.uint32)
+    order = np.ascontiguousarray(clusters.order, np.int32)
+    goff = np.ascontiguousarray(clusters.goff, np.int64)
+    metric_code = METRIC_L2 if metric == "l2" else METRIC_IP
+    lib.qidx_raw_cluster_topk(
+        _fptr(x), n, d, _fptr(xsq),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        goff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _fptr(np.ascontiguousarray(clusters.cent, np.float32)),
+        _fptr(np.ascontiguousarray(clusters.csq, np.float32)),
+        _fptr(np.ascontiguousarray(clusters.radii, np.float32)),
+        _fptr(np.ascontiguousarray(clusters.mxn, np.float32)),
+        clusters.cent.shape[0],
+        _fptr(queries), b, k, metric_code, budget,
+        _fptr(scores),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return scores, idx, stats

@@ -36,6 +36,7 @@
 // Build: make -C qrag_tpu/native   (g++ -O3 -shared; no deps)
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -404,6 +405,151 @@ void qidx_scan_topk_mt(Store* s, const float* q, uint64_t b, uint32_t k,
   }
   qidx_raw_scan_topk_mt(s->data, ntotal, s->header->d, q, b, k,
                         s->header->metric, n_threads, out_scores, out_idx);
+}
+
+// --------------------------------------------- cluster-pruned search
+
+// Host-tier twin of ops/cluster_topk.py (the device design at the C++
+// tier — faiss-cpu's IVF role, but PROVABLY EXACT): per-cluster
+// centroid/radius upper bounds certify which clusters can hold top-k
+// rows; only those are scored.  Certify -> 4x-budget escalation ->
+// full-scan fallback; exactness is unconditional, clustering quality
+// only sets the pruning rate.  Scoring/tie semantics are scan_topk's
+// (float accumulation, lower index wins ties); the margins cover the
+// float evaluation drift the same way the device op's _acc_rel does.
+
+// relative error bound of one float reduction over d terms (d * eps
+// with headroom — mirrors cluster_topk._acc_rel's role, sized for the
+// float accumulation this file uses)
+static inline float host_acc_rel(uint32_t d) { return 2.0e-7f * (float)d; }
+
+static inline float dotf(const float* a, const float* b_, uint32_t d) {
+  float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+  uint32_t j = 0;
+  for (; j + 4 <= d; j += 4) {
+    a0 += a[j] * b_[j];
+    a1 += a[j + 1] * b_[j + 1];
+    a2 += a[j + 2] * b_[j + 2];
+    a3 += a[j + 3] * b_[j + 3];
+  }
+  float dot = a0 + a1 + a2 + a3;
+  for (; j < d; ++j) dot += a[j] * b_[j];
+  return dot;
+}
+
+// One certification tier for one query.  Returns true when the
+// certificate held; the (k)-heap results land in out (sorted).
+static bool cluster_tier(const float* x, const float* xsq, uint32_t d,
+                         const int32_t* order, const int64_t* goff,
+                         const float* cent, const float* csq,
+                         const float* radii, const float* mxn, uint32_t G,
+                         const float* qq, float qsq, uint32_t k,
+                         uint32_t metric, uint32_t S,
+                         const float* ub,  // (G) precomputed bounds
+                         float* out_scores, int64_t* out_idx) {
+  // exact top-S clusters by upper bound (ties: lower cluster id)
+  std::vector<uint32_t> gids(G);
+  for (uint32_t g = 0; g < G; ++g) gids[g] = g;
+  if (S < G)
+    std::nth_element(gids.begin(), gids.begin() + S, gids.end(),
+                     [&](uint32_t a, uint32_t b_) {
+                       if (ub[a] != ub[b_]) return ub[a] > ub[b_];
+                       return a < b_;
+                     });
+  uint32_t sel = std::min<uint32_t>(S, G);
+
+  typedef std::pair<float, int64_t> Entry;  // (goodness, -index)
+  std::vector<Entry> heap;
+  heap.reserve(k + 1);
+  auto cmp = [](const Entry& a, const Entry& b_) { return a > b_; };
+  for (uint32_t si = 0; si < sel; ++si) {
+    uint32_t g = gids[si];
+    for (int64_t p = goff[g]; p < goff[g + 1]; ++p) {
+      int64_t i = order[p];
+      float dot = dotf(x + (uint64_t)i * d, qq, d);
+      float gd = (metric == 1) ? (2.f * dot - qsq - xsq[i]) : dot;
+      Entry e(gd, -i);
+      if (heap.size() < k) {
+        heap.push_back(e);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      } else if (e > heap.front()) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        heap.back() = e;
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      }
+    }
+  }
+  if (heap.size() < k) return false;  // degenerate: fewer than k rows
+  float thr = heap.front().first;     // k-th best goodness
+  // cert: every cluster whose bound clears thr must be selectable
+  // within S (count <= S implies the exact top-S selection covers it)
+  uint32_t count = 0;
+  for (uint32_t g = 0; g < G; ++g)
+    if (ub[g] >= thr && ++count > S) return false;
+
+  std::sort_heap(heap.begin(), heap.end(), cmp);
+  for (uint32_t r = 0; r < k; ++r) {
+    float gd = heap[r].first;
+    out_scores[r] = (metric == 1) ? std::max(0.f, -gd) : gd;
+    out_idx[r] = -heap[r].second;
+  }
+  return true;
+}
+
+// metric: 0=ip, 1=l2.  order/goff describe variable-size clusters
+// (goff has G+1 entries into order); cent/csq/radii/mxn are the
+// per-cluster stats (radii and mxn pre-inflated by the caller for
+// the float rounding of computing them).  out_stats (2): per-query
+// fallback count, escalation count.
+void qidx_raw_cluster_topk(const float* x, uint64_t n, uint32_t d,
+                           const float* xsq, const int32_t* order,
+                           const int64_t* goff, const float* cent,
+                           const float* csq, const float* radii,
+                           const float* mxn, uint32_t G, const float* q,
+                           uint64_t b, uint32_t k, uint32_t metric,
+                           uint32_t budget, float* out_scores,
+                           int64_t* out_idx, uint32_t* out_stats) {
+  out_stats[0] = out_stats[1] = 0;
+  const float accrel = host_acc_rel(d);
+  std::vector<float> ub(G);
+  for (uint64_t bi = 0; bi < b; ++bi) {
+    const float* qq = q + bi * d;
+    float qsq = dotf(qq, qq, d);
+    float qn = std::sqrt(std::max(qsq, 0.f));
+    // per-cluster goodness upper bounds (triangle inequality +
+    // float-drift margins — the host mirror of _group_upper_bounds)
+    for (uint32_t g = 0; g < G; ++g) {
+      float qc = dotf(qq, cent + (uint64_t)g * d, d);
+      float cn = std::sqrt(std::max(csq[g], 0.f));
+      float e_qc = accrel * qn * cn;
+      if (metric == 1) {
+        float refine_m =
+            2.f * accrel * qn * mxn[g] + accrel * (qsq + mxn[g] * mxn[g]);
+        float d2 = qsq + csq[g] - 2.f * qc;
+        float e2 = 1.25f * (2.f * e_qc + accrel * (qsq + csq[g]));
+        float dlb = std::sqrt(std::max(d2 - e2, 0.f));
+        float dist = std::max(dlb - radii[g], 0.f);
+        ub[g] = -(dist * dist) + refine_m;
+      } else {
+        ub[g] = qc + 1.25f * e_qc + qn * radii[g] + accrel * qn * mxn[g];
+      }
+      if (goff[g + 1] <= goff[g]) ub[g] = -__builtin_inff();  // empty
+    }
+    float* os = out_scores + bi * k;
+    int64_t* oi = out_idx + bi * k;
+    uint32_t S1 = std::max(budget, k);
+    if (cluster_tier(x, xsq, d, order, goff, cent, csq, radii, mxn, G,
+                     qq, qsq, k, metric, S1, ub.data(), os, oi))
+      continue;
+    out_stats[1]++;  // tier-1 failed -> escalate
+    uint32_t S2 = std::min<uint32_t>(4 * S1, G);
+    if (S2 > S1 &&
+        cluster_tier(x, xsq, d, order, goff, cent, csq, radii, mxn, G,
+                     qq, qsq, k, metric, S2, ub.data(), os, oi))
+      continue;
+    out_stats[0]++;  // exact full-scan backstop (scan_topk semantics)
+    scan_topk(x, n, d, qq, 1, k, metric, os, oi);
+  }
 }
 
 }  // extern "C"

@@ -226,3 +226,94 @@ def test_store_threaded_scan(tmp_path, rng):
         np.testing.assert_array_equal(i1, i4)
         np.testing.assert_array_equal(s1, s4)
         assert (i1[:, 0] == np.arange(8)).all()
+
+
+def _clustered(rng, n, d, n_centers=8, spread=0.03):
+    centers = rng.randn(n_centers, d).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.randint(0, n_centers, n)] + spread * rng.randn(
+        n, d
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def test_native_cluster_topk_exact_and_prunes(rng):
+    """C++ cluster-pruned exact search (the host twin of
+    ops/cluster_topk.py): identical to the C++ exact scan on clustered
+    data (zero fallbacks), exact via the ladder on uniform data."""
+    from qrag_tpu.index.native_store import (
+        build_host_clusters,
+        raw_cluster_topk,
+        cpu_scan_topk,
+    )
+
+    x = _clustered(rng, 20000, 48)
+    clusters = build_host_clusters(x, rows_per_cluster=512, iters=5)
+    q = _clustered(rng, 16, 48)
+    for metric in ("l2", "ip"):
+        s, i, stats = raw_cluster_topk(x, clusters, q, 10, metric=metric)
+        s0, i0 = cpu_scan_topk(x, q, 10, metric=metric)
+        np.testing.assert_array_equal(i, i0)
+        np.testing.assert_allclose(s, s0, rtol=1e-6, atol=1e-6)
+        assert stats[0] == 0, f"{metric}: fallbacks on clustered data"
+
+    # uniform data defeats the bounds; exactness must survive the
+    # escalate/fallback ladder
+    xu = rng.randn(5000, 48).astype(np.float32)
+    xu /= np.linalg.norm(xu, axis=1, keepdims=True)
+    cu = build_host_clusters(xu, rows_per_cluster=512, iters=3)
+    qu = rng.randn(4, 48).astype(np.float32)
+    s, i, stats = raw_cluster_topk(xu, cu, qu, 10)
+    s0, i0 = cpu_scan_topk(xu, qu, 10)
+    np.testing.assert_array_equal(i, i0)
+    np.testing.assert_allclose(s, s0, rtol=1e-6, atol=1e-6)
+
+
+def test_native_cluster_topk_ties_and_budget(rng):
+    from qrag_tpu.index.native_store import (
+        build_host_clusters,
+        raw_cluster_topk,
+        cpu_scan_topk,
+    )
+
+    x = _clustered(rng, 8000, 32)
+    dup = x[97].copy()
+    for j in (97, 2001, 5003, 7999):
+        x[j] = dup
+    clusters = build_host_clusters(x, rows_per_cluster=512, iters=4)
+    q = (dup + 0.0002 * rng.randn(32)).astype(np.float32)[None, :]
+    s, i, stats = raw_cluster_topk(x, clusters, q, 8)
+    s0, i0 = cpu_scan_topk(x, q, 8)
+    # the C side scores every row with the SAME dot kernel, so ties
+    # are bitwise and the lower-index order must match exactly
+    np.testing.assert_array_equal(i, i0)
+    # starved budget floors at k (S = max(budget, k)); still exact
+    s1, i1, st1 = raw_cluster_topk(x, clusters, q, 8, budget=1)
+    np.testing.assert_array_equal(i1, i0)
+
+    # mass ties: 40 copies of one vector — k-means sends identical
+    # rows to ONE cluster (variable-size clusters dodge the device
+    # design's fixed-group birthday collisions entirely), so this
+    # certifies cleanly; exactness incl. the 10-lowest-index order
+    x2 = _clustered(rng, 8000, 32)
+    v = x2[500].copy()
+    for j in rng.choice(8000, size=40, replace=False):
+        x2[j] = v
+    c2 = build_host_clusters(x2, rows_per_cluster=512, iters=4)
+    q2 = v[None, :]
+    s2, i2, st2 = raw_cluster_topk(x2, c2, q2, 10)
+    s20, i20 = cpu_scan_topk(x2, q2, 10)
+    np.testing.assert_array_equal(i2, i20)
+
+    # uniform data with G >> S: the bounds prune nothing, tier-1 must
+    # fail and the ladder (escalation and/or full scan) must fire —
+    # exactness unconditional
+    xu = rng.randn(20000, 32).astype(np.float32)
+    xu /= np.linalg.norm(xu, axis=1, keepdims=True)
+    cu = build_host_clusters(xu, rows_per_cluster=256, iters=2)
+    qu = rng.randn(3, 32).astype(np.float32)
+    su, iu, stu = raw_cluster_topk(xu, cu, qu, 10)
+    su0, iu0 = cpu_scan_topk(xu, qu, 10)
+    np.testing.assert_array_equal(iu, iu0)
+    assert stu[0] + stu[1] > 0, "uniform data must fire the ladder"
