@@ -90,6 +90,19 @@ def load_library() -> ctypes.CDLL:
             c.c_void_p, c.POINTER(c.c_float), c.c_uint64, c.c_uint32,
             c.c_uint32, c.POINTER(c.c_float), c.POINTER(c.c_int64),
         ]
+        lib.qidx_cluster_topk.restype = None
+        lib.qidx_cluster_topk.argtypes = [
+            c.c_void_p,  # store handle
+            c.POINTER(c.c_float),  # xsq
+            c.POINTER(c.c_int32), c.POINTER(c.c_int64),  # order, goff
+            c.POINTER(c.c_float), c.POINTER(c.c_float),  # cent, csq
+            c.POINTER(c.c_float), c.POINTER(c.c_float),  # radii, mxn
+            c.c_uint32,  # G
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # q, b, k
+            c.c_uint32,  # budget
+            c.POINTER(c.c_float), c.POINTER(c.c_int64),  # out
+            c.POINTER(c.c_uint32),  # stats
+        ]
         lib.qidx_raw_cluster_topk.restype = None
         lib.qidx_raw_cluster_topk.argtypes = [
             c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # x, n, d
@@ -173,6 +186,62 @@ class NativeVectorStore:
 
     def flush(self) -> None:
         self._lib.qidx_flush(self._handle)
+
+    def build_clusters(
+        self, rows_per_cluster: int = 2048, iters: int = 6, seed: int = 0
+    ) -> "HostClusters":
+        """Build (and cache) the cluster-pruned structure over the
+        store's current rows (one read pass; invalidated by append
+        via the ntotal key)."""
+        cached = getattr(self, "_clusters", None)
+        if cached is not None and cached[0] == self.ntotal:
+            return cached[1]
+        clusters = build_host_clusters(
+            self.read(), rows_per_cluster=rows_per_cluster, iters=iters,
+            seed=seed,
+        )
+        self._clusters = (self.ntotal, clusters)
+        return clusters
+
+    def cluster_topk(
+        self,
+        queries: np.ndarray,
+        k: int,
+        clusters: Optional["HostClusters"] = None,
+        budget: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Cluster-pruned PROVABLY-EXACT top-k over the mmap'd store
+        rows in place (the host twin of the device accelerator; see
+        ``raw_cluster_topk``).  Returns (scores, indices, stats)."""
+        if clusters is None:
+            clusters = self.build_clusters()
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        b = queries.shape[0]
+        if budget <= 0:
+            budget = max(8, 2 * k)
+        scores = np.empty((b, k), np.float32)
+        idx = np.empty((b, k), np.int64)
+        stats = np.zeros((2,), np.uint32)
+        order = np.ascontiguousarray(clusters.order, np.int32)
+        goff = np.ascontiguousarray(clusters.goff, np.int64)
+        self._lib.qidx_cluster_topk(
+            self._handle,
+            _fptr(np.ascontiguousarray(clusters.xsq, np.float32)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            goff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _fptr(np.ascontiguousarray(clusters.cent, np.float32)),
+            _fptr(np.ascontiguousarray(clusters.csq, np.float32)),
+            _fptr(np.ascontiguousarray(clusters.radii, np.float32)),
+            _fptr(np.ascontiguousarray(clusters.mxn, np.float32)),
+            clusters.cent.shape[0],
+            _fptr(queries), b, k, budget,
+            _fptr(scores),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        return scores, idx, stats
 
     def scan_topk(
         self, queries: np.ndarray, k: int, threads: int = 1

@@ -552,4 +552,24 @@ void qidx_raw_cluster_topk(const float* x, uint64_t n, uint32_t d,
   }
 }
 
+// Store-backed variant: searches the mmap'd rows in place (no host
+// copy); metric comes from the store header.
+void qidx_cluster_topk(Store* s, const float* xsq, const int32_t* order,
+                       const int64_t* goff, const float* cent,
+                       const float* csq, const float* radii,
+                       const float* mxn, uint32_t G, const float* q,
+                       uint64_t b, uint32_t k, uint32_t budget,
+                       float* out_scores, int64_t* out_idx,
+                       uint32_t* out_stats) {
+  uint64_t ntotal = qidx_ntotal(s);
+  if (ensure_mapped(s, file_bytes_for(s->header->d, ntotal)) != 0) {
+    ntotal = (s->map_bytes - HEADER_BYTES) /
+             ((uint64_t)s->header->d * sizeof(float));
+  }
+  qidx_raw_cluster_topk(s->data, ntotal, s->header->d, xsq, order, goff,
+                        cent, csq, radii, mxn, G, q, b, k,
+                        s->header->metric, budget, out_scores, out_idx,
+                        out_stats);
+}
+
 }  // extern "C"

@@ -317,3 +317,25 @@ def test_native_cluster_topk_ties_and_budget(rng):
     su0, iu0 = cpu_scan_topk(xu, qu, 10)
     np.testing.assert_array_equal(iu, iu0)
     assert stu[0] + stu[1] > 0, "uniform data must fire the ladder"
+
+
+def test_store_cluster_topk(tmp_path, rng):
+    """Store-level clustered search: mmap rows in place, cached
+    structure invalidates on append."""
+    from qrag_tpu.index.native_store import NativeVectorStore
+
+    x = _clustered(rng, 6000, 32)
+    store = NativeVectorStore(str(tmp_path / "s.qidx"), d=32, metric="l2")
+    store.append(x)
+    s, i, stats = store.cluster_topk(x[:3] + 0.001, 5)
+    s0, i0 = store.scan_topk(x[:3] + 0.001, 5)
+    np.testing.assert_array_equal(i, i0)
+    np.testing.assert_allclose(s, s0, rtol=1e-6, atol=1e-6)
+    c1 = store.build_clusters()
+    assert store.build_clusters() is c1  # cached
+    extra = _clustered(rng, 64, 32)
+    store.append(extra)
+    assert store.build_clusters() is not c1  # append invalidates
+    s2, i2, _ = store.cluster_topk(extra[:2], 5)
+    s20, i20 = store.scan_topk(extra[:2], 5)
+    np.testing.assert_array_equal(i2, i20)
