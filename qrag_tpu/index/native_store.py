@@ -103,6 +103,19 @@ def load_library() -> ctypes.CDLL:
             c.POINTER(c.c_float), c.POINTER(c.c_int64),  # out
             c.POINTER(c.c_uint32),  # stats
         ]
+        lib.qidx_raw_cluster_topk_mt.restype = None
+        lib.qidx_raw_cluster_topk_mt.argtypes = [
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # x, n, d
+            c.POINTER(c.c_float),  # xsq
+            c.POINTER(c.c_int32), c.POINTER(c.c_int64),  # order, goff
+            c.POINTER(c.c_float), c.POINTER(c.c_float),  # cent, csq
+            c.POINTER(c.c_float), c.POINTER(c.c_float),  # radii, mxn
+            c.c_uint32,  # G
+            c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # q, b, k
+            c.c_uint32, c.c_uint32, c.c_uint32,  # metric, budget, threads
+            c.POINTER(c.c_float), c.POINTER(c.c_int64),  # out
+            c.POINTER(c.c_uint32),  # stats
+        ]
         lib.qidx_raw_cluster_topk.restype = None
         lib.qidx_raw_cluster_topk.argtypes = [
             c.POINTER(c.c_float), c.c_uint64, c.c_uint32,  # x, n, d
@@ -409,6 +422,7 @@ def raw_cluster_topk(
     k: int,
     metric: str = "l2",
     budget: int = 0,
+    threads: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cluster-pruned PROVABLY-EXACT top-k over a raw host matrix.
 
@@ -432,7 +446,7 @@ def raw_cluster_topk(
     order = np.ascontiguousarray(clusters.order, np.int32)
     goff = np.ascontiguousarray(clusters.goff, np.int64)
     metric_code = METRIC_L2 if metric == "l2" else METRIC_IP
-    lib.qidx_raw_cluster_topk(
+    common = (
         _fptr(x), n, d, _fptr(xsq),
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         goff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -442,8 +456,14 @@ def raw_cluster_topk(
         _fptr(np.ascontiguousarray(clusters.mxn, np.float32)),
         clusters.cent.shape[0],
         _fptr(queries), b, k, metric_code, budget,
+    )
+    outs = (
         _fptr(scores),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
+    if threads == 1:
+        lib.qidx_raw_cluster_topk(*common, *outs)
+    else:
+        lib.qidx_raw_cluster_topk_mt(*common, threads, *outs)
     return scores, idx, stats

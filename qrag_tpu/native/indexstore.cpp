@@ -552,6 +552,48 @@ void qidx_raw_cluster_topk(const float* x, uint64_t n, uint32_t d,
   }
 }
 
+// Query-parallel MT variant (each thread owns a query slice — zero
+// synchronization; per-thread stats summed at the end).  Results are
+// identical to the single-thread form: per-query work is independent.
+void qidx_raw_cluster_topk_mt(const float* x, uint64_t n, uint32_t d,
+                              const float* xsq, const int32_t* order,
+                              const int64_t* goff, const float* cent,
+                              const float* csq, const float* radii,
+                              const float* mxn, uint32_t G,
+                              const float* q, uint64_t b, uint32_t k,
+                              uint32_t metric, uint32_t budget,
+                              uint32_t n_threads, float* out_scores,
+                              int64_t* out_idx, uint32_t* out_stats) {
+  if (n_threads == 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = (uint32_t)std::min<uint64_t>(n_threads, std::max<uint64_t>(b, 1));
+  if (n_threads <= 1) {
+    qidx_raw_cluster_topk(x, n, d, xsq, order, goff, cent, csq, radii,
+                          mxn, G, q, b, k, metric, budget, out_scores,
+                          out_idx, out_stats);
+    return;
+  }
+  std::vector<uint32_t> part_stats((size_t)n_threads * 2, 0);
+  std::vector<std::thread> pool;
+  uint64_t per = (b + n_threads - 1) / n_threads;
+  for (uint32_t ti = 0; ti < n_threads; ++ti) {
+    uint64_t s = ti * per, e = std::min(b, s + per);
+    if (s >= e) break;
+    pool.emplace_back([=, &part_stats] {
+      qidx_raw_cluster_topk(x, n, d, xsq, order, goff, cent, csq,
+                            radii, mxn, G, q + s * d, e - s, k, metric,
+                            budget, out_scores + s * k, out_idx + s * k,
+                            part_stats.data() + (size_t)ti * 2);
+    });
+  }
+  for (auto& th : pool) th.join();
+  out_stats[0] = out_stats[1] = 0;
+  for (uint32_t ti = 0; ti < n_threads; ++ti) {
+    out_stats[0] += part_stats[(size_t)ti * 2];
+    out_stats[1] += part_stats[(size_t)ti * 2 + 1];
+  }
+}
+
 // Store-backed variant: searches the mmap'd rows in place (no host
 // copy); metric comes from the store header.
 void qidx_cluster_topk(Store* s, const float* xsq, const int32_t* order,

@@ -339,3 +339,19 @@ def test_store_cluster_topk(tmp_path, rng):
     s2, i2, _ = store.cluster_topk(extra[:2], 5)
     s20, i20 = store.scan_topk(extra[:2], 5)
     np.testing.assert_array_equal(i2, i20)
+
+
+def test_native_cluster_topk_mt_matches_single(rng):
+    from qrag_tpu.index.native_store import (
+        build_host_clusters,
+        raw_cluster_topk,
+    )
+
+    x = _clustered(rng, 12000, 32)
+    clusters = build_host_clusters(x, rows_per_cluster=512, iters=3)
+    q = _clustered(rng, 16, 32)
+    s1, i1, st1 = raw_cluster_topk(x, clusters, q, 10, threads=1)
+    s4, i4, st4 = raw_cluster_topk(x, clusters, q, 10, threads=4)
+    np.testing.assert_array_equal(i1, i4)
+    np.testing.assert_array_equal(s1, s4)
+    np.testing.assert_array_equal(st1, st4)
