@@ -471,7 +471,7 @@ class QragEngine:
                 )
             snap = self.index.device_buffers()  # one atomic generation
             fused_mode, bounded_kw = self._fused_candidate_mode(
-                c_eff, batch=qv.shape[0]
+                c_eff, batch=qv.shape[0], snap=snap
             )
             if reranker_type == "auto" and query_texts is None:
                 # no text → the routing truth table can't run; label
@@ -568,7 +568,7 @@ class QragEngine:
             "reranker_used": reranker_type,
         }
 
-    def _fused_candidate_mode(self, candidates: int, batch=None):
+    def _fused_candidate_mode(self, candidates: int, batch=None, snap=None):
         """Effective candidate-generation mode for the fused/pipelined
         graphs + the kwargs that realize it.
 
@@ -594,7 +594,13 @@ class QragEngine:
         ):
             from qrag_tpu.ops.cluster_topk import _auto_budget
 
-            groups = self.index.build_clustered()
+            # build against the CALLER's snapshot: a concurrent append
+            # publishing a newer generation between the caller's
+            # device_buffers() and this build would otherwise hand the
+            # fused graph candidate indices of rows that are still
+            # capacity-padding zeros in the older matrix it gathers
+            # from (review finding, r4 final)
+            groups = self.index.build_clustered(snap=snap)
             budget = self.index.cluster_budget or _auto_budget(
                 candidates, groups.group_rows
             )
@@ -612,8 +618,11 @@ class QragEngine:
                 candidates
             ):
                 kind = getattr(self.index, "bounded_scan", "bf16")
+                # same snapshot-consistency rule as the accel arm: the
+                # bufs must derive from the snapshot the fused graph
+                # gathers from (pre-existing race, fixed r4 final)
                 if kind == "int8":
-                    snap, bufs = self.index._bounded_buffers_int8()
+                    snap, bufs = self.index._bounded_buffers_int8(snap=snap)
                     n, d = snap.matrix.shape
                     backend = (
                         "pallas"
@@ -623,7 +632,7 @@ class QragEngine:
                         else "xla"
                     )
                 else:
-                    snap, bufs = self.index._bounded_buffers()
+                    snap, bufs = self.index._bounded_buffers(snap=snap)
                     n, d = snap.matrix.shape
                     backend = (
                         "pallas"
@@ -880,7 +889,7 @@ class QragEngine:
             )
 
         def stage_retrieve(q, c, snap):
-            mode, bkw = self._fused_candidate_mode(c)
+            mode, bkw = self._fused_candidate_mode(c, snap=snap)
             if mode == "bounded":
                 return _retrieve_bounded_impl(
                     q,

@@ -439,7 +439,7 @@ class DeviceFlatIndex:
     # search
     # ------------------------------------------------------------------
 
-    def _bounded_buffers(self):
+    def _bounded_buffers(self, snap=None):
         """Derived buffers for topk_mode="bounded" (norm-bounded
         window pruning, ops/bounded_topk.py), cached per snapshot
         generation: a bf16 scan copy (aliases the matrix when it
@@ -447,7 +447,7 @@ class DeviceFlatIndex:
         from qrag_tpu.ops.bounded_topk import window_maxnorms_device
         from qrag_tpu.ops.window_scan import make_lane_rank
 
-        snap = self.device_buffers()
+        snap = self.device_buffers() if snap is None else snap
         bufs = snap.extras.get("bounded")
         if bufs is None:
             scan = (
@@ -468,7 +468,7 @@ class DeviceFlatIndex:
         # small corpora route to the exact sort (already cheap there)
         return cap >= 4096 and cap % 128 == 0 and cap // 128 >= max(k, 16)
 
-    def _bounded_buffers_int8(self):
+    def _bounded_buffers_int8(self, snap=None):
         """Derived buffers for topk_mode="bounded" + bounded_scan=
         "int8": per-window int8 codes of the REFINE-domain rows (the
         margin derivation requires codes quantized from the exact rows
@@ -484,7 +484,7 @@ class DeviceFlatIndex:
             quantize_block_rows_device,
         )
 
-        snap = self.device_buffers()
+        snap = self.device_buffers() if snap is None else snap
         bufs = snap.extras.get("bounded_int8")
         if bufs is None:
             q8x, wscale = jax.jit(quantize_block_rows_device)(
@@ -588,7 +588,7 @@ class DeviceFlatIndex:
         s_budget = self.cluster_budget or _auto_budget(k, L)
         return batch * s_budget * L <= n * self.accel_read_cap
 
-    def build_clustered(self):
+    def build_clustered(self, snap=None):
         """Build (or fetch the cached) cluster-pruned acceleration
         structure for the current snapshot (ops/cluster_topk.py).
         Lazily invoked by search routing; call eagerly at serve
@@ -598,10 +598,13 @@ class DeviceFlatIndex:
         k-means; it invalidates on append (ntotal changes)."""
         from qrag_tpu.ops.cluster_topk import build_clustered_groups
 
-        snap = self.device_buffers()
+        snap = self.device_buffers() if snap is None else snap
         groups = snap.extras.get("clustered")
         if groups is None:
-            n = self.ntotal
+            # size off the SNAPSHOT's row count, not self.ntotal: with
+            # an explicit (possibly older) snap a concurrent append
+            # must not leak capacity-padding rows into the structure
+            n = snap.ntotal
             assign = self._cluster_assign
             if assign is not None and assign.shape[0] != n:
                 assign = None  # appended since the assignment was made

@@ -49,6 +49,12 @@ def load_library() -> ctypes.CDLL:
         if not os.path.exists(_LIB_PATH):
             _build_library()
         lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "qidx_cluster_topk"):
+            # a prebuilt .so from an older commit lacks the newer
+            # symbols; rebuild (make is a fast no-op when fresh) and
+            # reload rather than failing on registration below
+            _build_library()
+            lib = ctypes.CDLL(_LIB_PATH)
         c = ctypes
         lib.qidx_open.restype = c.c_void_p
         lib.qidx_open.argtypes = [c.c_char_p, c.c_uint32, c.c_uint32, c.c_uint32, c.c_int]
@@ -206,14 +212,15 @@ class NativeVectorStore:
         """Build (and cache) the cluster-pruned structure over the
         store's current rows (one read pass; invalidated by append
         via the ntotal key)."""
+        key = (self.ntotal, rows_per_cluster, iters, seed)
         cached = getattr(self, "_clusters", None)
-        if cached is not None and cached[0] == self.ntotal:
+        if cached is not None and cached[0] == key:
             return cached[1]
         clusters = build_host_clusters(
             self.read(), rows_per_cluster=rows_per_cluster, iters=iters,
             seed=seed,
         )
-        self._clusters = (self.ntotal, clusters)
+        self._clusters = (key, clusters)
         return clusters
 
     def cluster_topk(
@@ -367,6 +374,15 @@ def build_host_clusters(
     rigorous)."""
     x = np.ascontiguousarray(x, dtype=np.float32)
     n, d = x.shape
+    if n == 0:
+        # empty corpus: zero clusters — every query rides the (empty)
+        # fallback and gets the padded -1/inf output scan_topk returns
+        return HostClusters(
+            np.zeros((0,), np.int32), np.zeros((1,), np.int64),
+            np.zeros((0, d), np.float32), np.zeros((0,), np.float32),
+            np.zeros((0,), np.float32), np.zeros((0,), np.float32),
+            np.zeros((0,), np.float32),
+        )
     g = max(1, n // max(rows_per_cluster, 1))
     rng = np.random.default_rng(seed)
     cent = x[np.sort(rng.choice(n, size=g, replace=False))].astype(

@@ -207,19 +207,41 @@ void qidx_close(Store* s) {
 // with score=+-inf / idx=-1 when ntotal < k.  Tie-break: lower index
 // first (matches lax.top_k / the Pallas kernel).  `base` offsets the
 // emitted indices (corpus-split threading scans sub-ranges).
+// Single dot kernel shared by the scan and the clustered search: the
+// exactness/tie contract between them depends on BITWISE-identical
+// accumulation, so there is exactly one copy of this loop.
+static inline float dotf(const float* a, const float* b_, uint32_t d) {
+  float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+  uint32_t j = 0;
+  for (; j + 4 <= d; j += 4) {
+    a0 += a[j] * b_[j];
+    a1 += a[j + 1] * b_[j + 1];
+    a2 += a[j + 2] * b_[j + 2];
+    a3 += a[j + 3] * b_[j + 3];
+  }
+  float dot = a0 + a1 + a2 + a3;
+  for (; j < d; ++j) dot += a[j] * b_[j];
+  return dot;
+}
+
+// xsq_pre: optional precomputed row sqnorms (l2) — the clustered
+// fallback already holds them; nullptr recomputes locally.
 static void scan_topk(const float* x, uint64_t n, uint32_t d,
                       const float* q, uint64_t b, uint32_t k,
                       uint32_t metric, float* out_scores,
-                      int64_t* out_idx, uint64_t base = 0) {
-  std::vector<float> xsq;
-  if (metric == 1) {
-    xsq.resize(n);
+                      int64_t* out_idx, uint64_t base = 0,
+                      const float* xsq_pre = nullptr) {
+  std::vector<float> xsq_own;
+  const float* xsq = xsq_pre;
+  if (metric == 1 && xsq == nullptr) {
+    xsq_own.resize(n);
     for (uint64_t i = 0; i < n; ++i) {
       const float* row = x + i * d;
       float acc = 0.f;
       for (uint32_t j = 0; j < d; ++j) acc += row[j] * row[j];
-      xsq[i] = acc;
+      xsq_own[i] = acc;
     }
+    xsq = xsq_own.data();
   }
   for (uint64_t bi = 0; bi < b; ++bi) {
     const float* qq = q + bi * d;
@@ -233,19 +255,7 @@ static void scan_topk(const float* x, uint64_t n, uint32_t d,
     heap.reserve(k + 1);
     auto cmp = [](const Entry& a, const Entry& b_) { return a > b_; };
     for (uint64_t i = 0; i < n; ++i) {
-      const float* row = x + i * d;
-      float dot = 0.f;
-      uint32_t j = 0;
-      // unrolled-by-4 dot; g++ -O3 vectorizes this
-      float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
-      for (; j + 4 <= d; j += 4) {
-        a0 += row[j] * qq[j];
-        a1 += row[j + 1] * qq[j + 1];
-        a2 += row[j + 2] * qq[j + 2];
-        a3 += row[j + 3] * qq[j + 3];
-      }
-      dot = a0 + a1 + a2 + a3;
-      for (; j < d; ++j) dot += row[j] * qq[j];
+      float dot = dotf(x + i * d, qq, d);  // dotf: one shared kernel
       float g = (metric == 1) ? (2.f * dot - qsq - xsq[i]) : dot;
       Entry e(g, -(int64_t)(base + i));
       if (heap.size() < k) {
@@ -423,20 +433,6 @@ void qidx_scan_topk_mt(Store* s, const float* q, uint64_t b, uint32_t k,
 // float accumulation this file uses)
 static inline float host_acc_rel(uint32_t d) { return 2.0e-7f * (float)d; }
 
-static inline float dotf(const float* a, const float* b_, uint32_t d) {
-  float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
-  uint32_t j = 0;
-  for (; j + 4 <= d; j += 4) {
-    a0 += a[j] * b_[j];
-    a1 += a[j + 1] * b_[j + 1];
-    a2 += a[j + 2] * b_[j + 2];
-    a3 += a[j + 3] * b_[j + 3];
-  }
-  float dot = a0 + a1 + a2 + a3;
-  for (; j < d; ++j) dot += a[j] * b_[j];
-  return dot;
-}
-
 // One certification tier for one query.  Returns true when the
 // certificate held; the (k)-heap results land in out (sorted).
 static bool cluster_tier(const float* x, const float* xsq, uint32_t d,
@@ -510,6 +506,13 @@ void qidx_raw_cluster_topk(const float* x, uint64_t n, uint32_t d,
                            uint32_t budget, float* out_scores,
                            int64_t* out_idx, uint32_t* out_stats) {
   out_stats[0] = out_stats[1] = 0;
+  if (k == 0) return;  // (b, 0) outputs: nothing to write
+  // the clustered tiers cover exactly the rows the structure indexes
+  // (goff[G] entries of order); the fallback must scan the SAME
+  // coverage, not a possibly-newer live ntotal — one batch must never
+  // mix two corpus snapshots (certified queries on the old rows next
+  // to fallback queries seeing appended rows)
+  const uint64_t n_cov = std::min<uint64_t>(n, (uint64_t)goff[G]);
   const float accrel = host_acc_rel(d);
   std::vector<float> ub(G);
   for (uint64_t bi = 0; bi < b; ++bi) {
@@ -548,7 +551,7 @@ void qidx_raw_cluster_topk(const float* x, uint64_t n, uint32_t d,
                      qq, qsq, k, metric, S2, ub.data(), os, oi))
       continue;
     out_stats[0]++;  // exact full-scan backstop (scan_topk semantics)
-    scan_topk(x, n, d, qq, 1, k, metric, os, oi);
+    scan_topk(x, n_cov, d, qq, 1, k, metric, os, oi, 0, xsq);
   }
 }
 
