@@ -592,3 +592,24 @@ def test_fused_search_rerank_uses_accel_candidates(rng):
     ids_a = [h["index"] for h in out_a["results"][0]]
     ids_p = [h["index"] for h in out_p["results"][0]]
     assert ids_a == ids_p, (ids_a, ids_p)
+
+
+def test_build_clustered_pins_to_explicit_snapshot(rng):
+    """build_clustered(snap=...) sizes off the SNAPSHOT's rows: a
+    concurrent append (newer self.ntotal) must neither leak capacity
+    padding into the structure nor surface rows the snapshot's matrix
+    cannot gather."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    x = _clustered_corpus(rng, 5000, 64, n_centers=6)
+    idx = DeviceFlatIndex.from_numpy(
+        x, metric="l2", small_batch_accel="clustered",
+        cluster_group_rows=128, accel_read_cap=0,
+    )
+    snap_old = idx.device_buffers()
+    idx.add(_clustered_corpus(rng, 200, 64))  # publishes a new gen
+    groups = idx.build_clustered(snap=snap_old)
+    oid = np.asarray(groups.orig_idx)
+    valid = np.asarray(groups.valid_p)
+    assert valid.sum() == 5000  # old snapshot's rows only
+    assert oid[valid].max() < 5000

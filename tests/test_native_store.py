@@ -355,3 +355,15 @@ def test_native_cluster_topk_mt_matches_single(rng):
     np.testing.assert_array_equal(i1, i4)
     np.testing.assert_array_equal(s1, s4)
     np.testing.assert_array_equal(st1, st4)
+
+
+def test_store_cluster_topk_empty_store(tmp_path, rng):
+    """Empty store: padded -1/inf output (parity with scan_topk), no
+    crash in the cluster build."""
+    from qrag_tpu.index.native_store import NativeVectorStore
+
+    with NativeVectorStore(str(tmp_path / "e.qidx"), d=16) as s:
+        q = rng.randn(2, 16).astype(np.float32)
+        sc, i, stats = s.cluster_topk(q, 5)
+        assert (i == -1).all()
+        assert np.isinf(sc).all()
