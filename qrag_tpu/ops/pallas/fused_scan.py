@@ -218,8 +218,17 @@ def pallas_packed_window_scan_top2(
     """(pk1 (B, NW) int32, pk2 (B, NW) int32) packed (value | lane)
     window argmax + runner-up planes — the Mosaic twin of
     ``bounded_topk.packed_window_scan_top2``."""
-    b, d = queries.shape
+    b0, d = queries.shape
     n = corpus.shape[0]
+    # bm == 1 makes the in-kernel dot a matvec, which Mosaic lowers
+    # through a dtype-changing vector.broadcast that fails verification
+    # on real TPU (probed r5 on the transposed twin) — pad a single
+    # query to two rows and slice its plane back off after the fold
+    b = 2 if b0 == 1 else b0
+    if b != b0:
+        queries = jnp.pad(queries, ((0, b - b0), (0, 0)))
+        if col_add is not None:
+            col_add = jnp.pad(col_add, ((0, b - b0), (0, 0)))
     bm = bm or _pick_bm_packed(b)
     if queries.dtype == jnp.int8:
         raise ValueError("bounded top-2 scan is float-domain only")
@@ -262,8 +271,8 @@ def pallas_packed_window_scan_top2(
     )(queries, col_add, corpus, row_add)
 
     return (
-        _fold_planes(pk1, b, n // WINDOW),
-        _fold_planes(pk2, b, n // WINDOW),
+        _fold_planes(pk1, b, n // WINDOW)[:b0],
+        _fold_planes(pk2, b, n // WINDOW)[:b0],
     )
 
 
@@ -329,8 +338,12 @@ def pallas_packed_window_scan_t(
     acc_dtype = jnp.int32 if queries.dtype == jnp.int8 else jnp.float32
     if acc_dtype == jnp.int32 and (row_add is not None or col_add is not None):
         raise ValueError("int domain packs raw dots; no affine terms")
+    # b == 1 would make the in-kernel dot a matvec, which Mosaic lowers
+    # through a dtype-changing vector.broadcast that fails verification
+    # on real TPU (probed r5: bm=1 is the ONLY failing block at any
+    # bn) — pad a single query to two columns
     if b0 <= 128:
-        b = 1 << (b0 - 1).bit_length() if b0 > 1 else b0
+        b = 1 << (b0 - 1).bit_length() if b0 > 1 else 2
     else:
         b = -(-b0 // 128) * 128
     if b != b0:
@@ -471,9 +484,13 @@ def pallas_packed_window_scan_top2_t(
     # the (nw, bm) output block's minor dim must be 128-divisible or
     # equal to the full batch axis (Mosaic lane tiling): pad the batch
     # so a conforming bm exists — padded queries are zeros whose plane
-    # columns are sliced off after the fold
+    # columns are sliced off after the fold.  b == 1 would make the
+    # in-kernel dot a matvec, which Mosaic lowers through a dtype-
+    # changing vector.broadcast that fails verification on real TPU
+    # (probed r5: bm=1 is the ONLY failing block at any bn) — pad a
+    # single query to two columns
     if b0 <= 128:
-        b = 1 << (b0 - 1).bit_length() if b0 > 1 else b0
+        b = 1 << (b0 - 1).bit_length() if b0 > 1 else 2
     else:
         b = -(-b0 // 128) * 128
     if b != b0:
