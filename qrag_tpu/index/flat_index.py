@@ -615,6 +615,11 @@ class DeviceFlatIndex:
                 snap.matrix[:n],
                 group_rows=self.cluster_group_rows,
                 assign=assign,
+                # scoring norms: the snapshot's master-f32 sqnorms —
+                # the accel ranks by the SAME refine function as the
+                # full scan/bounded paths even on a bf16 store
+                # (ADVICE r4 medium: stored-row norms diverged)
+                sqnorms=snap.sqnorms[:n],
             )
             snap.extras["clustered"] = groups
             if assign is None:

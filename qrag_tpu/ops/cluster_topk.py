@@ -87,18 +87,26 @@ class ClusteredGroups(NamedTuple):
     ``corpus_p``/``sqnorms_p``/``orig_idx``/``valid_p`` are the
     permuted (cluster-contiguous, padded) row arrays; ``centroids``,
     ``csq``, ``radii``, ``maxnorms``, ``group_valid`` are per-group
-    stats.  All bounds/stats are computed from the STORED rows (cast
-    to f32), so they are consistent with the refine-domain scoring
-    function whatever the store dtype."""
+    stats.  Geometry stats (centroids/radii/maxnorms) come from the
+    STORED rows (cast to f32); ``sqnorms_p`` — the array the refine
+    actually SCORES with — may instead be the caller's master-copy f32
+    norms (``build_clustered_groups(sqnorms=...)``), in which case
+    ``norm_gap`` carries the per-group positive part of
+    (stored-row norm^2 - scoring norm^2) and the upper bounds widen by
+    it, keeping certification sound while the scoring function matches
+    the index's other l2 paths bit-for-bit (ADVICE r4: a bf16 store
+    scored with stored-row norms ranked differently from the plain
+    scan's master-f32 norms)."""
 
     corpus_p: jnp.ndarray  # (N_pad, d) store dtype
-    sqnorms_p: jnp.ndarray  # (N_pad,) f32
+    sqnorms_p: jnp.ndarray  # (N_pad,) f32 (the SCORING norms)
     orig_idx: jnp.ndarray  # (N_pad,) int32 (pad rows: 2^30)
     valid_p: jnp.ndarray  # (N_pad,) bool
     centroids: jnp.ndarray  # (G, d) f32
     csq: jnp.ndarray  # (G,) f32
     radii: jnp.ndarray  # (G,) f32 (inflated for f32 rounding)
     maxnorms: jnp.ndarray  # (G,) f32
+    norm_gap: jnp.ndarray  # (G,) f32 max(stored sq - scoring sq, 0)
     group_valid: jnp.ndarray  # (G,) bool
     group_rows: int  # L (static)
 
@@ -224,10 +232,19 @@ def build_clustered_groups(
     seed: int = 0,
     chunk: int = 16384,
     assign: Optional[np.ndarray] = None,
+    sqnorms: Optional[jnp.ndarray] = None,  # (N,) f32 SCORING norms
 ) -> ClusteredGroups:
     """Build the acceleration structure (offline; one device pass per
     k-means iteration plus one permutation gather).  Pass a persisted
     ``assign`` (from ``cluster_assignments``) to skip the k-means.
+
+    Pass ``sqnorms`` = the index's master-copy f32 row norms to make
+    the accelerator SCORE with exactly the same refine function as the
+    index's other l2 paths (``flat_index.py:338``: sqnorms come from
+    the f32 master even on a bf16 store).  The group bounds then widen
+    by the per-group ``norm_gap`` = max(stored-row sq - scoring sq, 0),
+    so certification stays rigorous; without it a bf16 store ranked by
+    stored-row norms diverged from the plain scan (ADVICE r4 medium).
 
     Layout invariant: every cluster is padded to a GROUP boundary, so
     no group ever spans two clusters.  (The first cut chunked the
@@ -239,6 +256,10 @@ def build_clustered_groups(
     corpus = jnp.asarray(corpus)
     n, d = corpus.shape
     L = group_rows
+    if sqnorms is not None and jnp.shape(sqnorms) != (n,):
+        raise ValueError(
+            f"sqnorms shape {jnp.shape(sqnorms)} does not match n={n}"
+        )
     if n == 0:
         return empty_groups(d, L, corpus.dtype)
     if n < L and assign is None:
@@ -313,6 +334,31 @@ def build_clustered_groups(
 
     sq, cent, csq, radii, mxn, gvalid = group_stats(corpus_p)
     sq = jnp.where(valid_j, sq, 0.0)
+    if sqnorms is None:
+        # scoring norms == stored-row norms: no gap (their own f32
+        # computation error is covered by _group_upper_bounds'
+        # acc*(qsq + mxn^2) term)
+        norm_gap = jnp.zeros((g_pad,), jnp.float32)
+    else:
+        @jax.jit
+        def score_norms(sq_stored, sq_master, perm, vld):
+            sq_m = jnp.where(
+                vld, jnp.take(sq_master.astype(jnp.float32), perm), 0.0
+            )
+            # positive part of (stored sq - scoring sq), per group: the
+            # refine subtracts the SCORING norm while the geometric
+            # decomposition produces the STORED one — the ub must
+            # absorb the difference.  Both operands are concrete f32
+            # values; 1e-6 covers the subtraction's own rounding.
+            gap = jnp.maximum(sq_stored - sq_m, 0.0)
+            gap = jnp.max(
+                jnp.where(vld, gap, 0.0).reshape(g_pad, L), axis=1
+            )
+            return sq_m, gap * (1.0 + 1e-6) + 1e-30
+
+        sq, norm_gap = score_norms(
+            sq, jnp.asarray(sqnorms), perm_j, valid_j
+        )
     return ClusteredGroups(
         corpus_p=corpus_p,
         sqnorms_p=sq,
@@ -322,6 +368,7 @@ def build_clustered_groups(
         csq=csq,
         radii=radii,
         maxnorms=mxn,
+        norm_gap=norm_gap,
         group_valid=gvalid,
         group_rows=L,
     )
@@ -344,6 +391,7 @@ def empty_groups(d: int, group_rows: int, dtype) -> ClusteredGroups:
         csq=jnp.zeros((g,), jnp.float32),
         radii=jnp.zeros((g,), jnp.float32),
         maxnorms=jnp.zeros((g,), jnp.float32),
+        norm_gap=jnp.zeros((g,), jnp.float32),
         group_valid=jnp.zeros((g,), bool),
         group_rows=L,
     )
@@ -378,7 +426,12 @@ def _group_upper_bounds(
         # bounded mode's shared affine terms do) — cover each with
         # _acc_rel of its magnitude.
         refine_m = (
-            2.0 * coeff * qn * mxn + acc * (qsq + mxn * mxn) + 1e-30
+            2.0 * coeff * qn * mxn + acc * (qsq + mxn * mxn)
+            # scoring-norm gap: the refine subtracts cg.sqnorms_p
+            # (possibly master-copy norms) while the decomposition
+            # 2 q.x = qsq + |x_stored|^2 - |q - x_stored|^2 produces
+            # the stored-row norm — absorb the per-group difference
+            + cg.norm_gap[None, :] + 1e-30
         )
         d2 = qsq + cg.csq[None, :] - 2.0 * qc
         # |fl(d2) - d2_true| <= 2 e_qc + acc*(qsq + csq) (the norm
@@ -513,7 +566,7 @@ def _fallback_full(
 def _cluster_probe_topk_impl(
     queries: jnp.ndarray,
     corpus_p, sqnorms_p, orig_idx, valid_p,
-    centroids, csq, radii, maxnorms, group_valid,
+    centroids, csq, radii, maxnorms, norm_gap, group_valid,
     k: int, metric: str, budget: int, group_rows: int,
 ):
     """IVF-style PROBE search: score the top-S groups, skip the
@@ -524,7 +577,8 @@ def _cluster_probe_topk_impl(
     explicitly accept IVF's recall/latency trade."""
     cg = ClusteredGroups(
         corpus_p, sqnorms_p, orig_idx, valid_p,
-        centroids, csq, radii, maxnorms, group_valid, group_rows,
+        centroids, csq, radii, maxnorms, norm_gap, group_valid,
+        group_rows,
     )
     b, d = queries.shape
     q32 = queries.astype(jnp.float32)
@@ -542,12 +596,13 @@ def _cluster_probe_topk_impl(
 def _cluster_pruned_topk_impl(
     queries: jnp.ndarray,
     corpus_p, sqnorms_p, orig_idx, valid_p,
-    centroids, csq, radii, maxnorms, group_valid,
+    centroids, csq, radii, maxnorms, norm_gap, group_valid,
     k: int, metric: str, budget: int, group_rows: int,
 ):
     cg = ClusteredGroups(
         corpus_p, sqnorms_p, orig_idx, valid_p,
-        centroids, csq, radii, maxnorms, group_valid, group_rows,
+        centroids, csq, radii, maxnorms, norm_gap, group_valid,
+        group_rows,
     )
     b, d = queries.shape
     q32 = queries.astype(jnp.float32)
@@ -618,7 +673,7 @@ def cluster_pruned_topk(
         queries,
         groups.corpus_p, groups.sqnorms_p, groups.orig_idx,
         groups.valid_p, groups.centroids, groups.csq, groups.radii,
-        groups.maxnorms, groups.group_valid,
+        groups.maxnorms, groups.norm_gap, groups.group_valid,
     )
     if not certify:
         vals, idx = _cluster_probe_topk_impl(

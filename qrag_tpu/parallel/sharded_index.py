@@ -96,6 +96,7 @@ def _sharded_accel_search(
     csq: jnp.ndarray,  # (S, G)
     radii: jnp.ndarray,  # (S, G)
     maxnorms: jnp.ndarray,  # (S, G)
+    norm_gap: jnp.ndarray,  # (S, G)
     group_valid: jnp.ndarray,  # (S, G) bool
     k: int,
     metric: str,
@@ -116,11 +117,11 @@ def _sharded_accel_search(
         _cluster_pruned_topk_impl,
     )
 
-    def local(q, cp, sp, oi, vp, ce, cs, ra, mx, gv):
+    def local(q, cp, sp, oi, vp, ce, cs, ra, mx, ng, gv):
         if certify:
             vals, idx, fb, esc = _cluster_pruned_topk_impl(
                 q, cp[0], sp[0], oi[0], vp[0], ce[0], cs[0], ra[0],
-                mx[0], gv[0], k, metric, budget, group_rows,
+                mx[0], ng[0], gv[0], k, metric, budget, group_rows,
             )
         else:
             # IVF nprobe mode per shard: exact per-group scoring, no
@@ -128,7 +129,7 @@ def _sharded_accel_search(
             # candidates the shards surfaced
             vals, idx = _cluster_probe_topk_impl(
                 q, cp[0], sp[0], oi[0], vp[0], ce[0], cs[0], ra[0],
-                mx[0], gv[0], k, metric, budget, group_rows,
+                mx[0], ng[0], gv[0], k, metric, budget, group_rows,
             )
             fb = esc = jnp.asarray(False)
         shard = jax.lax.axis_index(MODEL_AXIS)
@@ -159,12 +160,13 @@ def _sharded_accel_search(
             P(MODEL_AXIS, None),
             P(MODEL_AXIS, None),
             P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
         ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None)),
         check_vma=False,
     )(
         queries, corpus_p, sqnorms_p, orig_idx, valid_p,
-        centroids, csq, radii, maxnorms, group_valid,
+        centroids, csq, radii, maxnorms, norm_gap, group_valid,
     )
 
 
@@ -733,9 +735,15 @@ class ShardedFlatIndex:
                 )
                 continue
             rows = self.sample_rows(range(lo, hi))
+            # scoring norms: the same master-f32 sqnorms the plain
+            # sharded scan uses (this shard's slice of _dev_sqnorms) —
+            # keeps the accel's refine function identical to the other
+            # l2 paths on a bf16 store (ADVICE r4)
+            shard_sq = np.asarray(self._dev_sqnorms[lo:hi])
             g = build_clustered_groups(
                 jnp.asarray(rows).astype(self.store_dtype),
                 group_rows=self.cluster_group_rows,
+                sqnorms=jnp.asarray(shard_sq, jnp.float32),
             )
             per.append(g)
         L = self.cluster_group_rows
@@ -754,6 +762,7 @@ class ShardedFlatIndex:
                 jnp.pad(g.csq, (0, pg)),
                 jnp.pad(g.radii, (0, pg)),
                 jnp.pad(g.maxnorms, (0, pg)),
+                jnp.pad(g.norm_gap, (0, pg)),
                 jnp.pad(g.group_valid, (0, pg)),
             )
 
@@ -770,6 +779,7 @@ class ShardedFlatIndex:
             P(MODEL_AXIS, None),  # csq
             P(MODEL_AXIS, None),  # radii
             P(MODEL_AXIS, None),  # maxnorms
+            P(MODEL_AXIS, None),  # norm_gap
             P(MODEL_AXIS, None),  # group_valid
         ]
         arrays = tuple(

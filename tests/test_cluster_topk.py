@@ -154,6 +154,73 @@ def test_bf16_store_exact_wrt_stored_rows(rng):
     _check_exact(q, np.asarray(xb.astype(jnp.float32)), groups, "l2", 10)
 
 
+def test_bf16_store_master_sqnorms_match_plain_paths(rng):
+    """ADVICE r4 (medium): on a bf16 store the accel used to rank by
+    stored-row norms while every other l2 path scores with the f32
+    MASTER norms — accel-routed batches returned different top-10s
+    than the plain path (reproduced: 40/40 slots differed).  With
+    ``sqnorms=`` threaded through the build, the accel's refine
+    function is the plain paths' refine function and results match;
+    the widened norm-gap margin keeps certification sound."""
+    x = _clustered_corpus(rng, 4096, 64)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    master_sq = np.sum(x * x, axis=1, dtype=np.float32)
+    groups = build_clustered_groups(
+        xb, group_rows=128, kmeans_iters=3,
+        sqnorms=jnp.asarray(master_sq),
+    )
+    q = _clustered_corpus(rng, 8, 64)
+    vals, idx, fb, esc = cluster_pruned_topk(
+        jnp.asarray(q), groups, 10, metric="l2"
+    )
+    # oracle = the plain paths' scoring function: bf16 stored rows,
+    # MASTER f32 sqnorms (flat_index.py:338 semantics)
+    q32 = jnp.asarray(q, jnp.float32)
+    dots = q32 @ jnp.asarray(xb).astype(jnp.float32).T
+    g = (
+        2.0 * dots
+        - jnp.sum(q32 * q32, axis=1, keepdims=True)
+        - jnp.asarray(master_sq)[None, :]
+    )
+    ov, oi = jax.lax.top_k(g, 10)
+    _assert_indices_tie_tolerant(
+        q, np.asarray(xb.astype(jnp.float32)), "l2",
+        np.asarray(idx), np.asarray(oi), np.asarray(ov),
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ov), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_bf16_index_accel_matches_plain_search(rng):
+    """End-to-end reproduction of the ADVICE r4 scenario: a bf16-store
+    DeviceFlatIndex must return the SAME top-10 whether the batch
+    routes through the clustered accelerator or the plain path."""
+    from qrag_tpu.index.flat_index import DeviceFlatIndex
+
+    x = _clustered_corpus(rng, 6144, 64)
+    mk = dict(
+        metric="l2", store_dtype="bfloat16", cluster_group_rows=128,
+        accel_read_cap=0,
+    )
+    idx_accel = DeviceFlatIndex.from_numpy(
+        x, small_batch_accel="clustered", accel_max_batch=8, **mk
+    )
+    # the comparison path must share the accel's QUERY contract (f32
+    # query against the bf16 store + master norms): that's "bounded".
+    # The default scan modes round the query to the store dtype first
+    # — a separate, documented per-mode score-precision difference.
+    idx_plain = DeviceFlatIndex.from_numpy(
+        x, small_batch_accel="none", topk_mode="bounded", **mk
+    )
+    q = _clustered_corpus(rng, 4, 64)
+    assert idx_accel._accel_eligible(4, 10)
+    ra = idx_accel.search(q, 10)
+    rp = idx_plain.search(q, 10)
+    np.testing.assert_array_equal(ra.indices, rp.indices)
+    np.testing.assert_allclose(ra.scores, rp.scores, rtol=1e-5, atol=1e-4)
+
+
 def test_budget_covering_all_groups_is_exact(rng):
     x = _clustered_corpus(rng, 1024, 32)
     groups = build_clustered_groups(x, group_rows=128, kmeans_iters=2)
