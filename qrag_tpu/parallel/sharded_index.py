@@ -248,7 +248,29 @@ def _sharded_search(
                 sv, si = jax.lax.approx_max_k(g, kk, recall_target=0.99)
                 vals, ri = jax.lax.top_k(sv, k)
                 idx = jnp.take_along_axis(si, ri, axis=1)
-                bad = jnp.sum(g > vals[:, -1:], axis=1) > k - 1
+                thr = vals[:, -1:]
+                bad = jnp.sum(g > thr, axis=1) > k - 1
+                # tie certificate (ADVICE r4): values being exact is
+                # not enough — a bitwise-duplicate row with a LOWER
+                # index that approx_max_k missed would silently break
+                # the repo-wide "lower index wins" tie contract.  The
+                # in-set rows AT the threshold value must be exactly
+                # the smallest-index equal-value rows overall.
+                col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+                eq_small = -jax.lax.top_k(
+                    jnp.where(g == thr, -col, -jnp.int32(2 ** 31 - 1)),
+                    k,
+                )[0]  # (B, k) ascending indices of equal-value rows
+                m = jnp.sum(vals == thr, axis=1)  # in-set equals >= 1
+                mth = jnp.take_along_axis(
+                    eq_small, (m - 1)[:, None], axis=1
+                )[:, 0]
+                max_in = jnp.max(
+                    jnp.where(vals == thr, idx, -1), axis=1
+                )
+                bad = bad | (
+                    jnp.isfinite(thr[:, 0]) & (max_in > mth)
+                )
                 vals, idx = jax.lax.cond(
                     jnp.any(bad),
                     lambda: tuple(jax.lax.top_k(g, k)),

@@ -123,9 +123,13 @@ class SearchBatcher:
     # ------------------------------------------------------------- client
 
     def _submit(self, item: _Pending):
-        if self._stop.is_set():
-            raise RuntimeError("batcher is closed")
         with self._cv:
+            # the closed check must live INSIDE the critical section: a
+            # submitter that passed an outside check while close() was
+            # draining _items could append afterward and block forever
+            # on a future nobody will resolve (ADVICE r4)
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
             self._items.append(
                 (int(item.priority), next(self._seq), time.time(), item)
             )

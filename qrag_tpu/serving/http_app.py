@@ -505,6 +505,14 @@ def main(argv=None) -> None:
         parser.error("--lean-scan fixes its own scan mode")
     if args.bounded_scan and (args.topk_mode or config.index.topk_mode) != "bounded":
         parser.error("--bounded-scan requires --topk-mode bounded")
+    if args.bounded_scan == "int8" and args.sharded:
+        # ShardedFlatIndex has no int8 bounded arm: accepting the flag
+        # would silently serve the bf16 scan while the operator
+        # believes int8 is active (ADVICE r4)
+        parser.error(
+            "--bounded-scan int8 is not implemented for --sharded "
+            "(the sharded bounded path scans bf16); drop one flag"
+        )
     if args.bounded_query_dtype and (
         (args.topk_mode or config.index.topk_mode) != "bounded"
     ):

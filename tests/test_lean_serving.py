@@ -156,3 +156,18 @@ def test_topk_mode_cli_flag_sets_config(monkeypatch):
     engine = captured["engine"]
     assert engine.config.index.topk_mode == "bounded"
     assert engine.index.topk_mode == "bounded"
+
+
+def test_int8_bounded_sharded_cli_rejected(capsys):
+    """ADVICE r4: --bounded-scan int8 with --sharded used to be
+    accepted and silently served the bf16 scan; it must be a parse
+    error now (argparse exits 2)."""
+    import qrag_tpu.serving.http_app as http_app
+
+    with pytest.raises(SystemExit) as exc:
+        http_app.main(
+            ["--topk-mode", "bounded", "--bounded-scan", "int8",
+             "--sharded", "--port", "0", "--no-warmup"]
+        )
+    assert exc.value.code == 2
+    assert "not implemented for --sharded" in capsys.readouterr().err

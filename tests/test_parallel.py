@@ -50,6 +50,26 @@ def test_sharded_search_tie_break(mesh8, rng):
     np.testing.assert_array_equal(rs.indices, r1.indices)
 
 
+def test_sharded_verified_duplicate_tie_contract(mesh8, rng):
+    """ADVICE r4: the verified mode's certificate used to count only
+    strictly-greater scores, so a bitwise-duplicate row with a LOWER
+    index that approx_max_k missed still certified — exact values,
+    broken tie order.  Mass duplicates force the tie certificate to
+    prove the in-set equals are the smallest-index equals (or full-
+    sort); the result must equal the exact single-device tie order."""
+    base = rng.randn(48, 32).astype(np.float32)
+    # big enough per shard (16k/4 = 4k rows) that the approx arm runs
+    # (kk*8 < n_local), every row duplicated many times
+    x = np.tile(base, (352, 1))  # 16896 rows
+    q = base[:4] + 0.01 * rng.randn(4, 32).astype(np.float32)
+    sharded = ShardedFlatIndex(x, mesh8, metric="ip", topk_mode="verified")
+    single = DeviceFlatIndex.from_numpy(x, metric="ip", topk_mode="exact")
+    rs = sharded.search(q, k=8)
+    r1 = single.search(q, k=8)
+    np.testing.assert_array_equal(rs.indices, r1.indices)
+    np.testing.assert_allclose(rs.scores, r1.scores, rtol=1e-6, atol=1e-6)
+
+
 def test_sharded_search_metadata_and_odd_batch(mesh8, rng):
     x = rng.randn(500, 32).astype(np.float32)
     sharded = ShardedFlatIndex(
