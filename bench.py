@@ -31,12 +31,140 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
-from qrag_tpu.utils.compilation_cache import enable_compilation_cache
+# ----------------------------------------------------------------- preflight
+# Round-4 shipped blind: the axon tunnel wedged inside
+# enable_compilation_cache()'s backend init and bench.py burned the
+# driver's whole timeout emitting ZERO JSON (BENCH_r04 rc=124,
+# parsed=null).  Everything here runs BEFORE jax is imported:
+#   * a subprocess probe (tiny timed matmul) fails FAST with a
+#     diagnostic JSON line if the tunnel is wedged;
+#   * a watchdog thread prints whatever has been measured so far and
+#     force-exits if the deadline passes (a hung RPC blocks the main
+#     thread in C, so only another thread can still emit output).
+
+RESULTS: dict = {}  # progressively filled; watchdog flushes on wedge
+_SECTION = ["startup"]
+_JSON_PRINTED = threading.Event()
+
+PROBE_TIMEOUT_S = float(os.environ.get("QRAG_BENCH_PROBE_TIMEOUT_S", 150))
+DEADLINE_S = float(os.environ.get("QRAG_BENCH_DEADLINE_S", 1320))
+
+_PROBE_CODE = (
+    "import time; t0=time.time()\n"
+    "import jax, numpy as np, jax.numpy as jnp\n"
+    "x = jnp.ones((256, 256), jnp.bfloat16)\n"
+    "v = float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])\n"
+    "print(f'probe ok v={v} backend={jax.default_backend()} "
+    "t={time.time()-t0:.1f}s')\n"
+)
+
+
+def _emit_json(payload: dict) -> None:
+    if _JSON_PRINTED.is_set():
+        return
+    _JSON_PRINTED.set()
+    print(json.dumps(payload), flush=True)
+
+
+def _diagnostic_payload(error: str, extra: dict) -> dict:
+    base = {
+        "metric": "retrieval_qps_exact_top10_1000000x768_1chip",
+        "value": RESULTS.get("value", 0.0),
+        "unit": "qps",
+        "vs_baseline": RESULTS.get("vs_baseline", 0.0),
+        "error": error,
+        "extra": {**RESULTS.get("extra", {}), **extra},
+    }
+    if "metric" in RESULTS:
+        base["metric"] = RESULTS["metric"]
+    return base
+
+
+def _probe_tunnel() -> None:
+    """Tiny timed matmul in a SUBPROCESS (a wedged tunnel hangs the
+    interpreter itself — only a killable child can be timed out)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True,
+            text=True,
+            timeout=PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired as e:
+        _emit_json(
+            _diagnostic_payload(
+                f"tpu_tunnel_probe_timeout_{int(PROBE_TIMEOUT_S)}s",
+                {"probe_stderr_tail": str(e.stderr or "")[-400:]},
+            )
+        )
+        sys.exit(0)
+    if r.returncode != 0:
+        _emit_json(
+            _diagnostic_payload(
+                f"tpu_tunnel_probe_failed_rc{r.returncode}",
+                {"probe_stderr_tail": (r.stderr or "")[-400:]},
+            )
+        )
+        sys.exit(0)
+    print(f"# {r.stdout.strip()}", file=sys.stderr, flush=True)
+
+
+def _start_watchdog() -> None:
+    deadline = time.time() + DEADLINE_S
+
+    def fire():
+        remaining = deadline - time.time()
+        while remaining > 0:
+            time.sleep(min(remaining, 5.0))
+            if _JSON_PRINTED.is_set():
+                return
+            remaining = deadline - time.time()
+        if _JSON_PRINTED.is_set():
+            return
+        payload = _diagnostic_payload(
+            f"bench_deadline_{int(DEADLINE_S)}s_exceeded_in_"
+            f"{_SECTION[0]}",
+            {"completed_sections": sorted(RESULTS.get("extra", {}))},
+        )
+        # stdout may be block-buffered under the driver: write the
+        # line with os.write so it lands even as we force-exit
+        os.write(1, (json.dumps(payload) + "\n").encode())
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
+def _parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true", help="CPU-sized run")
+    parser.add_argument(
+        "--mode", default="approx", choices=["approx", "exact", "verified"]
+    )
+    parser.add_argument("--all", action="store_true", help="extra metrics to stderr")
+    parser.add_argument(
+        "--no-probe", action="store_true",
+        help="skip the tunnel probe subprocess",
+    )
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    _ARGS = _parse_args()
+    _start_watchdog()
+    if not (_ARGS.no_probe or os.environ.get("QRAG_BENCH_NO_PROBE")):
+        _SECTION[0] = "tunnel_probe"
+        _probe_tunnel()
+    _SECTION[0] = "jax_import"
+
+from qrag_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
@@ -430,14 +558,32 @@ def bench_accel_latency(n, d, k=10):
     return out
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--small", action="store_true", help="CPU-sized run")
-    parser.add_argument(
-        "--mode", default="approx", choices=["approx", "exact", "verified"]
-    )
-    parser.add_argument("--all", action="store_true", help="extra metrics to stderr")
-    args = parser.parse_args()
+def _section(name: str):
+    """Context manager: tracks the running section for the watchdog's
+    diagnostics and isolates section crashes (a late companion metric
+    must never cost the already-measured headline — the r5 accel
+    section crash class)."""
+
+    class _Ctx:
+        def __enter__(self):
+            _SECTION[0] = name
+            return self
+
+        def __exit__(self, et, ev, tb):
+            if et is not None:
+                msg = f"{et.__name__}: {str(ev)[:200]}"
+                RESULTS.setdefault("extra", {}).setdefault(
+                    "section_errors", {}
+                )[name] = msg
+                print(f"# SECTION FAILED {name}: {msg}", file=sys.stderr)
+                return True  # swallow; later sections still run
+            return False
+
+    return _Ctx()
+
+
+def main(args=None) -> None:
+    args = args if args is not None else _parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
     if args.small or not on_tpu:
@@ -445,158 +591,175 @@ def main() -> None:
     else:
         n, d, b, iters = 1_000_000, 768, 1024, 16
 
-    qps, per_batch, _ = run(n, d, b, 10, iters, args.mode, verbose=args.all)
-    # the north star's literal metric — EXACT top-10 values — measured
-    # in the on-device verified mode (VERDICT r2 #2); recorded every
-    # run alongside the approx headline, same session:
-    qps_v, per_v, fb_v = run(
-        n, d, b, 10, iters, "verified", verbose=args.all
-    )
-    print(
-        f"# verified-exact top-10: {per_v*1e3:.2f} ms/batch{b} "
-        f"({qps_v:,.0f} QPS), certificate fallback rows {fb_v}",
-        file=sys.stderr,
-    )
-    # the round-3 faster exact answer: bounded mode (norm-bounded
-    # window pruning — provably exact, one scan pass, no (B, N)
-    # certificate matrix)
-    # same iteration count as the headline: the ~30-90 ms tunnel
-    # dispatch latency amortizes identically across metrics (at 4
-    # iters it inflated per-batch times by ~8 ms — trace-verified)
+    extra = RESULTS.setdefault("extra", {})
+
+    # ---- the HEADLINE measurement runs FIRST (bounded-exact: norm-
+    # bounded window pruning — provably exact identity AND tie order),
+    # so a wedge/crash in any companion section can never lose it.
+    # Same iteration count for every companion: the ~30-90 ms tunnel
+    # dispatch latency amortizes identically across metrics.
+    _SECTION[0] = "bounded_headline"
     qps_b, per_b, fb_b = bench_bounded_mode(n, d, b, 10, iters)
     print(
         f"# bounded-exact top-10: {per_b*1e3:.2f} ms/batch{b} "
         f"({qps_b:,.0f} QPS), cert fallback batches {fb_b}",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
-    # rerank-width exactness: k=100 engages the large-k design (third
-    # bound plane + runner-up-row patches) — pre-design this shape
-    # full-sorted every batch at 380 ms (docs/PERFORMANCE.md round-4
-    # "Large-k")
-    qps_b100, per_b100, fb_b100 = bench_bounded_mode(
-        n, d, b, 100, max(2, iters // 2)
+    RESULTS.update(
+        metric=f"retrieval_qps_exact_top10_{n}x{d}_1chip",
+        value=round(qps_b, 1),
+        vs_baseline=round(qps_b / NORTH_STAR_QPS, 4),
     )
-    print(
-        f"# bounded-exact top-100 (large-k design): "
-        f"{per_b100*1e3:.2f} ms/batch{b} ({qps_b100:,.0f} QPS), "
-        f"cert fallback batches {fb_b100}",
-        file=sys.stderr,
-    )
-    # within-session companion metrics (chip sessions drift ±10-18%,
-    # docs/PERFORMANCE.md — these share the headline's session):
-    floor_ms = bench_matmul_floor(n, d, b, iters)
-    base_ms, fused_ms, overhead_pct = bench_fused_rerank(
-        n, d, b, args.mode, iters=iters
-    )
+    extra["bounded_exact_ms_per_batch"] = round(per_b * 1e3, 2)
+    extra["bounded_fallback_batches"] = int(fb_b)
+
+    with _section("approx"):
+        qps, per_batch, _ = run(
+            n, d, b, 10, iters, args.mode, verbose=args.all
+        )
+        extra["approx_qps"] = round(qps, 1)
+        extra["approx_ms_per_batch"] = round(per_batch * 1e3, 2)
+
+    with _section("verified"):
+        # the north star's literal metric measured in the on-device
+        # verified mode (VERDICT r2 #2); recorded every run alongside
+        # the headline, same session
+        qps_v, per_v, fb_v = run(
+            n, d, b, 10, iters, "verified", verbose=args.all
+        )
+        print(
+            f"# verified-exact top-10: {per_v*1e3:.2f} ms/batch{b} "
+            f"({qps_v:,.0f} QPS), certificate fallback rows {fb_v}",
+            file=sys.stderr, flush=True,
+        )
+        extra["verified_qps"] = round(qps_v, 1)
+        extra["verified_ms_per_batch"] = round(per_v * 1e3, 2)
+        extra["verified_fallback_rows"] = int(fb_v)
+
+    with _section("bounded_k100"):
+        # rerank-width exactness: k=100 engages the large-k design
+        # (third bound plane + runner-up-row patches) — pre-design
+        # this shape full-sorted every batch at 380 ms
+        qps_b100, per_b100, fb_b100 = bench_bounded_mode(
+            n, d, b, 100, max(2, iters // 2)
+        )
+        print(
+            f"# bounded-exact top-100 (large-k design): "
+            f"{per_b100*1e3:.2f} ms/batch{b} ({qps_b100:,.0f} QPS), "
+            f"cert fallback batches {fb_b100}",
+            file=sys.stderr, flush=True,
+        )
+        extra["bounded_exact_k100_qps"] = round(qps_b100, 1)
+        extra["bounded_exact_k100_ms_per_batch"] = round(per_b100 * 1e3, 2)
+        extra["bounded_k100_fallback_batches"] = int(fb_b100)
+
+    with _section("matmul_floor"):
+        # within-session companions (chip sessions drift ±10-18% —
+        # these share the headline's session)
+        floor_ms = bench_matmul_floor(n, d, b, iters)
+        extra["matmul_rowmax_ms_per_batch"] = round(floor_ms * 1e3, 2)
+        # clock-invariant efficiency: exact cost over the same-session
+        # floor (absolute QPS moves with the session's chip clock; a
+        # throttled session measured 24x slow across the board — this
+        # ratio stays comparable; healthy ~1.25-1.35)
+        extra["exact_over_floor"] = round(per_b / floor_ms, 3)
+        print(
+            f"# bf16 matmul+rowmax reference: {floor_ms*1e3:.2f} "
+            f"ms/batch{b} ({b/floor_ms:,.0f} QPS at this session's "
+            "clock)",
+            file=sys.stderr, flush=True,
+        )
+
+    with _section("fused_rerank"):
+        base_ms, fused_ms, overhead_pct = bench_fused_rerank(
+            n, d, b, args.mode, iters=iters
+        )
+        extra["rerank_overhead_pct"] = round(overhead_pct, 2)
+        extra["rerank_base_ms"] = round(base_ms, 2)
+        extra["rerank_fused_ms"] = round(fused_ms, 2)
 
     if args.all:
-        print(
-            f"# {args.mode} top-10 on {n}x{d}: {per_batch*1e3:.2f} ms/batch{b} "
-            f"({qps:,.0f} QPS) backend={jax.default_backend()}",
-            file=sys.stderr,
-        )
-        qps_e, _, _ = run(n, d, b, 10, max(2, iters // 4), "exact")
-        print(f"# exact mode (full sort): {qps_e:,.0f} QPS", file=sys.stderr)
-        # the production serving regime: f32 user queries against the
-        # bf16 store (MID margin tier — docs/PERFORMANCE.md
-        # "Margin-regime census"); exact w.r.t. the f32 query
-        qps_m, per_m, fb_m = bench_bounded_mode(
-            n, d, b, 10, iters, query_dtype=jnp.float32
-        )
-        print(
-            f"# bounded-exact MID regime (f32 queries, bf16 store): "
-            f"{per_m*1e3:.2f} ms/batch{b} ({qps_m:,.0f} QPS), "
-            f"cert fallback batches {fb_m}",
-            file=sys.stderr,
-        )
-        bench_int8(n, d, b, iters)
-        # BASELINE configs[3]: 10-qubit fidelity over 1k candidates/query
-        bench_fused_rerank(n, d, b, args.mode, cands=1000)
-        # small-batch exact latency (cluster-pruned accelerator) on a
-        # clustered corpus of the same scale
-        bench_accel_latency(n, d)
-    print(
-        f"# bf16 matmul+rowmax reference: {floor_ms*1e3:.2f} ms/batch{b} "
-        f"({b/floor_ms:,.0f} QPS at this session's clock)",
-        file=sys.stderr,
-    )
+        with _section("all_approx_exact"):
+            print(
+                f"# {args.mode} top-10 on {n}x{d}: "
+                f"{extra.get('approx_ms_per_batch')} ms/batch{b} "
+                f"({extra.get('approx_qps'):,} QPS) "
+                f"backend={jax.default_backend()}",
+                file=sys.stderr,
+            )
+            qps_e, _, _ = run(n, d, b, 10, max(2, iters // 4), "exact")
+            print(
+                f"# exact mode (full sort): {qps_e:,.0f} QPS",
+                file=sys.stderr,
+            )
+            extra["full_sort_qps"] = round(qps_e, 1)
+        with _section("all_mid_regime"):
+            # the production serving regime: f32 user queries against
+            # the bf16 store (MID margin tier); exact w.r.t. the f32
+            # query
+            qps_m, per_m, fb_m = bench_bounded_mode(
+                n, d, b, 10, iters, query_dtype=jnp.float32
+            )
+            print(
+                f"# bounded-exact MID regime (f32 queries, bf16 "
+                f"store): {per_m*1e3:.2f} ms/batch{b} "
+                f"({qps_m:,.0f} QPS), cert fallback batches {fb_m}",
+                file=sys.stderr, flush=True,
+            )
+            extra["bounded_mid_qps"] = round(qps_m, 1)
+            extra["bounded_mid_fallback_batches"] = int(fb_m)
+        with _section("all_int8"):
+            bench_int8(n, d, b, iters)
+        with _section("all_rerank_1k"):
+            # BASELINE configs[3]: 10-qubit fidelity over 1k
+            # candidates/query
+            bench_fused_rerank(n, d, b, args.mode, cands=1000)
+        with _section("all_accel"):
+            # small-batch exact latency (cluster-pruned accelerator)
+            # on a clustered corpus of the same scale
+            extra.update(bench_accel_latency(n, d))
 
-    print(
-        json.dumps(
-            {
-                # the recorded VALUE is the PROVABLY-EXACT mode
-                # (bounded: norm-bounded window pruning — exact
-                # identity AND tie order), matching the metric's
-                # "exact top-10" name; the approx-mode number
-                # (recall@10 ~0.999) moves to extra (VERDICT r3
-                # weak #6: the headline must not report approx
-                # against an exact north star)
-                "metric": f"retrieval_qps_exact_top10_{n}x{d}_1chip",
-                "value": round(qps_b, 1),
-                "unit": "qps",
-                "vs_baseline": round(qps_b / NORTH_STAR_QPS, 4),
-                "extra": {
-                    # approx mode: hardware partial-reduce + exact
-                    # re-rank; recall@10 ~0.999, NOT exact — the
-                    # serving-throughput companion number
-                    "approx_qps": round(qps, 1),
-                    "approx_ms_per_batch": round(per_batch * 1e3, 2),
-                    # on-device verified mode (deep-oversample approx +
-                    # exactness certificate + cond'd exact fallback) —
-                    # exact score VALUES, recorded with its observed
-                    # fallback-row count (VERDICT r2 #2); superseded as
-                    # the exact headline by bounded
-                    "verified_qps": round(qps_v, 1),
-                    "verified_ms_per_batch": round(per_v * 1e3, 2),
-                    "verified_fallback_rows": int(fb_v),
-                    "bounded_exact_ms_per_batch": round(per_b * 1e3, 2),
-                    "bounded_fallback_batches": int(fb_b),
-                    # rerank-width exact retrieval (large-k design:
-                    # third bound plane + runner-up-row patches);
-                    # pre-design k=100 full-sorted every batch (380
-                    # ms = 2.7k QPS)
-                    "bounded_exact_k100_qps": round(qps_b100, 1),
-                    "bounded_exact_k100_ms_per_batch": round(
-                        per_b100 * 1e3, 2
-                    ),
-                    "bounded_k100_fallback_batches": int(fb_b100),
-                    # north-star companion: 10-qubit fidelity over 100
-                    # candidates, <5% target (VERDICT r1 item 6)
-                    "rerank_overhead_pct": round(overhead_pct, 2),
-                    "rerank_base_ms": round(base_ms, 2),
-                    "rerank_fused_ms": round(fused_ms, 2),
-                    # same-session scan floor: matmul+rowmax only
-                    "matmul_rowmax_ms_per_batch": round(floor_ms * 1e3, 2),
-                    # clock-invariant efficiency: exact-pipeline cost
-                    # over the same-session floor.  Absolute QPS moves
-                    # with the session's chip clock (a throttled axon
-                    # session measured 7.5x slow across the board);
-                    # this ratio stays comparable across sessions
-                    # (healthy: ~1.25-1.35)
-                    "exact_over_floor": round(per_b / floor_ms, 3),
-                    "roofline_context": (
-                        "north star (>=1M QPS exact top-10, 1Mx768/chip) "
-                        "assumes TPU v5p (459 TF/s bf16); this chip is a "
-                        "v5e (197 TF/s bf16). 1.57 TFLOP/batch1024 -> "
-                        "8.0 ms at 100% MXU = 128k QPS absolute v5e "
-                        "ceiling. Best-of-3 timing. The bounded-exact "
-                        "value runs the r4 TRANSPOSED Mosaic top-2 scan "
-                        "(within ~8% of the matmul+rowmax floor) plus "
-                        "~2.7 ms of selection + candidate gather "
-                        "(jnp.take at 22-28 GB/s; the Pallas DMA gather "
-                        "kernel is blocked by the axon AOT compiler — "
-                        "docs/PERFORMANCE.md round-4). int8 bounded "
-                        "exists and is exact, but at this shape its "
-                        "quantization band (~0.5 sigma of the dot "
-                        "distribution) forces >100 candidate windows "
-                        "per query, so bf16 bounded stays the exact "
-                        "headline (round-4 decomposition)."
-                    ),
-                },
-            }
-        )
+    _SECTION[0] = "emit"
+    _emit_json(
+        {
+            # the recorded VALUE is the PROVABLY-EXACT mode
+            # (bounded), matching the metric's "exact top-10" name.
+            # NOTE the r1-r3 metric name was retrieval_qps_top10_*
+            # and recorded the APPROX number (r3: 100,209 QPS) — the
+            # r4+ exact headline is a strictly harder quantity; the
+            # approx companion stays in extra.approx_qps
+            "metric": RESULTS["metric"],
+            "value": RESULTS["value"],
+            "unit": "qps",
+            "vs_baseline": RESULTS["vs_baseline"],
+            # extra carries every companion measured this session —
+            # approx_qps (the r1-r3 headline quantity), verified_*,
+            # k100, MID regime, floor, exact_over_floor, rerank
+            # overhead, plus any section_errors
+            "extra": {
+                **extra,
+                "roofline_context": (
+                    "north star (>=1M QPS exact top-10, 1Mx768/chip) "
+                    "assumes TPU v5p (459 TF/s bf16); this chip is a "
+                    "v5e (197 TF/s bf16). 1.57 TFLOP/batch1024 -> "
+                    "8.0 ms at 100% MXU = 128k QPS absolute v5e "
+                    "ceiling. Best-of-3 timing. The bounded-exact "
+                    "value runs the r4 TRANSPOSED Mosaic top-2 scan "
+                    "(within ~8% of the matmul+rowmax floor) plus "
+                    "~2.7 ms of selection + candidate gather "
+                    "(jnp.take; the Pallas DMA gather kernel is "
+                    "blocked by the axon AOT compiler — "
+                    "docs/PERFORMANCE.md round-4). int8 bounded "
+                    "exists and is exact, but at this shape its "
+                    "quantization band (~0.5 sigma of the dot "
+                    "distribution) forces >100 candidate windows "
+                    "per query, so bf16 bounded stays the exact "
+                    "headline (round-4 decomposition)."
+                ),
+            },
+        }
     )
 
 
 if __name__ == "__main__":
-    main()
+    main(_ARGS)
