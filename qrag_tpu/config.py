@@ -140,7 +140,7 @@ class IndexConfig:
     # certificates OFF, recall set by cluster_budget — the only
     # APPROXIMATE arm, and an explicit opt-in.
     small_batch_accel: str = "none"
-    accel_max_batch: int = 32
+    accel_max_batch: int = 16
     # rows per clustered group (contiguous dynamic_slice unit)
     cluster_group_rows: int = 512
     # top-S group budget per query; 0 = auto (max(8, 2k))

@@ -138,7 +138,7 @@ class DeviceFlatIndex:
         bounded_scan: str = "bf16",
         bounded_query_dtype: str = "float32",
         small_batch_accel: str = "none",
-        accel_max_batch: int = 32,
+        accel_max_batch: int = 16,
         cluster_group_rows: int = 512,
         cluster_budget: Optional[int] = None,
         accel_read_cap: float = 0.5,
