@@ -597,12 +597,20 @@ def _certify_and_refine(
     # over the (B, NW) plane: cert_a below verifies COVERAGE — every
     # qualifying window must actually be in the selection — so a
     # recall miss here can cost a fallback, never exactness.
+    #
+    # Dead windows fold into the ub plane as -inf BEFORE selection
+    # (one fused plane-wide where), so liveness and cert_a
+    # qualification both read off the SELECTION VALUES — this removes
+    # two (B, NW)-plane take_along_axis gathers (cand_live + the
+    # qualifies plane) that the r5 profiler trace priced at ~0.17 ms
+    # each per batch (docs/PERFORMANCE.md round-5 decomposition).
+    ub = jnp.where(cand_live, ub, -jnp.inf)
     if nw > 4096:
-        _, wsel = jax.lax.approx_max_k(ub, C, recall_target=0.999)
+        sel_vals, wsel = jax.lax.approx_max_k(ub, C, recall_target=0.999)
     else:
-        _, wsel = jax.lax.top_k(ub, C)  # (B, C)
+        sel_vals, wsel = jax.lax.top_k(ub, C)  # (B, C)
     cand_idx = wsel * WINDOW + jnp.take_along_axis(lane1, wsel, axis=1)
-    cand_ok = jnp.take_along_axis(cand_live, wsel, axis=1)
+    cand_ok = sel_vals > -jnp.inf
     if valid_rows is not None:
         # int-domain planes can surface an invalid argmax row (padding
         # is masked at the plane level only when the whole window is
@@ -669,12 +677,11 @@ def _certify_and_refine(
         thr = mk_vals[:, k - 1]
 
     # ---- cert_a: every window that could clear thr is IN the
-    # selection (counts both the budget and approx-selection recall)
-    qualifies = ub >= thr[:, None]
-    count_a = jnp.sum(qualifies, axis=1)
-    sel_qual = jnp.sum(
-        jnp.take_along_axis(qualifies, wsel, axis=1), axis=1
-    )
+    # selection (counts both the budget and approx-selection recall).
+    # sel_vals ARE ub[wsel] (top_k/approx_max_k return the actual
+    # elements), so the selected-side count needs no plane gather.
+    count_a = jnp.sum(ub >= thr[:, None], axis=1)
+    sel_qual = jnp.sum(sel_vals >= thr[:, None], axis=1)
     cert_a_fail = jnp.any((count_a > C) | (count_a != sel_qual))
 
     # ---- cert_b: windows whose SECOND (large-k: THIRD) row might
