@@ -121,6 +121,17 @@ class RerankEvalConfig:
     # the final VAL slice only.  0 = off.
     curve_every: int = 0
     curve_cases: int = 96
+    # Episode-level VALIDATION fold (VERDICT r4 #6): carve this
+    # fraction of the TRAIN episodes out as a fold the trainer never
+    # fits, and run the ship rule on queries targeting THOSE chunks.
+    # The round-3/4 protocol validated on train-chunk queries the
+    # model had memorized (VAL nDCG 0.987 vs held-out 0.431 — the
+    # slice could not rank model variants by generalization, so e.g.
+    # the distill-regularized variant that was +3.9% relative held-out
+    # lost the ship decision).  The fold is drawn from TRAIN episodes
+    # only — the held-out split stays untouched (no peeking).
+    # 0 = the old memorized-slice protocol.
+    val_episode_frac: float = 0.25
 
 
 def _make_cfg(cfg: RerankEvalConfig):
@@ -412,12 +423,27 @@ def run_eval(
     train_idx, hold_idx = split_by_episode(
         chunks, cfg.holdout_frac, seed=cfg.seed + 1
     )
+    if cfg.val_episode_frac > 0:
+        # carve a VALIDATION episode fold out of the train split: the
+        # trainer fits fit_idx only; the ship rule scores queries over
+        # val_idx chunks — episodes it never saw — so validation
+        # measures GENERALIZATION, not memorization.  Held-out stays
+        # untouched.
+        val_rng = np.random.RandomState(cfg.seed + 3)
+        train_eps = sorted({chunks[i].episode for i in train_idx})
+        val_rng.shuffle(train_eps)
+        n_val = max(1, int(len(train_eps) * cfg.val_episode_frac))
+        val_eps = set(train_eps[:n_val])
+        fit_idx = [i for i in train_idx if chunks[i].episode not in val_eps]
+        val_idx = [i for i in train_idx if chunks[i].episode in val_eps]
+    else:
+        fit_idx, val_idx = list(train_idx), list(train_idx)[: len(hold_idx)]
     curve: List[Dict[str, object]] = []
     hook = None
     if cfg.curve_every:
         # fixed subsampled case sets so every curve point is comparable
         curve_val = _eval_cases(
-            cfg, chunks, train_idx[: len(hold_idx)], seed=29
+            cfg, chunks, val_idx[: max(len(hold_idx), 1)], seed=29
         )[: cfg.curve_cases]
         curve_hold = _eval_cases(cfg, chunks, hold_idx)[: cfg.curve_cases]
 
@@ -434,7 +460,7 @@ def run_eval(
             logger.info("curve @%d: %s", at_step, curve[-1])
 
     t0 = time.time()
-    scorer, losses = train_cross_encoder(cfg, chunks, train_idx, hook=hook)
+    scorer, losses = train_cross_encoder(cfg, chunks, fit_idx, hook=hook)
     train_s = time.time() - t0
     cases = _eval_cases(cfg, chunks, hold_idx)
 
@@ -443,15 +469,18 @@ def run_eval(
     warm = None
     if init_dir:
         # ship whichever of {step-0 warm start, fine-tuned} validates
-        # better on TRAIN-episode queries (fresh seed — no peeking at
-        # the held-out episodes): fine-tuning can then never regress
-        # the shipped scorer below the inherited bi-encoder quality
+        # better on the validation fold (val_episode_frac > 0: train
+        # episodes the trainer never fit — a GENERALIZATION fold; no
+        # peeking at the held-out episodes either way): fine-tuning
+        # can then never regress the shipped scorer below the
+        # inherited bi-encoder quality
         warm = CrossEncoderScorer(
             _make_cfg(cfg),
             params=warm_start_params(_make_cfg(cfg), init_dir),
         )
-        val_cases = _eval_cases(cfg, chunks, train_idx[: len(hold_idx)],
-                                seed=29)
+        val_cases = _eval_cases(
+            cfg, chunks, val_idx[: max(len(hold_idx), 1)], seed=29
+        )
         val_ft = eval_ranker(scorer.score, chunks, val_cases)
         val_w = eval_ranker(warm.score, chunks, val_cases)
         if val_w["ndcg@10"] > val_ft["ndcg@10"]:
@@ -460,6 +489,14 @@ def run_eval(
     out: Dict[str, object] = {
         "corpus_chunks": len(chunks),
         "held_out_chunks": len(hold_idx),
+        "fit_chunks": len(fit_idx),
+        "val_fold_chunks": (
+            len(val_idx) if cfg.val_episode_frac > 0 else 0
+        ),
+        "val_protocol": (
+            "episode-fold" if cfg.val_episode_frac > 0
+            else "train-slice (legacy)"
+        ),
         "eval_cases": len(cases),
         "candidates_per_case": cfg.candidates,
         "steps": cfg.steps,
@@ -531,6 +568,12 @@ def main(argv=None) -> None:
     )
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--val-episode-frac", type=float, default=0.25,
+        help="fraction of TRAIN episodes carved out as the ship-rule "
+        "validation fold (episodes the trainer never fits; 0 = the "
+        "legacy memorized-train-slice protocol)",
+    )
     args = p.parse_args(argv)
     cfg = RerankEvalConfig(
         steps=args.steps,
@@ -540,6 +583,7 @@ def main(argv=None) -> None:
         curve_every=args.curve_every,
         lr=args.lr,
         seed=args.seed,
+        val_episode_frac=args.val_episode_frac,
     )
     print(json.dumps(run_eval(cfg, weights_dir=args.weights_dir), indent=2))
 
