@@ -589,7 +589,16 @@ def main(args=None) -> None:
     if args.small or not on_tpu:
         n, d, b, iters = 100_000, 768, 256, 5
     else:
-        n, d, b, iters = 1_000_000, 768, 1024, 16
+        # iters = length of the dependent lax.scan each metric times.
+        # The ~26 ms per-dispatch tunnel latency amortizes as 1/iters:
+        # at 16 it added ~1.6 ms/batch to every wall number (round-5
+        # profiler trace: bounded device-busy 10.9 ms vs wall 12.5);
+        # 48 prices steady-state throughput (production serves
+        # continuously) while keeping the verified mode's timed leg
+        # under ~10 s.  Recorded in extra.iters — r1-r4 numbers used
+        # 16 (r1-r3: 4-16), so cross-round walls carry different
+        # dispatch shares; exact_over_floor is the comparable ratio.
+        n, d, b, iters = 1_000_000, 768, 1024, 48
 
     extra = RESULTS.setdefault("extra", {})
 
@@ -612,6 +621,7 @@ def main(args=None) -> None:
     )
     extra["bounded_exact_ms_per_batch"] = round(per_b * 1e3, 2)
     extra["bounded_fallback_batches"] = int(fb_b)
+    extra["iters"] = iters  # dispatch amortization length (see source)
 
     with _section("approx"):
         qps, per_batch, _ = run(
