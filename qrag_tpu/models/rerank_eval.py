@@ -121,15 +121,19 @@ class RerankEvalConfig:
     # the final VAL slice only.  0 = off.
     curve_every: int = 0
     curve_cases: int = 96
-    # Episode-level VALIDATION fold (VERDICT r4 #6): carve this
-    # fraction of the TRAIN episodes out as a fold the trainer never
-    # fits, and run the ship rule on queries targeting THOSE chunks.
-    # The round-3/4 protocol validated on train-chunk queries the
-    # model had memorized (VAL nDCG 0.987 vs held-out 0.431 — the
-    # slice could not rank model variants by generalization, so e.g.
-    # the distill-regularized variant that was +3.9% relative held-out
-    # lost the ship decision).  The fold is drawn from TRAIN episodes
-    # only — the held-out split stays untouched (no peeking).
+    # FRESH-CORPUS validation fold (VERDICT r4 #6): generate
+    # round(val_episode_frac * n_episodes) EXTRA episodes under a
+    # different seed and run the ship rule on queries targeting those
+    # — chunks neither the fine-tune NOR the warm-start bi-encoder's
+    # own pretraining ever saw.  The round-3/4 protocol validated on
+    # train-chunk queries the model had memorized (VAL nDCG 0.987 vs
+    # held-out 0.431 — the slice could not rank variants by
+    # generalization); a first fix that carved val episodes out of
+    # the TRAIN split measured 0.96 — still memorized, because the
+    # warm-start tower was pretrained on those very episodes in an
+    # earlier round.  Only a fresh-seed corpus is unseen by BOTH
+    # stages.  The held-out split stays untouched (no peeking), and
+    # the trainer keeps the full train split (no data loss).
     # 0 = the old memorized-slice protocol.
     val_episode_frac: float = 0.25
 
@@ -423,27 +427,25 @@ def run_eval(
     train_idx, hold_idx = split_by_episode(
         chunks, cfg.holdout_frac, seed=cfg.seed + 1
     )
+    fit_idx = list(train_idx)
     if cfg.val_episode_frac > 0:
-        # carve a VALIDATION episode fold out of the train split: the
-        # trainer fits fit_idx only; the ship rule scores queries over
-        # val_idx chunks — episodes it never saw — so validation
-        # measures GENERALIZATION, not memorization.  Held-out stays
-        # untouched.
-        val_rng = np.random.RandomState(cfg.seed + 3)
-        train_eps = sorted({chunks[i].episode for i in train_idx})
-        val_rng.shuffle(train_eps)
-        n_val = max(1, int(len(train_eps) * cfg.val_episode_frac))
-        val_eps = set(train_eps[:n_val])
-        fit_idx = [i for i in train_idx if chunks[i].episode not in val_eps]
-        val_idx = [i for i in train_idx if chunks[i].episode in val_eps]
+        # FRESH-SEED validation corpus: episodes neither training
+        # stage ever saw (see the config-field comment).  Its cases
+        # draw candidates from its own pool, exactly like held-out.
+        n_val_eps = max(1, int(round(cfg.val_episode_frac * cfg.n_episodes)))
+        val_chunks = generate_corpus(
+            n_val_eps, cfg.chunks_per_episode, seed=cfg.seed + 101
+        )
+        val_idx = list(range(len(val_chunks)))
     else:
-        fit_idx, val_idx = list(train_idx), list(train_idx)[: len(hold_idx)]
+        val_chunks = chunks
+        val_idx = list(train_idx)[: len(hold_idx)]
     curve: List[Dict[str, object]] = []
     hook = None
     if cfg.curve_every:
         # fixed subsampled case sets so every curve point is comparable
         curve_val = _eval_cases(
-            cfg, chunks, val_idx[: max(len(hold_idx), 1)], seed=29
+            cfg, val_chunks, val_idx[: max(len(hold_idx), 1)], seed=29
         )[: cfg.curve_cases]
         curve_hold = _eval_cases(cfg, chunks, hold_idx)[: cfg.curve_cases]
 
@@ -451,7 +453,9 @@ def run_eval(
             curve.append(
                 {
                     "step": at_step,
-                    "val": eval_ranker(cur_scorer.score, chunks, curve_val),
+                    "val": eval_ranker(
+                        cur_scorer.score, val_chunks, curve_val
+                    ),
                     "holdout": eval_ranker(
                         cur_scorer.score, chunks, curve_hold
                     ),
@@ -479,10 +483,10 @@ def run_eval(
             params=warm_start_params(_make_cfg(cfg), init_dir),
         )
         val_cases = _eval_cases(
-            cfg, chunks, val_idx[: max(len(hold_idx), 1)], seed=29
+            cfg, val_chunks, val_idx[: max(len(hold_idx), 1)], seed=29
         )
-        val_ft = eval_ranker(scorer.score, chunks, val_cases)
-        val_w = eval_ranker(warm.score, chunks, val_cases)
+        val_ft = eval_ranker(scorer.score, val_chunks, val_cases)
+        val_w = eval_ranker(warm.score, val_chunks, val_cases)
         if val_w["ndcg@10"] > val_ft["ndcg@10"]:
             scorer, picked = warm, "warm-start (fine-tune regressed val)"
 
@@ -494,7 +498,7 @@ def run_eval(
             len(val_idx) if cfg.val_episode_frac > 0 else 0
         ),
         "val_protocol": (
-            "episode-fold" if cfg.val_episode_frac > 0
+            "fresh-corpus" if cfg.val_episode_frac > 0
             else "train-slice (legacy)"
         ),
         "eval_cases": len(cases),
