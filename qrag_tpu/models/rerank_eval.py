@@ -136,6 +136,13 @@ class RerankEvalConfig:
     # the trainer keeps the full train split (no data loss).
     # 0 = the old memorized-slice protocol.
     val_episode_frac: float = 0.25
+    # Fine-tune data scaling with a FIXED eval protocol: append this
+    # many fresh-seed episodes (seed+201) to the fine-tune pool ONLY.
+    # Eval cases and candidate pools stay on the base corpus, so
+    # held-out numbers remain comparable across data scales (the r4
+    # plateau finding says more steps buy nothing at 48 episodes —
+    # this is the more-data lever for the same benchmark).
+    extra_train_episodes: int = 0
 
 
 def _make_cfg(cfg: RerankEvalConfig):
@@ -463,8 +470,20 @@ def run_eval(
             )
             logger.info("curve @%d: %s", at_step, curve[-1])
 
+    train_pool = chunks
+    if cfg.extra_train_episodes > 0:
+        # extra fine-tune episodes live OUTSIDE the eval corpus: they
+        # extend the training pool but never enter candidate pools
+        extra_chunks = generate_corpus(
+            cfg.extra_train_episodes, cfg.chunks_per_episode,
+            seed=cfg.seed + 201,
+        )
+        train_pool = chunks + extra_chunks
+        fit_idx = list(fit_idx) + list(
+            range(len(chunks), len(train_pool))
+        )
     t0 = time.time()
-    scorer, losses = train_cross_encoder(cfg, chunks, fit_idx, hook=hook)
+    scorer, losses = train_cross_encoder(cfg, train_pool, fit_idx, hook=hook)
     train_s = time.time() - t0
     cases = _eval_cases(cfg, chunks, hold_idx)
 
@@ -574,9 +593,18 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--val-episode-frac", type=float, default=0.25,
-        help="fraction of TRAIN episodes carved out as the ship-rule "
-        "validation fold (episodes the trainer never fits; 0 = the "
-        "legacy memorized-train-slice protocol)",
+        help="fresh-seed validation corpus size as a fraction of "
+        "n_episodes (the ship-rule fold; 0 = the legacy "
+        "memorized-train-slice protocol)",
+    )
+    p.add_argument(
+        "--extra-train-episodes", type=int, default=0,
+        help="fresh-seed episodes appended to the fine-tune pool only "
+        "(eval protocol unchanged)",
+    )
+    p.add_argument(
+        "--init-from", default="artifacts/bi_encoder",
+        help="bi-encoder artifact for the warm start ('' = from scratch)",
     )
     args = p.parse_args(argv)
     cfg = RerankEvalConfig(
@@ -588,6 +616,8 @@ def main(argv=None) -> None:
         lr=args.lr,
         seed=args.seed,
         val_episode_frac=args.val_episode_frac,
+        extra_train_episodes=args.extra_train_episodes,
+        init_from=args.init_from or None,
     )
     print(json.dumps(run_eval(cfg, weights_dir=args.weights_dir), indent=2))
 
