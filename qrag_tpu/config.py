@@ -111,7 +111,16 @@ class IndexConfig:
     # re-scoring of gathered candidates), "bounded" (provably-exact
     # top-k via norm-bounded window pruning — ops/bounded_topk.py;
     # identity AND tie order exact, one scan pass, no (B, N) matrix).
-    topk_mode: str = "verified"
+    #
+    # Default "bounded" since round 5: it is strictly stronger than
+    # the old "verified" default (exact identity AND tie order, w.r.t.
+    # the f32 query) and ~4.7x its throughput (94.9k vs 20.1k QPS at
+    # 1M x 768/chip, zero cert fallbacks — docs/PERFORMANCE.md r5).
+    # Cost: on a float32 store it caches a bf16 scan copy (+50%
+    # corpus HBM single-device; per-call cast when sharded) — prefer
+    # dtype="bfloat16" for large production corpora.  Small/odd-shaped
+    # corpora degrade to the exact sort (cheap there).
+    topk_mode: str = "bounded"
     # With topk_mode="bounded": the scan arithmetic. "bf16" (packed
     # float planes) or "int8" (EXACT integer dots of per-window int8
     # codes at the int8 MXU rate — ~1.7x the bf16 matmul on v5e via

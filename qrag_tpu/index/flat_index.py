@@ -133,7 +133,7 @@ class DeviceFlatIndex:
         normalize: bool = False,
         row_pad_multiple: int = 128,
         use_pallas: bool = False,
-        topk_mode: str = "verified",
+        topk_mode: str = "bounded",  # r5 default flip: IndexConfig doc
         store_dtype: str = "float32",
         bounded_scan: str = "bf16",
         bounded_query_dtype: str = "float32",
