@@ -805,7 +805,13 @@ def _exact_full_sort(
     qq = jnp.pad(q32, ((0, pad), (0, 0))) if pad else q32
 
     def one(qc):
-        g = _goodness(qc, corpus_f, metric, corpus_sqnorms, valid_rows)
+        # HIGHEST: the fallback must score in the same refine domain
+        # as the fast path's f32 einsum — on TPU the default f32 dot
+        # is a reduced-precision MXU pass ~2.6e-4 off (r5 measurement)
+        g = _goodness(
+            qc, corpus_f, metric, corpus_sqnorms, valid_rows,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return tuple(jax.lax.top_k(g, k))
 
     vs, is_ = jax.lax.map(one, qq.reshape(-1, chunk, d))

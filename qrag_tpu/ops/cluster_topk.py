@@ -536,10 +536,16 @@ def _fallback_full(
         xb, sb, ob, vb = inp
         # refine-domain scoring of rows SHARED across queries (the
         # same f32 math as _exact_scores, without its per-query row
-        # batching)
+        # batching).  HIGHEST precision: on TPU the default f32 dot
+        # is a reduced-precision MXU pass ~2.6e-4 off true f32 while
+        # the fast path's einsum is near-exact — without the pin the
+        # fallback's values drift visibly from the fast path's
+        # (r5 measurement; the documented cross-path tie caveat was
+        # sized for f32-order noise ~1e-7, not 2.6e-4)
         dots = jnp.dot(
             q32, xb.astype(jnp.float32).T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         g = 2.0 * dots - qsq - sb[None, :] if metric == "l2" else dots
         g = jnp.where(vb[None, :], g, -jnp.inf)

@@ -65,9 +65,21 @@ def _goodness(
     metric: str,
     corpus_sqnorms: Optional[jnp.ndarray],
     valid_rows: Optional[jnp.ndarray],
+    precision=None,
 ) -> jnp.ndarray:
-    """Descending-is-better score matrix (B, N); L2 goodness = -d^2."""
-    dots = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    """Descending-is-better score matrix (B, N); L2 goodness = -d^2.
+
+    ``precision``: on TPU, a DEFAULT-precision f32 x f32 matmul runs a
+    reduced-precision MXU pass (~2.6e-4 relative error measured on
+    v5e; bf16 inputs are unaffected — their single pass is exact given
+    the inputs).  Paths that must match the refine-domain einsum
+    (``bounded_topk._exact_scores``, near-exact at ~1e-8) pass
+    ``jax.lax.Precision.HIGHEST``; the throughput scan modes keep the
+    default (docs/PERFORMANCE.md round-5 "TPU f32 dot precision")."""
+    dots = jnp.dot(
+        queries, corpus.T, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
     if metric == "l2":
         if corpus_sqnorms is None:
             corpus_sqnorms = jnp.sum(

@@ -183,7 +183,10 @@ def main() -> None:
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
         sq = jnp.sum(x * x, axis=1)
         q = jax.random.normal(jax.random.PRNGKey(5), (b, d), jnp.float32)
-        g = np.asarray(_goodness(q, x, "l2", sq, None))
+        # HIGHEST: the oracle must be true f32 — on TPU the default f32 dot
+        # is a reduced-precision MXU pass ~2.6e-4 off (r5 measurement)
+        g = np.asarray(_goodness(q, x, "l2", sq, None,
+                                 precision=jax.lax.Precision.HIGHEST))
         # k=10 drives the top-2 path; k=100 the large-k design (third
         # plane + runner-up-row patches — the transposed Mosaic kernel
         # with planes=3)
@@ -248,7 +251,9 @@ def main() -> None:
         q = x[jax.random.randint(jax.random.PRNGKey(10), (b,), 0, n)]
         q = q + 0.005 * jax.random.normal(jax.random.PRNGKey(11), (b, d))
         x32 = x.astype(jnp.bfloat16).astype(jnp.float32)
-        g = np.asarray(_goodness(q, x32, "l2", None, None))
+        # HIGHEST-precision oracle (same reason as the bounded check)
+        g = np.asarray(_goodness(q, x32, "l2", None, None,
+                                 precision=jax.lax.Precision.HIGHEST))
         vals, idx, fb, esc = cluster_pruned_topk(q, groups, k)
         ov, oi = (np.asarray(a) for a in jax.lax.top_k(jnp.asarray(g), k))
         idx_n, vals_n = np.asarray(idx), np.asarray(vals)
