@@ -691,6 +691,13 @@ def main(args=None) -> None:
         extra["rerank_base_ms"] = round(base_ms, 2)
         extra["rerank_fused_ms"] = round(fused_ms, 2)
 
+    if on_tpu and not args.all:
+        # the clustered small-batch accelerator rows belong in the
+        # driver-captured JSON (VERDICT r4 #1/#5: accel_b{1,8} in
+        # BENCH_r05), and the driver runs WITHOUT --all; ~1 min
+        with _section("accel_latency"):
+            extra.update(bench_accel_latency(n, d))
+
     if args.all:
         with _section("all_approx_exact"):
             print(
