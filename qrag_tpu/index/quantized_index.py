@@ -47,6 +47,12 @@ _jit_quantize_rows = jax.jit(quantize_rows)
 _jit_quantize_blocks = jax.jit(quantize_block_rows_device)
 
 
+def _jit_row_isq(q8):
+    from qrag_tpu.ops.int8_domain import row_int_sqnorms
+
+    return jax.jit(row_int_sqnorms)(q8)
+
+
 class QuantizedFlatIndex(DeviceFlatIndex):
     """DeviceFlatIndex whose scan runs on int8 with exact refinement."""
 
@@ -56,6 +62,7 @@ class QuantizedFlatIndex(DeviceFlatIndex):
         refine_factor: int = 4,
         scan: str = "row",
         exact_scores: bool = True,
+        domain_exact: bool = False,
         **kwargs,
     ):
         kwargs.setdefault("store_dtype", "bfloat16")
@@ -69,6 +76,12 @@ class QuantizedFlatIndex(DeviceFlatIndex):
             raise ValueError(
                 "exact_scores=False (the gather-free mode) requires "
                 "scan='window' — the row scan always refines"
+            )
+        if domain_exact and scan != "window":
+            raise ValueError(
+                "domain_exact=True needs scan='window' (the own-domain "
+                "contract is defined over per-window codes — "
+                "ops/int8_domain.py)"
             )
         super().__init__(*args, **kwargs)
         if scan == "window" and self.row_pad_multiple % 128:
@@ -85,6 +98,7 @@ class QuantizedFlatIndex(DeviceFlatIndex):
         self.refine_factor = max(1, int(refine_factor))
         self.scan = scan
         self.exact_scores = bool(exact_scores)
+        self.domain_exact = bool(domain_exact)
 
     def layout(self) -> dict:
         """Scan-mode observability for /stats (engine.stats attaches
@@ -94,6 +108,7 @@ class QuantizedFlatIndex(DeviceFlatIndex):
             "scan": self.scan,
             "exact_scores": self.exact_scores,
             "refine_factor": self.refine_factor,
+            "domain_exact": self.domain_exact,
         }
 
     def _finalize_snapshot(self, snap: DeviceBuffers) -> None:
@@ -105,9 +120,50 @@ class QuantizedFlatIndex(DeviceFlatIndex):
                 bscales,
                 jnp.asarray(make_lane_rank(q8.shape[0])),
             )
+            if self.domain_exact:
+                snap.extras["int8w_isq"] = _jit_row_isq(q8)
         else:
             q8, scales = _jit_quantize_rows(x32)
             snap.extras["int8"] = (q8, scales)
+
+    def _search_domain_exact(
+        self, snap: DeviceBuffers, q32: jnp.ndarray, k: int, nw: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Own-domain int8 EXACT top-k (``ops/int8_domain.py``): the
+        scoring contract is the dequantized codes + rounded query, the
+        result is provably the exact top-k of that contract (identity
+        AND tie order).  Cert events land in the same counters the
+        bounded mode uses (/stats parity)."""
+        from qrag_tpu.ops.int8_domain import (
+            exact_topk_int8_domain,
+            full_topk_int8_domain,
+        )
+        from qrag_tpu.ops.pallas.fused_scan import pallas_ready
+
+        x8, bscales, lane_rank = snap.extras["int8w"]
+        row_isq = snap.extras["int8w_isq"]
+        if nw < max(2 * k, 16):
+            # small corpus: the pruned design can't cover top-k out of
+            # so few windows; the full own-domain sort is cheap here
+            vals, idx = full_topk_int8_domain(
+                q32, x8, bscales, row_isq, k,
+                metric=self.metric, valid_rows=snap.valid,
+            )
+            return _finalize(vals, idx, self.metric)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and pallas_ready(x8.shape[0], x8.shape[1])
+        )
+        vals, idx, fell_back, _, escalated = exact_topk_int8_domain(
+            q32, x8, bscales, row_isq, lane_rank, k,
+            metric=self.metric,
+            valid_rows=snap.valid,
+            candidates=max(16, k),
+            backend="pallas" if use_pallas else "xla",
+        )
+        self.fallback_rows += int(np.asarray(fell_back))
+        self.bounded_escalations += int(np.asarray(escalated))
+        return _finalize(vals, idx, self.metric)
 
     def search_device(
         self, queries: jnp.ndarray, k: int
@@ -115,6 +171,8 @@ class QuantizedFlatIndex(DeviceFlatIndex):
         snap = self.device_buffers()
         q32 = queries.astype(jnp.float32)
         nw = snap.matrix.shape[0] // 128
+        if self.domain_exact:
+            return self._search_domain_exact(snap, q32, k, nw)
         if self.scan == "window" and nw < max(16 * k, 64):
             # small corpus: one candidate per window can't cover top-k
             # without collisions (k balls in nw bins), and the exact
